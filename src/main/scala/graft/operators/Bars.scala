@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.TradingCols
+
+/** OHLCV bar construction over trade ticks.
+  *
+  * Re-expression of the reference's bar generators
+  * (/root/reference/polars_trading/bars.py:91,142,194,247 and the
+  * Rust `bar_groups` kernel /root/reference/src/bars.rs:10) as
+  * declarative Spark plans:
+  *
+  *  - time/tick bars: one shuffle (groupBy / window over symbol,date).
+  *  - volume bars (split-at-boundary semantics, bars.rs allow_splits=
+  *    true): bar boundaries fall at exact multiples of `barSize` of
+  *    the per-(symbol,date) cumulative volume, so group membership is
+  *    pure arithmetic on a running sum — stays in whole-stage codegen,
+  *    no sequential kernel needed.
+  *  - dollar bars (bars.rs allow_splits=false over unit-exploded
+  *    trades, bars.py:288): inherently sequential carry per
+  *    (symbol,date); computed as a streaming per-partition scan with
+  *    O(1) state and closed-form per-trade splitting — NOT the
+  *    reference's O(Σsize) explode-every-share, which cannot scale.
+  *
+  * All orderings tiebreak on `tradeId` so results are deterministic
+  * even with duplicate timestamps.
+  */
+object Bars {
+
+  /** Shared OHLCV aggregation (reference bars.py:72 `_ohlcv_expr`).
+    * `sizeCol` is the effective size of the (possibly split) piece.
+    */
+  private def ohlcvAggs(c: TradingCols, sizeCol: Column): Seq[Column] = {
+    val ord = struct(col(c.ts), col(c.tradeId))
+    Seq(
+      min(col(c.ts)).as("ts_start"),
+      max(col(c.ts)).as("ts_end"),
+      min_by(col(c.price), ord).as("open"),
+      max(col(c.price)).as("high"),
+      min(col(c.price)).as("low"),
+      max_by(col(c.price), ord).as("close"),
+      sum(sizeCol).cast("long").as("volume"),
+      (sum(col(c.price) * sizeCol) / sum(sizeCol)).as("vwap"),
+      count(lit(1)).as("n_trades"),
+    )
+  }
+
+  private val barCols =
+    Seq("ts_start", "ts_end", "open", "high", "low", "close", "volume", "vwap", "n_trades")
+
+  /** Time bars: tumbling windows of `barSize` (epoch-aligned, UTC),
+    * equivalent to the reference's `dt.truncate` grouping
+    * (bars.py:131). Output includes `bar_ts`, the window start.
+    */
+  def timeBars(
+      df: DataFrame,
+      barSize: String = "1 hour",
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val aggs = ohlcvAggs(c, col(c.size))
+    df.na
+      .drop(Seq(c.price))
+      .groupBy(col(c.symbol), window(col(c.ts), barSize).getField("start").as("bar_ts"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(c.symbol), col("bar_ts"))
+      .select(col(c.symbol) +: col("bar_ts") +: barCols.map(col): _*)
+  }
+
+  /** Tick bars: N consecutive ticks per bar within (symbol, date)
+    * (reference bars.py:142; split_by_date=true).
+    */
+  def tickBars(
+      df: DataFrame,
+      barSize: Int = 100,
+      splitByDate: Boolean = true,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val dateKeys =
+      if (splitByDate) Seq(to_date(col(c.ts)).as("__date")) else Seq.empty[Column]
+    val keyNames = c.symbol +: (if (splitByDate) Seq("__date") else Nil)
+    val w = Window
+      .partitionBy(keyNames.map(col): _*)
+      .orderBy(col(c.ts), col(c.tradeId))
+    val grouped = df.na
+      .drop(Seq(c.price))
+      .select(col("*") +: dateKeys: _*)
+      .withColumn("__g", ((row_number().over(w) - 1) / barSize).cast("long"))
+    grouped
+      .groupBy((keyNames :+ "__g").map(col): _*)
+      .agg(ohlcvAggs(c, col(c.size)).head, ohlcvAggs(c, col(c.size)).tail: _*)
+      .orderBy((keyNames :+ "__g").map(col): _*)
+      .select(col(c.symbol) +: barCols.map(col): _*)
+  }
+
+  /** Volume bars with split-at-boundary semantics (reference
+    * bars.py:194 + bars.rs allow_splits=true): a trade straddling a
+    * multiple of `barSize` in cumulative volume is split, the first
+    * part closing the bar exactly at the boundary.
+    *
+    * Distributed form: running volume `cum` per (symbol,date); the
+    * piece of a trade covering units [cumStart, cumEnd) lands in
+    * groups cumStart/B .. (cumEnd-1)/B with overlap-length amounts.
+    * Integer arithmetic throughout → engine-independent grouping.
+    */
+  def volumeBars(
+      df: DataFrame,
+      barSize: Long = 10000L,
+      splitByDate: Boolean = true,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val keyNames = c.symbol +: (if (splitByDate) Seq("__date") else Nil)
+    val w = Window
+      .partitionBy(keyNames.map(col): _*)
+      .orderBy(col(c.ts), col(c.tradeId))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base =
+      if (splitByDate) df.withColumn("__date", to_date(col(c.ts))) else df
+    val pieces = base.na
+      .drop(Seq(c.price))
+      .withColumn("__cum_end", sum(col(c.size)).over(w))
+      .withColumn("__cum_start", col("__cum_end") - col(c.size))
+      .withColumn(
+        "__g",
+        explode(
+          sequence(
+            expr(s"__cum_start div ${barSize}L"),
+            expr(s"(__cum_end - 1) div ${barSize}L"),
+          )
+        ),
+      )
+      .withColumn(
+        "__amount",
+        least(col("__cum_end"), (col("__g") + 1) * barSize) -
+          greatest(col("__cum_start"), col("__g") * barSize),
+      )
+    pieces
+      .groupBy((keyNames :+ "__g").map(col): _*)
+      .agg(ohlcvAggs(c, col("__amount")).head, ohlcvAggs(c, col("__amount")).tail: _*)
+      .orderBy((keyNames :+ "__g").map(col): _*)
+      .select(col(c.symbol) +: barCols.map(col): _*)
+  }
+
+  /** One split piece of a trade assigned to a dollar bar. */
+  private[operators] final case class DollarPiece(
+      symbol: String,
+      date: java.sql.Date,
+      ts: java.sql.Timestamp,
+      price: Double,
+      units: Long,
+      trade_id: Long,
+      bar_id: Long,
+  )
+
+  /** Dollar bars replicating the reference's unit-level overflow
+    * semantics (bars.py:247: explode each trade into `size` unit
+    * trades, then bars.rs allow_splits=false — a bar closes on the
+    * unit that pushes its dollar total to >= barSize, overflow
+    * allowed). Instead of materialising Σsize rows, each trade's unit
+    * span is split in closed form given the carry-in, and the carry
+    * scan streams per (symbol,date) with O(1) state after a single
+    * hash repartition.
+    *
+    * Prices are converted to exact integer cents (testdata prices
+    * have 2 decimals) so bar assignment is engine-independent.
+    */
+  def dollarBars(
+      df: DataFrame,
+      barSize: Double = 1000000.0,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val barCents = math.round(barSize * 100)
+
+    val sorted = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        col(c.price).cast("double").as("price"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .repartition(col("symbol"), col("date"))
+      .sortWithinPartitions(col("symbol"), col("date"), col("ts"), col("trade_id"))
+
+    val pieces = sorted
+      .as[(String, java.sql.Date, java.sql.Timestamp, Double, Long, Long)]
+      .mapPartitions { it =>
+        var curSym: String = null
+        var curDate: java.sql.Date = null
+        var carry = 0L // cents accumulated in the open bar
+        var barId = 0L
+        it.flatMap { case (sym, date, ts, price, size, tradeId) =>
+          if (sym != curSym || curDate == null || date.getTime != curDate.getTime) {
+            curSym = sym; curDate = date; carry = 0L; barId = 0L
+          }
+          val pc = math.round(price * 100) // cents per unit
+          val out = scala.collection.mutable.ArrayBuffer.empty[DollarPiece]
+          def emit(units: Long): Unit =
+            if (units > 0)
+              out += DollarPiece(sym, date, ts, price, units, tradeId, barId)
+          // units needed to push carry to >= barCents
+          val k1 = (barCents - carry + pc - 1) / pc
+          if (size < k1) {
+            emit(size)
+            carry += size * pc
+          } else {
+            emit(k1)
+            barId += 1; carry = 0L
+            val rem = size - k1
+            val k2 = (barCents + pc - 1) / pc // units per full bar at this price
+            val nFull = rem / k2
+            var i = 0L
+            while (i < nFull) { emit(k2); barId += 1; i += 1 }
+            val r = rem % k2
+            if (r > 0) { emit(r); carry = r * pc }
+          }
+          out
+        }
+      }
+      .toDF()
+
+    val pc = TradingCols(symbol = "symbol", ts = "ts", price = "price", size = "units", tradeId = "trade_id")
+    pieces
+      .groupBy(col("symbol"), col("date"), col("bar_id"))
+      .agg(ohlcvAggs(pc, col("units")).head, ohlcvAggs(pc, col("units")).tail: _*)
+      .orderBy(col("symbol"), col("date"), col("bar_id"))
+      .select(col("symbol") +: barCols.map(col): _*)
+  }
+}

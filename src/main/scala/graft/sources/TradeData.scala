@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.TradingCols
+
+/** Trade-tick sources.
+  *
+  * The reference generates synthetic ticks via mimesis
+  * (/root/reference/polars_trading/_testing/data.py:9). Here the
+  * driver-provided `events` table doubles as the tick stream:
+  * symbol=event_type, price=value, ts=ts, and a deterministic integer
+  * size derived from event_id (events carries no size column). The
+  * same derivation is used in the DuckDB oracle SQL so both engines
+  * see identical trades.
+  */
+object TradeData {
+
+  /** `events.parquet` → canonical trades view.
+    *
+    * Timestamps are nanosecond-precision in the parquet; Spark reads
+    * them as (NTZ) timestamps truncated to micros — the oracle casts
+    * `ts::TIMESTAMP` to get the identical truncation in DuckDB.
+    */
+  def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = TradingCols.default
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads
+    // via nanosAsLong; truncate to micros (what DuckDB's ts::TIMESTAMP
+    // cast does too) and rebuild a proper timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .where(col("value").isNotNull)
+      .select(
+        col("event_type").as(c.symbol),
+        timestamp_micros(expr("ts div 1000")).as(c.ts),
+        col("value").as(c.price),
+        (col("event_id") % 97 + 1).as(c.size),
+        col("event_id").as(c.tradeId),
+      )
+  }
+
+  /** DuckDB-side definition of the identical trades view (CTE body). */
+  val oracleTradesCte: String =
+    """trades AS (
+      |  SELECT event_type AS symbol,
+      |         CAST(ts AS TIMESTAMP) AS ts,
+      |         value AS price,
+      |         (event_id % 97 + 1) AS size,
+      |         event_id AS trade_id
+      |  FROM events WHERE value IS NOT NULL
+      |)""".stripMargin
+
+  /** Deterministic synthetic trade generator (counterpart of the
+    * reference's `generate_trade_data`): nRows ticks across
+    * nSymbols, seeded — used by ScalaTests, never by the oracle
+    * queries (those read the driver's parquet).
+    */
+  def synthetic(
+      spark: SparkSession,
+      nRows: Int,
+      nSymbols: Int = 3,
+      seed: Long = 42L,
+  ): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val symbols = Array.tabulate(nSymbols)(i => s"SYM$i")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val rows = (0 until nRows).map { i =>
+      val tsMicros =
+        (base + rnd.nextInt(30 * 24 * 3600) * 1000L) * 1000L + rnd.nextInt(1000000)
+      (
+        symbols(rnd.nextInt(nSymbols)),
+        new java.sql.Timestamp(tsMicros / 1000L),
+        1.0 + rnd.nextInt(9900) / 100.0,
+        (rnd.nextInt(97) + 1).toLong,
+        i.toLong,
+      )
+    }
+    rows.toDF("symbol", "ts", "price", "size", "trade_id")
+  }
+}
