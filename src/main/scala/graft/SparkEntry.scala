@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Bars
+import graft.functions.FracDiff
+import graft.operators.{Bars, Labels}
 import graft.sources.TradeData
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan).
@@ -75,6 +76,70 @@ object SparkEntry {
       usTs("ts_start", "ts_end")(
         Bars.dollarBars(TradeData.fromEvents(s, dir), barSize = 50000.0)
       )
+    },
+    "fixed_time_return" -> { (s, dir) =>
+      usTs("ts")(
+        Labels.fixedTimeReturn(TradeData.fromEvents(s, dir), window = 5)
+          .select(col("symbol"), col("ts"), col("price"), col("fwd_return"))
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "fixed_time_return_class" -> { (s, dir) =>
+      usTs("ts")(
+        Labels
+          .fixedTimeReturnClassification(
+            TradeData.fromEvents(s, dir),
+            window = 5,
+            threshold = Some(lit(0.05)),
+          )
+          .select(col("symbol"), col("ts"), col("price"), col("label"))
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "frac_diff" -> { (s, dir) =>
+      val t = TradeData.fromEvents(s, dir)
+      usTs("ts")(
+        t.select(
+          col("symbol"),
+          col("ts"),
+          col("price"),
+          FracDiff
+            .fracDiff(col("price"), 0.5, 1e-3, Seq(col("symbol")), Seq(col("ts"), col("trade_id")))
+            .as("frac_diff"),
+        )
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "returns_24h" -> { (s, dir) =>
+      usTs("ts")(
+        Labels.returns24h(TradeData.fromEvents(s, dir))
+          .select(col("symbol"), col("ts"), col("price"), col("lookback_price"), col("return24h"))
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "vertical_barrier" -> { (s, dir) =>
+      usTs("ts", "vertical_barrier")(
+        Labels.verticalBarrier(TradeData.fromEvents(s, dir), "24 hours")
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "daily_vol" -> { (s, dir) =>
+      usTs("ts")(
+        Labels.dailyVol(TradeData.fromEvents(s, dir), span = 100)
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "triple_barrier" -> { (s, dir) =>
+      usTs("ts", "t1", "touch_ts")(
+        Labels.tripleBarrier(
+          TradeData.fromEvents(s, dir),
+          horizon = "4 hours",
+          constTarget = Some(0.02),
+        )
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "triple_barrier_vol" -> { (s, dir) =>
+      usTs("ts", "t1", "touch_ts")(
+        Labels.tripleBarrier(
+          TradeData.fromEvents(s, dir),
+          horizon = "4 hours",
+          volSpan = 100,
+        )
+      ).orderBy(col("symbol"), col("ts"))
     },
   )
 
@@ -166,5 +231,90 @@ object SparkEntry {
          |FROM amounts
          |GROUP BY symbol, d, g
          |ORDER BY symbol, d, g""".stripMargin,
+    "fixed_time_return" ->
+      s"""WITH $T
+         |SELECT symbol, epoch_us(ts) AS ts, price,
+         |       lead(price, 6) OVER (PARTITION BY symbol ORDER BY ts, trade_id) /
+         |       lead(price, 1) OVER (PARTITION BY symbol ORDER BY ts, trade_id) - 1 AS fwd_return
+         |FROM trades
+         |ORDER BY symbol, ts""".stripMargin,
+    "fixed_time_return_class" ->
+      s"""WITH $T,
+         |r AS (
+         |  SELECT symbol, ts, price,
+         |         lead(price, 6) OVER (PARTITION BY symbol ORDER BY ts, trade_id) /
+         |         lead(price, 1) OVER (PARTITION BY symbol ORDER BY ts, trade_id) - 1 AS ret
+         |  FROM trades)
+         |SELECT symbol, epoch_us(ts) AS ts, price,
+         |       CAST(CASE WHEN ret > 0.05 THEN 1
+         |                 WHEN ret < -0.05 THEN -1
+         |                 WHEN ret BETWEEN -0.05 AND 0.05 THEN 0
+         |            END AS INTEGER) AS label
+         |FROM r
+         |ORDER BY symbol, ts""".stripMargin,
+    "frac_diff" -> {
+      val fd = FracDiff.oracleSqlExpr("price", 0.5, 1e-3, "symbol", "ts, trade_id")
+      s"""WITH $T
+         |SELECT symbol, epoch_us(ts) AS ts, price,
+         |       $fd AS frac_diff
+         |FROM trades
+         |ORDER BY symbol, ts""".stripMargin
+    },
+    "returns_24h" ->
+      s"""WITH $T,
+         |l AS (SELECT symbol, ts, price, ts - INTERVAL 24 HOUR AS lb FROM trades)
+         |SELECT l.symbol, epoch_us(l.ts) AS ts, l.price,
+         |       r.price AS lookback_price,
+         |       l.price / r.price - 1 AS return24h
+         |FROM l ASOF LEFT JOIN trades r
+         |  ON l.symbol = r.symbol AND l.lb >= r.ts
+         |ORDER BY l.symbol, l.ts""".stripMargin,
+    "vertical_barrier" ->
+      s"""WITH $T,
+         |l AS (SELECT symbol, ts, ts + INTERVAL 24 HOUR AS off FROM trades)
+         |SELECT l.symbol, epoch_us(l.ts) AS ts,
+         |       epoch_us(r.ts) AS vertical_barrier
+         |FROM l ASOF LEFT JOIN trades r
+         |  ON l.symbol = r.symbol AND l.off <= r.ts
+         |ORDER BY l.symbol, l.ts""".stripMargin,
+    "triple_barrier" ->
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT t.symbol, t.ts, t.price, 0.02 AS trgt,
+         |         least(t.ts + INTERVAL 4 HOUR, m.last_ts) AS t1
+         |  FROM trades t
+         |  JOIN (SELECT symbol, max(ts) AS last_ts FROM trades GROUP BY symbol) m
+         |    USING (symbol)),
+         |touch AS (
+         |  SELECT e.symbol, e.ts, e.price, e.trgt, e.t1,
+         |         p.ts AS u, p.price / e.price - 1 AS ret
+         |  FROM ev e
+         |  JOIN trades p ON e.symbol = p.symbol AND p.ts > e.ts AND p.ts <= e.t1),
+         |agg AS (
+         |  SELECT symbol, ts, price, trgt, t1,
+         |         min(CASE WHEN ret >= trgt THEN u END) AS pt_ts,
+         |         min(CASE WHEN ret <= -trgt THEN u END) AS sl_ts,
+         |         arg_min(ret, CASE WHEN ret >= trgt THEN u END) AS pt_ret,
+         |         arg_min(ret, CASE WHEN ret <= -trgt THEN u END) AS sl_ret,
+         |         arg_max(ret, u) AS v_ret
+         |  FROM touch
+         |  GROUP BY symbol, ts, price, trgt, t1),
+         |lab AS (
+         |  SELECT *,
+         |         (pt_ts IS NOT NULL AND (sl_ts IS NULL OR pt_ts <= sl_ts)) AS pt_first,
+         |         (sl_ts IS NOT NULL AND NOT (pt_ts IS NOT NULL AND (sl_ts IS NULL OR pt_ts <= sl_ts))) AS sl_first
+         |  FROM agg)
+         |SELECT symbol, epoch_us(ts) AS ts, trgt, epoch_us(t1) AS t1,
+         |       epoch_us(CASE WHEN pt_first THEN pt_ts
+         |                     WHEN sl_first THEN sl_ts
+         |                     ELSE t1 END) AS touch_ts,
+         |       CASE WHEN pt_first THEN pt_ret
+         |            WHEN sl_first THEN sl_ret
+         |            ELSE v_ret END AS touch_return,
+         |       CAST(CASE WHEN pt_first THEN 1
+         |                 WHEN sl_first THEN -1
+         |                 ELSE 0 END AS INTEGER) AS label
+         |FROM lab
+         |ORDER BY symbol, ts""".stripMargin,
   )
 }
