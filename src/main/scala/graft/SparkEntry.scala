@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.FracDiff
-import graft.operators.{Bars, Labels}
+import graft.operators.{Bars, Dedup, Labels, Multimodal, Similarity, TextAnalysis}
 import graft.sources.TradeData
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan).
@@ -141,9 +141,180 @@ object SparkEntry {
         )
       ).orderBy(col("symbol"), col("ts"))
     },
+    "token_count" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    "doc_fingerprint" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          TextAnalysis.rollingTokenHash(col("text")).as("token_hash"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    "lang_id" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+    "quality_score" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    "dedup_exact" -> { (s, dir) =>
+      Dedup
+        .exact(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    },
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup
+        .minhashLsh(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "ngram_jaccard" -> { (s, dir) =>
+      Dedup
+        .ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup
+        .simhashDocs(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    },
+    "ann_topk" -> { (s, dir) =>
+      Similarity
+        .bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      Similarity
+        .lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    "embed_dedup" -> { (s, dir) =>
+      Similarity
+        .cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "multimodal_meta" -> { (s, dir) =>
+      Multimodal
+        .decodeFeatures(Multimodal.attachPayload(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("mime"),
+          col("byte_len"),
+          col("magic"),
+          col("width"),
+          col("height"),
+          col("brightness"),
+        )
+        .orderBy(col("doc_id"))
+    },
   )
 
   private val T = TradeData.oracleTradesCte
+
+  // ---- DuckDB fragments mirroring the text/dedup/similarity ops ----
+
+  /** lower+trim+whitespace-collapse, DuckDB dialect (needs 'g'). */
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val toksSql = s"list_filter(str_split($normSql, ' '), t -> t != '')"
+
+  private def stopArr(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def stopHitsSql(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains(${stopArr(words)}, t)))"
+
+  /** Left-to-right f64 dot product, DuckDB dialect (list_reduce has
+    * no init, but 0.0 + t1 == t1 exactly, so it matches Spark's
+    * aggregate with 0.0 init).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Multi-table LSH bucket list with the plane weights inlined as
+    * literals (identical by construction to Similarity.planeWeights/
+    * lshBuckets: table t uses planes [t*nPlanes, (t+1)*nPlanes)).
+    */
+  private def bucketsSql(v: String, nTables: Int = 4, nPlanes: Int = 4): String = {
+    val w = Similarity.planeWeights(nTables * nPlanes, 64)
+    (0 until nTables)
+      .map { t =>
+        (0 until nPlanes)
+          .map { j =>
+            val wl = w(t * nPlanes + j).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+            s"(CASE WHEN list_reduce(list_transform(generate_series(1, 64), i -> CAST($v[i] AS DOUBLE) * ($wl)[i]), (x, y) -> x + y) > 0 THEN ${1L << j} ELSE 0 END)"
+          }
+          .mkString(" + ")
+      }
+      .mkString("[", ",\n        ", "]")
+  }
+
+  private val tblListSql = "[0, 1, 2, 3]"
+
+  private val charShinglesSql =
+    s"""CASE WHEN length(n) >= 5
+       |     THEN list_distinct(list_transform(generate_series(1, length(n) - 4), i -> substring(n, i, 5)))
+       |     ELSE [n] END""".stripMargin
+
+  private val wordNgramsSql =
+    s"""CASE WHEN len(toks) >= 3
+       |     THEN list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |     ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  private val minhashSigSql =
+    (0 until 16)
+      .map(i => s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')")
+      .mkString("[", ",\n             ", "]")
+
+  private val bandsSql =
+    (0 until 4)
+      .map(b => s"md5(array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], '|'))")
+      .mkString("[", ", ", "]")
+
+  /** Shared LSH-candidate + Jaccard-verify pipeline (from a `sh` CTE
+    * with columns id, sh).
+    */
+  private def lshPairsSql(threshold: Double): String =
+    s"""sig AS (SELECT id, $minhashSigSql AS sig FROM sh),
+       |bands AS (SELECT id, unnest($bandsSql) AS band FROM sig),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |         CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN sh x ON cand.id_a = x.id JOIN sh y ON cand.id_b = y.id)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val simhashVotesSql: String = {
+    val votes = (0 until 60).map { j =>
+      val pos = j / 4 + 1
+      val mask = 1L << (j % 4)
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((('0x' || substring(h, $pos, 1))::BIGINT // $mask) % 2) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    votes.mkString(" + ")
+  }
 
   // event timestamps are unique (checked at sf0.01/sf0.1), so plain
   // arg_min/arg_max on ts is deterministic — DuckDB 1.0 has no
@@ -316,5 +487,144 @@ object SparkEntry {
          |                 ELSE 0 END AS INTEGER) AS label
          |FROM lab
          |ORDER BY symbol, ts""".stripMargin,
+    "token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5($normSql) AS fingerprint,
+         |         list_transform($toksSql, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+         |  FROM documents)
+         |SELECT doc_id, fingerprint,
+         |       list_reduce(hs, (a, b) -> (a * 31 + b) % 1099511627776) AS token_hash
+         |FROM h
+         |ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val scores = TextAnalysis.langProfiles.map { case (lang, stops) =>
+        s"${stopHitsSql("toks", stops)}::DOUBLE / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS s_$lang"
+      }
+      val cases = TextAnalysis.langProfiles
+        .map { case (lang, _) => s"WHEN s_$lang = m THEN '$lang'" }
+        .mkString(" ")
+      val mx = TextAnalysis.langProfiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ${scores.mkString(",\n            ")} FROM d),
+         |m AS (SELECT *, $mx AS m FROM s)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         |FROM m
+         |ORDER BY doc_id""".stripMargin
+    },
+    "quality_score" -> {
+      val en = TextAnalysis.langProfiles.head._2
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |         CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS DOUBLE) AS n_tok,
+         |         ${stopHitsSql("toks", en)}::DOUBLE AS stop_hits,
+         |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct,
+         |         n_chars
+         |  FROM d),
+         |r AS (
+         |  SELECT doc_id,
+         |         0.3 + 2.0 * (stop_hits / greatest(n_tok, 1.0))
+         |             - 3.0 * (punct / greatest(n_chars, 1.0))
+         |             + 0.002 * least(n_tok, 200.0)
+         |             - 0.02 * abs(n_chars / greatest(n_tok, 1.0) - 5.0) AS raw
+         |  FROM f)
+         |SELECT doc_id, least(1.0, greatest(0.0, raw)) AS quality
+         |FROM r
+         |ORDER BY doc_id""".stripMargin
+    },
+    "dedup_exact" ->
+      s"""WITH f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM documents)
+         |SELECT doc_id, fingerprint,
+         |       min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id,
+         |       CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+         |       CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INTEGER) AS is_dup
+         |FROM f
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH d AS (SELECT doc_id AS id, $normSql AS n FROM documents),
+         |sh AS (SELECT id, $charShinglesSql AS sh FROM d),
+         |${lshPairsSql(0.5)}""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT id, $wordNgramsSql AS sh FROM d),
+         |${lshPairsSql(0.3)}""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),
+         |s AS (SELECT doc_id, $simhashVotesSql AS simhash FROM h)
+         |SELECT doc_id, simhash,
+         |       min(doc_id) OVER (PARTITION BY simhash) AS keep_id,
+         |       CAST(doc_id != min(doc_id) OVER (PARTITION BY simhash) AS INTEGER) AS is_dup
+         |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("q.qv", "e.embedding")} AS score
+         |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH tb AS (
+         |  SELECT vec_id, embedding,
+         |         unnest(${bucketsSql("embedding")}) AS bucket,
+         |         unnest($tblListSql) AS tbl
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM tb WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+         |         FROM tb e JOIN q ON e.tbl = q.tbl AND e.bucket = q.bucket AND e.vec_id != q.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         ${cosSql("qe.embedding", "ne.embedding")} AS score
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "embed_dedup" ->
+      s"""WITH tb AS (
+         |  SELECT vec_id, embedding,
+         |         unnest(${bucketsSql("embedding")}) AS bucket,
+         |         unnest($tblListSql) AS tbl
+         |  FROM embeddings),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS score
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_meta" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, 'image/fake-' || source AS mime, encode(text) AS content
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, mime,
+         |         CAST(octet_length(content) AS BIGINT) AS byte_len,
+         |         lower(hex(content)) AS fh
+         |  FROM m)
+         |SELECT doc_id, mime, byte_len,
+         |       substr(fh, 1, 8) AS magic,
+         |       CAST(64 + ('0x' || substr(fh, 1, 2))::BIGINT % 192 AS INTEGER) AS width,
+         |       CAST(64 + ('0x' || substr(fh, 3, 2))::BIGINT % 192 AS INTEGER) AS height,
+         |       (list_sum(list_transform(generate_series(1, byte_len), i -> ('0x' || substr(fh, 2*i - 1, 2))::BIGINT)) % 256) / 255.0 AS brightness
+         |FROM h
+         |ORDER BY doc_id""".stripMargin,
   )
 }

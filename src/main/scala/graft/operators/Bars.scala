@@ -33,7 +33,7 @@ object Bars {
   /** Shared OHLCV aggregation (reference bars.py:72 `_ohlcv_expr`).
     * `sizeCol` is the effective size of the (possibly split) piece.
     */
-  private def ohlcvAggs(c: TradingCols, sizeCol: Column): Seq[Column] = {
+  private[graft] def ohlcvAggs(c: TradingCols, sizeCol: Column): Seq[Column] = {
     val ord = struct(col(c.ts), col(c.tradeId))
     Seq(
       min(col(c.ts)).as("ts_start"),

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All per-row computations are Catalyst expressions (no UDFs) built
+  * from string/array functions, so they stay distributed, pipeline
+  * with the parquet scan, and need no shuffle at all — at 100 TB
+  * these run map-side at scan speed.
+  *
+  * Hashing is md5 (identical hex output in Spark and DuckDB) so the
+  * oracle can replay every computation exactly.
+  */
+object TextAnalysis {
+
+  /** Language stopword profiles for the n-gram/stopword heuristic
+    * language ID. Order is the deterministic tiebreak (first wins).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "it", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "mit"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "por", "con", "para", "del"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour", "que", "du"),
+    "zh" -> Seq("de", "shi", "bu", "wo", "ni", "ta", "men", "zai", "you", "le"),
+  )
+
+  /** lower + trim + collapse whitespace. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normText(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(tokens(text), t => t =!= ""))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space characters each count as one token.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stable document fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  private def stopHits(text: Column, stops: Seq[String]): Column = {
+    val arr = array(stops.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Stopword hit-rate per language profile; argmax with profile
+    * order as tiebreak.
+    */
+  def langId(text: Column): Column = {
+    val nTok = tokenCountWs(text).cast("double")
+    val scores = langProfiles.map { case (lang, stops) =>
+      lang -> (stopHits(text, stops).cast("double") / greatest(nTok, lit(1.0)))
+    }
+    // argmax chain: a language wins if its score >= all later ones and
+    // is > all earlier ones (handled by CASE order: first max wins)
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (lang, s)) =>
+        acc.when(s === maxScore, lang)
+      }
+      .otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards stopword density and
+    * moderate length; penalizes punctuation soup and very short docs.
+    * Deterministic linear features -> clamp.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTok = tokenCountWs(text).cast("double")
+    val punct =
+      size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val stopRatio =
+      stopHits(text, langProfiles.head._2).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val avgTokLen = nChars / greatest(nTok, lit(1.0))
+    val raw = lit(0.3) +
+      lit(2.0) * stopRatio -
+      lit(3.0) * punctRatio +
+      lit(0.002) * least(nTok, lit(200.0)) -
+      lit(0.02) * abs(avgTokLen - lit(5.0))
+    least(lit(1.0), greatest(lit(0.0), raw))
+  }
+
+  /** Rolling polynomial hash of the token stream (content-defined
+    * fingerprint usable for shift-resistant chunk signatures):
+    * h = Σ token_first8(md5) mod p, order-sensitive via 31^i weights.
+    * Exact 64-bit integer arithmetic in both engines.
+    */
+  def rollingTokenHash(text: Column): Column = {
+    // fold tokens left-to-right: h = (h * 31 + nibble(md5(tok))) mod 2^40
+    aggregate(
+      filter(tokens(text), t => t =!= ""),
+      lit(0L),
+      (h, t) =>
+        pmod(
+          h * lit(31L) + conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+          lit(1099511627776L),
+        ),
+    )
+  }
+}

@@ -1,0 +1,240 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.api.TradingCols
+import graft.functions.{Ewm, FracDiff}
+import graft.operators.{AsofJoin, Bars, Labels}
+
+/** Pins the market-data operators to the reference's own test
+  * vectors (/root/reference/tests/...).
+  */
+class CoreOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def trades(rows: (String, String, Double, Long)*) =
+    rows.zipWithIndex
+      .map { case ((sym, t, p, sz), i) => (sym, ts(t), p, sz, i.toLong) }
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+
+  // --- volume bars: reference test_bars.py:78 overflow trade ---
+  test("volume bars split an overflowing trade at the boundary") {
+    val df = trades(("A", "2021-01-01 00:00:00", 3.0, 8L))
+    val out = Bars.volumeBars(df, barSize = 5L).collect()
+    assert(out.map(r => (r.getAs[Long]("volume"), r.getAs[Long]("n_trades"))).toSet ==
+      Set((5L, 1L), (3L, 1L)))
+    assert(out.forall(_.getAs[Double]("vwap") == 3.0))
+  }
+
+  // --- dollar bars: reference test_bars.py:115 unit-level overflow ---
+  test("dollar bars split by unit-level overflow") {
+    val df = trades(("A", "2021-01-01 00:00:00", 3.0, 8L))
+    val out = Bars.dollarBars(df, barSize = 13.0).collect()
+    // 8 units of $3: bar closes on the 5th unit ($15 >= $13, overflow)
+    assert(out.map(_.getAs[Long]("volume")).toSet == Set(5L, 3L))
+  }
+
+  test("dollar bars carry dollars across trades within a day") {
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 2.0, 2L), // $4
+      ("A", "2021-01-01 00:01:00", 2.0, 2L), // cum $8 >= 8 -> close
+      ("A", "2021-01-01 00:02:00", 5.0, 1L), // $5
+      ("A", "2021-01-01 00:03:00", 1.0, 4L), // closes at 3rd unit ($8), 1 unit carries
+    )
+    val out = Bars.dollarBars(df, barSize = 8.0).orderBy("ts_start").collect()
+    assert(out.map(_.getAs[Long]("volume")).toSeq == Seq(4L, 4L, 1L))
+  }
+
+  test("tick bars group N ticks per (symbol, date)") {
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 1.0, 1L),
+      ("A", "2021-01-01 00:01:00", 2.0, 1L),
+      ("A", "2021-01-01 00:02:00", 3.0, 1L),
+      ("A", "2021-01-02 00:00:00", 4.0, 1L), // new date -> new bar
+    )
+    val out = Bars.tickBars(df, barSize = 2).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n_trades")).sorted.toSeq == Seq(1L, 1L, 2L))
+  }
+
+  test("time bars OHLCV matches a hand computation") {
+    val df = trades(
+      ("A", "2021-01-01 10:05:00", 10.0, 2L),
+      ("A", "2021-01-01 10:20:00", 30.0, 1L),
+      ("A", "2021-01-01 10:40:00", 20.0, 1L),
+      ("A", "2021-01-01 11:10:00", 5.0, 1L),
+    )
+    val out = Bars.timeBars(df, "1 hour").orderBy("bar_ts").collect()
+    assert(out.length == 2)
+    val b = out.head
+    assert(b.getAs[Double]("open") == 10.0 && b.getAs[Double]("close") == 20.0)
+    assert(b.getAs[Double]("high") == 30.0 && b.getAs[Double]("low") == 10.0)
+    assert(b.getAs[Long]("volume") == 4L)
+    assert(math.abs(b.getAs[Double]("vwap") - (10 * 2 + 30 + 20.0) / 4) < 1e-12)
+  }
+
+  // --- vertical barrier: reference test_dynamic_labels.py:169 (2h)
+  //     and :207 (3h skip-rows) ---
+  private val barrierTs = Seq(
+    "2024-01-01 00:00:00", "2024-01-01 03:00:00", "2024-01-01 06:00:00",
+    "2024-01-01 09:00:00", "2024-01-01 15:00:00", "2024-01-01 20:00:00",
+    "2024-01-02 01:00:00", "2024-01-03 05:00:00", "2024-01-03 07:00:00",
+    "2024-01-03 09:00:00",
+  )
+
+  private def barrierDf =
+    barrierTs.zipWithIndex
+      .map { case (t, i) => ("A", ts(t), 1.0, 1L, i.toLong) }
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+
+  test("vertical barrier 2h matches reference vector") {
+    val out = Labels.verticalBarrier(barrierDf, "2 hours").orderBy("ts").collect()
+    val expected = Seq(
+      "2024-01-01 03:00:00", "2024-01-01 06:00:00", "2024-01-01 09:00:00",
+      "2024-01-01 15:00:00", "2024-01-01 20:00:00", "2024-01-02 01:00:00",
+      "2024-01-03 05:00:00", "2024-01-03 07:00:00", "2024-01-03 09:00:00", null,
+    )
+    assert(out.map(r => Option(r.getAs[Timestamp]("vertical_barrier")).map(_.toString.stripSuffix(".0")).orNull).toSeq
+      == expected)
+  }
+
+  test("vertical barrier 3h skips rows (reference vector)") {
+    val out = Labels.verticalBarrier(barrierDf, "3 hours").orderBy("ts").collect()
+    val exp = Seq(
+      "2024-01-01 03:00:00", "2024-01-01 06:00:00", "2024-01-01 09:00:00",
+      "2024-01-01 15:00:00", "2024-01-01 20:00:00", "2024-01-02 01:00:00",
+      "2024-01-03 05:00:00", "2024-01-03 09:00:00", null, null,
+    )
+    assert(out.map(r => Option(r.getAs[Timestamp]("vertical_barrier")).map(_.toString.stripSuffix(".0")).orNull).toSeq
+      == exp)
+  }
+
+  // --- daily_vol: reference test_dynamic_labels.py:63 weekend returns ---
+  test("daily_vol span=3 matches reference weekend-returns vector") {
+    val df = barrierTs.zipWithIndex
+      .map { case (t, i) => ("A", ts(t), (i + 1).toDouble, 1L, i.toLong) }
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val out = Labels.dailyVol(df, span = 3).orderBy("ts").collect()
+    val got = out.map(r => Option(r.getAs[Double]("daily_return_volatility")))
+    assert(got.take(6).forall(_.isEmpty))
+    val vals = got.drop(6).map(_.get)
+    val exp = Seq(0.0, 4.141625, 2.668519, 1.792192)
+    vals.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-5, s"$g vs $e") }
+  }
+
+  // --- fixed_time_return: reference test_labels.py:11 ---
+  test("fixed_time_return window=1 matches reference vector") {
+    val df = (1 to 5)
+      .map(i => ("A", ts(f"2024-01-01 00:0$i:00"), i.toDouble, 1L, i.toLong))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val out = Labels.fixedTimeReturn(df, window = 1).orderBy("ts").collect()
+    val got = out.map(r => Option(r.getAs[Double]("fwd_return")))
+    assert(got(0).contains(0.5))
+    assert(math.abs(got(1).get - 1.0 / 3) < 1e-12)
+    assert(got(2).contains(0.25))
+    assert(got(3).isEmpty && got(4).isEmpty)
+  }
+
+  test("classification thresholds map to {-1,0,1} with null passthrough") {
+    val df = Seq(
+      (Some(0.10), 1), (Some(-0.10), -1), (Some(0.01), 0),
+    ).map { case (v, e) => (v, e) }.toDF("v", "expected")
+    val out = df
+      .withColumn("label", Labels.classifyByThreshold(col("v"), Some(lit(0.05))))
+      .collect()
+    out.foreach(r => assert(r.getAs[Int]("label") == r.getAs[Int]("expected")))
+  }
+
+  // --- frac_diff weights: reference frac_diff.rs:7 recurrence ---
+  test("frac_diff weights follow the FFD recurrence") {
+    val w = FracDiff.weights(0.5, 1e-3)
+    assert(w(0) == 1.0 && w(1) == -0.5 && w(2) == -0.125)
+    assert(w.drop(1).forall(math.abs(_) >= 1e-3))
+    // next weight after the last kept one must be below threshold
+    val k = w.length.toDouble
+    assert(math.abs(-w.last / k * (0.5 - k + 1)) < 1e-3)
+  }
+
+  test("frac_diff output equals driver-side dot product") {
+    val prices = Seq(100.0, 101.0, 99.5, 102.0, 103.5, 101.2, 100.8, 104.0)
+    val df = prices.zipWithIndex
+      .map { case (p, i) => ("A", ts(f"2024-01-01 00:0$i:00"), p, 1L, i.toLong) }
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val d = 0.4
+    val thr = 0.1 // few weights for the tiny series
+    val w = FracDiff.weights(d, thr)
+    val out = df
+      .select(
+        col("ts"),
+        FracDiff.fracDiff(col("price"), d, thr, Seq(col("symbol")), Seq(col("ts"))).as("fd"),
+      )
+      .orderBy("ts")
+      .collect()
+      .map(r => Option(r.getAs[Double]("fd")))
+    prices.indices.foreach { i =>
+      if (i < w.length - 1) assert(out(i).isEmpty)
+      else {
+        val exp = w.indices.map(k => w(k) * prices(i - k)).sum
+        assert(math.abs(out(i).get - exp) < 1e-12)
+      }
+    }
+  }
+
+  // --- asof join: generic backward/forward with tolerance ---
+  test("asof backward/forward with by-keys and tolerance") {
+    val left = Seq(("A", 10L), ("A", 25L), ("B", 10L)).toDF("sym", "k")
+    val right = Seq(("A", 8L, 1.0), ("A", 20L, 2.0), ("B", 50L, 3.0))
+      .toDF("sym", "rk", "v")
+    val back = AsofJoin
+      .asof(left, right, "k", "rk", by = Seq("sym"))
+      .orderBy("sym", "k")
+      .collect()
+    assert(back.map(r => Option(r.getAs[Double]("v"))).toSeq == Seq(Some(1.0), Some(2.0), None))
+    val fwd = AsofJoin
+      .asof(left, right, "k", "rk", by = Seq("sym"), direction = AsofJoin.Forward)
+      .orderBy("sym", "k")
+      .collect()
+    assert(fwd.map(r => Option(r.getAs[Double]("v"))).toSeq == Seq(Some(2.0), None, Some(3.0)))
+    val tol = AsofJoin
+      .asof(left, right, "k", "rk", by = Seq("sym"), tolerance = Some(lit(3L)))
+      .orderBy("sym", "k")
+      .collect()
+    assert(tol.map(r => Option(r.getAs[Double]("v"))).toSeq == Seq(Some(1.0), None, None))
+  }
+
+  // --- EWM std against pandas-computed vectors ---
+  test("ewm std matches pandas ewm(span=3).std() vector") {
+    // pandas: s = [1, 2, 4, 8]; s.ewm(span=3, adjust=True).std()
+    // (first obs: pandas NaN, polars/ours 0.0)
+    val df = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex
+      .map { case (v, i) => ("A", i.toLong, v) }
+      .toDF("g", "i", "x")
+    val out = Ewm
+      .stdOverKey(df, Seq("g"), Seq("i"), "x", span = 3, outCol = "s")
+      .orderBy("i")
+      .collect()
+      .map(_.getAs[Double]("s"))
+    val exp = Seq(0.0, 0.7071067811865476, 1.5811388300841898, 3.3273756282434617)
+    out.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+  }
+
+  test("triple barrier labels profit-take, stop-loss and vertical cases") {
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 100.0, 1L),
+      ("A", "2021-01-01 00:10:00", 103.0, 1L), // +3% >= 2% -> pt for event 1
+      ("A", "2021-01-01 00:20:00", 96.0, 1L),  // -6.8% from 103 -> sl for event 2
+      ("A", "2021-01-01 00:30:00", 96.5, 1L),
+    )
+    val out = Labels
+      .tripleBarrier(df, horizon = "1 hours", constTarget = Some(0.02))
+      .orderBy("ts")
+      .collect()
+    assert(out(0).getAs[Int]("label") == 1)  // 100 -> 103 hits +2%
+    assert(out(1).getAs[Int]("label") == -1) // 103 -> 96 hits -2%
+    assert(out(2).getAs[Int]("label") == 0)  // 96 -> 96.5 inside barriers
+  }
+}

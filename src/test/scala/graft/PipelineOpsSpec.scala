@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Specs for the LLM-data-pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "src") }
+      .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups normalized duplicates under the min id") {
+    val d = docs(
+      "Hello  World",
+      "hello world",
+      "something else entirely",
+      "  HELLO WORLD  ",
+    )
+    val out = Dedup.exact(d).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("keep_id")).toSeq == Seq(0L, 0L, 2L, 0L))
+    assert(out.map(_.getAs[Int]("is_dup")).toSeq == Seq(0, 1, 0, 1))
+    assert(out.map(_.getAs[Long]("group_size")).toSeq == Seq(3L, 3L, 1L, 3L))
+  }
+
+  test("minhash LSH finds near-duplicates and scores exact jaccard") {
+    val base =
+      "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single afternoon"
+    val nearDup = base.replace("afternoon", "evening")
+    val other =
+      "completely different content about spark query optimization and distributed shuffle exchanges at petabyte scale"
+    val out = Dedup.minhashLsh(docs(base, nearDup, other), threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 0L && out.head.getAs[Long]("id_b") == 1L)
+    assert(out.head.getAs[Double]("jaccard") > 0.7)
+  }
+
+  test("word-ngram jaccard catches token-level overlap") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta eta iota"
+    val out = Dedup.ngramJaccard(docs(a, b), threshold = 0.3).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("simhash is identical for identical text, differs for different text") {
+    val d = docs("spark shuffles data across executors", "spark shuffles data across executors",
+      "entirely unrelated words here")
+    val out = Dedup.simhashDocs(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("simhash") == out(1).getAs[Long]("simhash"))
+    assert(out(0).getAs[Long]("simhash") != out(2).getAs[Long]("simhash"))
+    assert(out(1).getAs[Int]("is_dup") == 1 && out(2).getAs[Int]("is_dup") == 0)
+    assert(out.forall(r => r.getAs[Long]("simhash") >= 0L)) // stays in 60 bits
+  }
+
+  test("token counts and fingerprint are stable") {
+    val d = docs("Hello,  world! 42 times")
+    val r = d
+      .select(
+        TextAnalysis.tokenCountWs($"text").as("ws"),
+        TextAnalysis.tokenCountBpe($"text").as("bpe"),
+        TextAnalysis.fingerprint($"text").as("fp"),
+      )
+      .head()
+    assert(r.getAs[Int]("ws") == 4)
+    // hello , world ! 42 times
+    assert(r.getAs[Int]("bpe") == 6)
+    assert(r.getAs[String]("fp").length == 32)
+  }
+
+  test("langId picks the profile with the densest stopwords") {
+    val en = docs("the cat and the dog sat on the mat for it is warm")
+    assert(en.select(TextAnalysis.langId($"text")).head().getString(0) == "en")
+    val de = docs("der hund und die katze sind ein team mit dem ball")
+    assert(de.select(TextAnalysis.langId($"text")).head().getString(0) == "de")
+  }
+
+  test("quality score is in [0,1] and rewards stopword-rich text") {
+    val d = docs(
+      "the cat and the dog sat on the mat for it is a warm day in the sun",
+      "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))",
+    )
+    val out = d.select($"doc_id", TextAnalysis.qualityScore($"text").as("q")).orderBy("doc_id").collect()
+    val good = out(0).getAs[Double]("q")
+    val bad = out(1).getAs[Double]("q")
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("brute-force topk: identical vector ranks first with score ~1") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f, 0.0f)), // near-identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vs, nQueries = 1, k = 3).orderBy("rank").collect()
+    assert(out.head.getAs[Long]("neighbor_id") == 1L)
+    assert(out.head.getAs[Double]("score") > 0.999)
+    assert(out.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
+  }
+
+  test("LSH topk achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Similarity
+      .bruteForceTopK(emb, nQueries = 5, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Similarity
+      .lshTopK(emb, nQueries = 5, k = 5, nTables = 6, nPlanes = 3)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("multimodal plumbing: deterministic stub features and frame sampling") {
+    val d = docs("some fake image payload content")
+    val media = Multimodal.attachPayload(d)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.byte_len == 31L)
+    assert(f.magic == "736f6d65") // "some" in hex
+    assert(f.width >= 64 && f.width < 256 && f.height >= 64 && f.height < 256)
+    assert(f.brightness >= 0.0 && f.brightness <= 1.0)
+    // deterministic: run twice, same result
+    assert(Multimodal.decodeFeatures(media).collect().head == f)
+    val frames = Multimodal.sampleFrames(media, stride = 1).collect()
+    assert(frames.length == 31 / 16 + 1)
+  }
+}
