@@ -251,6 +251,14 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** f64-normalized vector (mirrors Similarity.withNormalized). */
+  private def nvSql(v: String): String =
+    s"list_transform($v, x -> CAST(x AS DOUBLE) / sqrt(${dotSql(v, v)}))"
+
+  /** Plain dot of normalized (double) vectors. */
+  private def dotNormSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
   /** Multi-table LSH bucket list with the plane weights inlined as
     * literals (identical by construction to Similarity.planeWeights/
     * lshBuckets: table t uses planes [t*nPlanes, (t+1)*nPlanes)).
@@ -283,7 +291,10 @@ object SparkEntry {
 
   private val minhashSigSql =
     (0 until 16)
-      .map(i => s"list_aggregate(list_transform(sh, s -> md5('$i:' || s)), 'min')")
+      .map { i =>
+        val (a, b) = (Dedup.minhashA(i), Dedup.minhashB(i))
+        s"list_aggregate(list_transform(hsl, h -> ($a * h + $b) % ${Dedup.MinhashP}), 'min')"
+      }
       .mkString("[", ",\n             ", "]")
 
   private val bandsSql =
@@ -295,15 +306,16 @@ object SparkEntry {
     * with columns id, sh).
     */
   private def lshPairsSql(threshold: Double): String =
-    s"""sig AS (SELECT id, $minhashSigSql AS sig FROM sh),
+    s"""hsx AS (SELECT id, list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hsl FROM sh),
+       |sig AS (SELECT id, $minhashSigSql AS sig FROM hsx),
        |bands AS (SELECT id, unnest($bandsSql) AS band FROM sig),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
        |pairs AS (
        |  SELECT id_a, id_b,
-       |         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
-       |         CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
-       |  FROM cand JOIN sh x ON cand.id_a = x.id JOIN sh y ON cand.id_b = y.id)
+       |         CAST(len(list_intersect(x.hsl, y.hsl)) AS DOUBLE) /
+       |         CAST(len(list_distinct(x.hsl || y.hsl)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN hsx x ON cand.id_a = x.id JOIN hsx y ON cand.id_b = y.id)
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -585,12 +597,13 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM tb WHERE vec_id < 10),
          |cand AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
          |         FROM tb e JOIN q ON e.tbl = q.tbl AND e.bucket = q.bucket AND e.vec_id != q.query_id),
+         |nrm AS (SELECT vec_id, ${nvSql("embedding")} AS nv FROM embeddings),
          |scored AS (
          |  SELECT c.query_id, c.neighbor_id,
-         |         ${cosSql("qe.embedding", "ne.embedding")} AS score
+         |         ${dotNormSql("qe.nv", "ne.nv")} AS score
          |  FROM cand c
-         |  JOIN embeddings qe ON qe.vec_id = c.query_id
-         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |  JOIN nrm qe ON qe.vec_id = c.query_id
+         |  JOIN nrm ne ON ne.vec_id = c.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
          |      FROM scored)
          |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10
@@ -603,11 +616,12 @@ object SparkEntry {
          |  FROM embeddings),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |nrm AS (SELECT vec_id, ${nvSql("embedding")} AS nv FROM embeddings),
          |scored AS (
-         |  SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS score
+         |  SELECT id_a, id_b, ${dotNormSql("ea.nv", "eb.nv")} AS score
          |  FROM cand
-         |  JOIN embeddings ea ON ea.vec_id = id_a
-         |  JOIN embeddings eb ON eb.vec_id = id_b)
+         |  JOIN nrm ea ON ea.vec_id = id_a
+         |  JOIN nrm eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_meta" ->

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the shingle→minhash pipeline.
+  *
+  * The HOF formulations (`transform`/`array_min` chains) evaluate an
+  * interpreted lambda per ELEMENT (~µs each — 24M calls at sf0.1).
+  * These evaluate once per ROW with the loop in compiled Scala,
+  * producing bit-identical values (md5 prefix == conv(substring(
+  * md5_hex,1,8),16,10); same (a*h+b) mod P family), so the DuckDB
+  * oracles are unchanged. CodegenFallback is fine here: the md5 work
+  * dominates and per-row (not per-element) interpretation overhead is
+  * negligible.
+  */
+case class ShingleHashExpr(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (s.length >= k) {
+      var i = 0
+      val max = s.length - k
+      while (i <= max) {
+        md.reset()
+        val h = md.digest(s.substring(i, i + k).getBytes("UTF-8"))
+        seen.add(hash32(h))
+        i += 1
+      }
+    } else {
+      md.reset()
+      seen.add(hash32(md.digest(s.getBytes("UTF-8"))))
+    }
+    val arr = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** First 8 md5 hex digits as an unsigned 32-bit value — identical
+    * to conv(substring(md5(s), 1, 8), 16, 10).
+    */
+  private def hash32(digest: Array[Byte]): Long =
+    ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct md5-prefix hashes of an array of strings (same hash32 as
+  * ShingleHashExpr) — for pre-built shingle/ngram string arrays.
+  */
+case class HashStringsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      md.reset()
+      val h = md.digest(arr.getUTF8String(i).getBytes)
+      seen.add(
+        ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      )
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over a pre-hashed shingle array: element i is
+  * min over h of (a_i*h + b_i) mod P (graft.operators.Dedup family).
+  */
+case class MinHashSigExpr(child: Expression, nHashes: Int, p: Long, as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](nHashes)
+    var i = 0
+    while (i < nHashes) {
+      val a = as(i)
+      val b = bs(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (a * hs(j) + b) % p
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
+
+  def shingleHashes(text: Column, k: Int): Column =
+    toColumn(ShingleHashExpr(toExpression(text), k))
+
+  def hashStrings(arr: Column): Column =
+    toColumn(HashStringsExpr(toExpression(arr)))
+
+  def minhashSig(hashed: Column, nHashes: Int, p: Long, as: Seq[Long], bs: Seq[Long]): Column =
+    toColumn(MinHashSigExpr(toExpression(hashed), nHashes, p, as, bs))
+}

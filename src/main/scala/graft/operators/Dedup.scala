@@ -21,20 +21,23 @@ import graft.operators.TextAnalysis.normText
   */
 object Dedup {
 
-  /** Distinct character k-shingles of the normalized text. */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val n = normText(text)
+  /** Distinct character k-shingles over an already-MATERIALIZED
+    * normalized-text column (interpreted HOF lambdas re-evaluate
+    * non-lambda subtrees per element, so `n` must be a stored column,
+    * not an inline normText(...) expression).
+    */
+  def charShingles(n: Column, k: Int = 5): Column =
     when(
       length(n) >= k,
       array_distinct(
         transform(sequence(lit(1), length(n) - lit(k - 1)), i => n.substr(i, lit(k)))
       ),
     ).otherwise(array(n))
-  }
 
-  /** Distinct word n-grams (space-joined) of the normalized text. */
-  def wordNgrams(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Distinct word n-grams over an already-materialized token-array
+    * column (same per-element re-evaluation caveat as charShingles).
+    */
+  def wordNgrams(toks: Column, n: Int = 3): Column =
     when(
       size(toks) >= n,
       array_distinct(
@@ -44,14 +47,31 @@ object Dedup {
         )
       ),
     ).otherwise(array(concat_ws(" ", toks)))
-  }
 
-  /** MinHash signature: per seed, the lexicographic minimum of
-    * md5(seed || shingle). Returns array<string> of length nHashes.
+  /** Linear-hash family parameters for integer minhash:
+    * h_i(x) = (a_i * x + b_i) mod P over the md5-derived 32-bit
+    * shingle hash. One md5 per shingle total (not per hash function)
+    * — 16x cheaper than rehashing strings per seed.
     */
-  def minhashSignature(shingles: Column, nHashes: Int = 16): Column =
+  val MinhashP = 4294967291L // largest prime < 2^32
+  def minhashA(i: Int): Long = 2L * i + 1
+  def minhashB(i: Int): Long = (2654435761L * i) % MinhashP
+
+  /** md5-derived 32-bit integer hash per shingle. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+
+  /** MinHash signature from pre-hashed shingles: per hash function,
+    * the minimum of (a_i * h + b_i) mod P. Returns array<long>.
+    *
+    * IMPORTANT: pass a MATERIALIZED (persisted) hash column — the 16
+    * per-function subtrees each re-evaluate their input expression
+    * (interpreted HOFs get no CSE and CollapseProject re-inlines
+    * aliases), so an inline md5 subtree would be computed 16x.
+    */
+  def minhashSignature(hashedShingles: Column, nHashes: Int = 16): Column =
     array((0 until nHashes).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s))))
+      array_min(transform(hashedShingles, h => (lit(minhashA(i)) * h + lit(minhashB(i))) % MinhashP))
     }: _*)
 
   /** LSH band hashes: md5 over each band's concatenated signature
@@ -80,29 +100,49 @@ object Dedup {
   /** Near-duplicate pairs via shingle→minhash→band→bucket-join, with
     * exact Jaccard verification of the LSH candidates.
     *
-    * @param shingleFn per-doc shingle-set column (char or word grams)
+    * @param shingled pre-hashed docs: columns (id, hsl: array<long>)
     */
   def lshJaccardPairs(
-      docs: DataFrame,
-      shingleFn: Column => Column,
-      idCol: String = "doc_id",
-      textCol: String = "text",
+      shingled: DataFrame,
       nHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
   ): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), shingleFn(col(textCol)).as("sh"))
-    val withBands = base
-      .withColumn("band", explode(bandHashes(minhashSignature(col("sh"), nHashes), nHashes, bands)))
-      .select(col("id"), col("band"))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Persist barriers are load-bearing: the signature and both sides
+    // of the band self-join reuse hsl/sig, which must be stored
+    // columns (interpreted HOFs get no CSE; CollapseProject would
+    // re-inline the subtrees). Materialization is eager (count) so
+    // the self-join sides hit the cache instead of racing to fill it.
+    val base = shingled.persist(MEMORY_AND_DISK)
+    base.count()
+    val sigd = base
+      .select(
+        col("id"),
+        graft.functions.TextExprs
+          .minhashSig(
+            col("hsl"),
+            nHashes,
+            MinhashP,
+            (0 until nHashes).map(minhashA),
+            (0 until nHashes).map(minhashB),
+          )
+          .as("sig"),
+      )
+      .persist(MEMORY_AND_DISK)
+    sigd.count()
+    val withBands = sigd
+      .select(col("id"), explode(bandHashes(col("sig"), nHashes, bands)).as("band"))
     val cand = withBands
       .as("a")
       .join(withBands.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // exact Jaccard over the md5-hashed shingle space (long compares,
+    // not string compares; 2^-32 collision rate, engine-identical)
     cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("hsl").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("hsl").as("sh_b")), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -113,12 +153,42 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs on character 5-shingles. */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    lshJaccardPairs(docs, charShingles(_, 5), threshold = threshold)
+  def minhashLsh(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    lshJaccardPairs(
+      docs.select(
+        col(idCol).as("id"),
+        graft.functions.TextExprs.shingleHashes(normText(col(textCol)), 5).as("hsl"),
+      ),
+      threshold = threshold,
+    )
+  }
 
   /** Word-3-gram Jaccard similarity join (LSH-pruned). */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.3): DataFrame =
-    lshJaccardPairs(docs, wordNgrams(_, 3), threshold = threshold)
+  def ngramJaccard(
+      docs: DataFrame,
+      threshold: Double = 0.3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    // materialize tokens before the per-gram lambda iterates over
+    // them (interpreted HOFs re-evaluate outer subtrees per element)
+    val tokenized = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tokenized.count()
+    lshJaccardPairs(
+      tokenized.select(
+        col("id"),
+        graft.functions.TextExprs.hashStrings(wordNgrams(col("toks"), 3)).as("hsl"),
+      ),
+      threshold = threshold,
+    )
+  }
 
   /** SimHash fingerprint (60-bit, kept positive in a signed 64-bit
     * value for engine portability): per bit j, the majority vote of

