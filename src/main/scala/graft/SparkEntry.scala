@@ -57,6 +57,23 @@ object SparkEntry {
         )
         .orderBy(col("r_name"), col("n_name"))
     },
+    "q3_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val rev = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"), col("c_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("revenue").desc, col("c_custkey"))
+      rev
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_name"), col("revenue"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    },
     "time_bars" -> { (s, dir) =>
       usTs("bar_ts", "ts_start", "ts_end")(
         Bars.timeBars(TradeData.fromEvents(s, dir), "1 hour")
@@ -364,6 +381,20 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q3_topk" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, c_custkey, c_name,
+        |         sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, c_custkey, c_name),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |                                   ORDER BY revenue DESC, c_custkey) AS rnk
+        |      FROM rev)
+        |SELECT c_mktsegment, rnk, c_custkey, c_name, revenue
+        |FROM r WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
     "time_bars" ->
       s"""WITH $T
          |SELECT symbol,
