@@ -130,6 +130,30 @@ object SparkEntry {
           .select(col("symbol"), col("ts"), col("price"), col("lookback_price"), col("return24h"))
       ).orderBy(col("symbol"), col("ts"))
     },
+    "returns_24h_native" -> { (s, dir) =>
+      val t = TradeData.fromEvents(s, dir)
+      val left = t.select(
+        col("symbol"), col("ts"), col("price"),
+        (col("ts") - expr("INTERVAL 24 hours")).as("__lookback"),
+      )
+      val right = t.select(col("symbol"), col("ts").as("__rts"), col("price").as("lookback_price"))
+      usTs("ts")(
+        operators.AsofJoin
+          .asofNative(left, right, "__lookback", "__rts", by = Seq("symbol"))
+          .withColumn("return24h", col("price") / col("lookback_price") - 1)
+          .select(col("symbol"), col("ts"), col("price"), col("lookback_price"), col("return24h"))
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "vertical_barrier_native" -> { (s, dir) =>
+      val t = TradeData.fromEvents(s, dir)
+      val left = t.select(col("symbol"), col("ts"), (col("ts") + expr("INTERVAL 24 hours")).as("__off"))
+      val right = t.select(col("symbol"), col("ts").as("__rts"), col("ts").as("vertical_barrier"))
+      usTs("ts", "vertical_barrier")(
+        operators.AsofJoin
+          .asofNative(left, right, "__off", "__rts", by = Seq("symbol"), direction = operators.AsofJoin.Forward)
+          .select(col("symbol"), col("ts"), col("vertical_barrier"))
+      ).orderBy(col("symbol"), col("ts"))
+    },
     "vertical_barrier" -> { (s, dir) =>
       usTs("ts", "vertical_barrier")(
         Labels.verticalBarrier(TradeData.fromEvents(s, dir), "24 hours")
@@ -482,6 +506,23 @@ object SparkEntry {
          |       l.price / r.price - 1 AS return24h
          |FROM l ASOF LEFT JOIN trades r
          |  ON l.symbol = r.symbol AND l.lb >= r.ts
+         |ORDER BY l.symbol, l.ts""".stripMargin,
+    "returns_24h_native" ->
+      s"""WITH $T,
+         |l AS (SELECT symbol, ts, price, ts - INTERVAL 24 HOUR AS lb FROM trades)
+         |SELECT l.symbol, epoch_us(l.ts) AS ts, l.price,
+         |       r.price AS lookback_price,
+         |       l.price / r.price - 1 AS return24h
+         |FROM l ASOF LEFT JOIN trades r
+         |  ON l.symbol = r.symbol AND l.lb >= r.ts
+         |ORDER BY l.symbol, l.ts""".stripMargin,
+    "vertical_barrier_native" ->
+      s"""WITH $T,
+         |l AS (SELECT symbol, ts, ts + INTERVAL 24 HOUR AS off FROM trades)
+         |SELECT l.symbol, epoch_us(l.ts) AS ts,
+         |       epoch_us(r.ts) AS vertical_barrier
+         |FROM l ASOF LEFT JOIN trades r
+         |  ON l.symbol = r.symbol AND l.off <= r.ts
          |ORDER BY l.symbol, l.ts""".stripMargin,
     "vertical_barrier" ->
       s"""WITH $T,

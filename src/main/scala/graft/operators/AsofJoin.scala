@@ -104,6 +104,57 @@ object AsofJoin {
     withMatch.select(leftOut ++ rightOut: _*)
   }
 
+  /** Native-plan variant: same contract and semantics as [[asof]],
+    * executed by graft.plans.AsofJoinExec — co-partitioned sorted
+    * children + streaming merge scan instead of tag+union+window.
+    * No row duplication, no window buffering, and the exchanges/sorts
+    * are Catalyst-planned requirements (elided when the input is
+    * already partitioned/sorted, e.g. a date/symbol TradeStore).
+    */
+  def asofNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      by: Seq[String] = Nil,
+      direction: Direction = Backward,
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the right side: the analyzer's relation-dedup
+    // never sees this hand-built node, so a self-asof would otherwise
+    // carry identical attribute ids in both children
+    val rPlan = right
+      .select(right.columns.map(n => right(n).as(n)).toSeq: _*)
+      .queryExecution
+      .analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output
+        .find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"column $name not found"))
+    val rightVals = rPlan.output.filterNot(a => by.contains(a.name) || a.name == rightOn)
+    require(
+      rightVals.nonEmpty && rightVals.forall(a => !left.columns.contains(a.name)),
+      s"right value columns ${rightVals.map(_.name).mkString(",")} must be non-empty and not clash with left",
+    )
+    val node = graft.plans.AsofJoinPlan(
+      lPlan,
+      rPlan,
+      by.map(attr(lPlan, _)),
+      by.map(attr(rPlan, _)),
+      attr(lPlan, leftOn),
+      attr(rPlan, rightOn),
+      rightVals,
+      forward = direction == Forward,
+    )
+    ColumnBridge.ofRows(spark, node)
+  }
+
   private def leftStructType(left: DataFrame) =
     org.apache.spark.sql.types.StructType(left.schema.fields)
 

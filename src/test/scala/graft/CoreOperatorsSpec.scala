@@ -206,6 +206,56 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(tol.map(r => Option(r.getAs[Double]("v"))).toSeq == Seq(Some(1.0), None, None))
   }
 
+  test("native asof plan agrees with the window asof on both directions") {
+    // right keys unique: with duplicate (by, key) rows the matched
+    // VALUE is unspecified in both implementations (unstable sort /
+    // arbitrary merge order between equal keys)
+    val left = Seq(("A", 10L, "x"), ("A", 25L, "y"), ("B", 10L, "z"), ("B", 9L, "w"))
+      .toDF("sym", "k", "payload")
+    val right = Seq(("A", 8L, 1.0), ("A", 20L, 2.0), ("A", 21L, 2.5), ("B", 50L, 3.0))
+      .toDF("sym", "rk", "v")
+    for (dir <- Seq(AsofJoin.Backward, AsofJoin.Forward)) {
+      val win = AsofJoin
+        .asof(left, right, "k", "rk", by = Seq("sym"), direction = dir)
+        .orderBy("sym", "k")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.getAs[Double]("v"))))
+      val nat = AsofJoin
+        .asofNative(left, right, "k", "rk", by = Seq("sym"), direction = dir)
+        .orderBy("sym", "k")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.getAs[Double]("v"))))
+      assert(win.toSeq == nat.toSeq, s"direction $dir")
+    }
+    // inclusive semantics: backward at k=25 sees rk=21; forward at
+    // k=10 sees rk=20
+    val back = AsofJoin
+      .asofNative(left, right, "k", "rk", by = Seq("sym"))
+      .where($"sym" === "A" && $"k" === 25L)
+      .head()
+    assert(back.getAs[Double]("v") == 2.5)
+    val fwd = AsofJoin
+      .asofNative(left, right, "k", "rk", by = Seq("sym"), direction = AsofJoin.Forward)
+      .where($"sym" === "A" && $"k" === 10L)
+      .head()
+    assert(fwd.getAs[Double]("v") == 2.0)
+  }
+
+  test("native asof matches window asof on real trade data") {
+    val trades = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val left = trades.select(
+      col("symbol"), col("ts"), col("price"),
+      (col("ts") - expr("INTERVAL 24 hours")).as("lb"),
+    )
+    val right = trades.select(col("symbol"), col("ts").as("rts"), col("price").as("lp"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("symbol", "ts", "lp").orderBy("symbol", "ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2)))).toSeq
+    val win = normalize(AsofJoin.asof(left, right, "lb", "rts", by = Seq("symbol")))
+    val nat = normalize(AsofJoin.asofNative(left, right, "lb", "rts", by = Seq("symbol")))
+    assert(win == nat)
+  }
+
   // --- EWM std against pandas-computed vectors ---
   test("ewm std matches pandas ewm(span=3).std() vector") {
     // pandas: s = [1, 2, 4, 8]; s.ewm(span=3, adjust=True).std()
