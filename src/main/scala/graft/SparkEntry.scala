@@ -57,6 +57,20 @@ object SparkEntry {
         )
         .orderBy(col("r_name"), col("n_name"))
     },
+    "q6_filter" -> { (s, dir) =>
+      // predicate-pushdown showcase: both filters reach the parquet
+      // scan (PushedFilters), only 3 columns are read
+      s.read
+        .parquet(s"$dir/lineitem.parquet")
+        .where(
+          col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24
+        )
+        .agg(
+          sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"),
+        )
+    },
     "q3_topk" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -405,6 +419,11 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+    "q6_filter" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q3_topk" ->
       """WITH rev AS (
         |  SELECT c_mktsegment, c_custkey, c_name,

@@ -76,6 +76,23 @@ object Multimodal {
     media.mapPartitions(it => it.map(decodeKernel))
   }
 
+  /** Resize plumbing: rescales the (stub) decoded dimensions to fit
+    * `maxSide`, preserving aspect ratio — the kernel shape a real
+    * image resize (decode → scale → re-encode) would use, with the
+    * pixel work stubbed.
+    */
+  def resize(media: Dataset[MediaRow], maxSide: Int = 224): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeFeatures(media).map { f =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+      f.copy(
+        width = math.max(1, math.round(f.width * scale).toInt),
+        height = math.max(1, math.round(f.height * scale).toInt),
+      )
+    }
+  }
+
   /** Frame sampling plumbing for "video" payloads: emits every
     * `stride`-th frame index up to a stub frame count derived from
     * payload size (real impl: container demux in the kernel).

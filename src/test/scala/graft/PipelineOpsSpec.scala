@@ -141,5 +141,8 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(media).collect().head == f)
     val frames = Multimodal.sampleFrames(media, stride = 1).collect()
     assert(frames.length == 31 / 16 + 1)
+    val resized = Multimodal.resize(media, maxSide = 100).collect().head
+    assert(math.max(resized.width, resized.height) <= 100)
+    assert(resized.width >= 1 && resized.height >= 1)
   }
 }
