@@ -260,6 +260,11 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     },
+    "ann_ivf_topk" -> { (s, dir) =>
+      Similarity
+        .ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
     "embed_dedup" -> { (s, dir) =>
       Similarity
         .cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3)
@@ -695,6 +700,30 @@ object SparkEntry {
          |  FROM cand c
          |  JOIN nrm qe ON qe.vec_id = c.query_id
          |  JOIN nrm ne ON ne.vec_id = c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS nv FROM embeddings),
+         |cents AS (SELECT id AS cent_id, nv AS cv FROM nv WHERE id < 16),
+         |assign AS (
+         |  SELECT id, nv, cent_id AS cell FROM (
+         |    SELECT nv.id, nv.nv, c.cent_id,
+         |           row_number() OVER (PARTITION BY nv.id
+         |                              ORDER BY ${dotNormSql("nv.nv", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM nv, cents c)
+         |  WHERE r = 1),
+         |qprobe AS (
+         |  SELECT id AS query_id, nv AS qv, cent_id AS cell FROM (
+         |    SELECT nv.id, nv.nv, c.cent_id,
+         |           row_number() OVER (PARTITION BY nv.id
+         |                              ORDER BY ${dotNormSql("nv.nv", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM nv, cents c WHERE nv.id < 10)
+         |  WHERE r <= 4),
+         |scored AS (
+         |  SELECT q.query_id, a.id AS neighbor_id, ${dotNormSql("q.qv", "a.nv")} AS score
+         |  FROM assign a JOIN qprobe q ON a.cell = q.cell AND a.id != q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
          |      FROM scored)
          |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10

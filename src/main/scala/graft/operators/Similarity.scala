@@ -151,6 +151,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to the cell of
+    * their nearest centroid; a query probes its `nProbe` closest
+    * cells and ranks only those candidates. Centroid "training" is
+    * deterministic seed-selection (the first `nCells` vectors) — the
+    * assignment/probe machinery is the real scale path (a k-means
+    * refinement would only change the centroid table). Candidate
+    * fraction ≈ nProbe/nCells of the corpus.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
+      .select(col("id"), col("nv"))
+    val cents = nv.where(col("id") < nCells).select(col("id").as("cent_id"), col("nv").as("cv"))
+    // cell assignment: nearest centroid by cosine (deterministic
+    // tiebreak on centroid id)
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("cs").desc, col("cent_id"))
+    val assigned = nv
+      .join(broadcast(cents), lit(true))
+      .withColumn("cs", dotNorm(col("nv"), col("cv")))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("id"), col("nv"), col("cent_id").as("cell"))
+    // queries probe their nProbe nearest cells
+    val qProbe = nv
+      .where(col("id") < nQueries)
+      .join(broadcast(cents), lit(true))
+      .withColumn("cs", dotNorm(col("nv"), col("cv")))
+      .withColumn("r", row_number().over(Window.partitionBy(col("id")).orderBy(col("cs").desc, col("cent_id"))))
+      .where(col("r") <= nProbe)
+      .select(col("id").as("query_id"), col("nv").as("qv"), col("cent_id").as("cell"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    assigned
+      .join(broadcast(qProbe), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), dotNorm(col("qv"), col("nv")).as("score"))
+      .withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs: sharing an LSH bucket in any
     * table and cosine above `threshold`.
     */

@@ -127,6 +127,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVF topk: full probe equals brute force; partial probe subsets it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bf = Similarity
+      .bruteForceTopK(emb, nQueries = 3, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // probing every cell must recover brute force exactly
+    val full = Similarity
+      .ivfTopK(emb, nQueries = 3, k = 5, nCells = 8, nProbe = 8)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(full == bf)
+    // partial probe returns k results per query from its cells
+    val part = Similarity.ivfTopK(emb, nQueries = 3, k = 5, nCells = 8, nProbe = 2)
+    assert(part.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+  }
+
   test("multimodal plumbing: deterministic stub features and frame sampling") {
     val d = docs("some fake image payload content")
     val media = Multimodal.attachPayload(d)
