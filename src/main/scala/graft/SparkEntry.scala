@@ -187,6 +187,15 @@ object SparkEntry {
         )
       ).orderBy(col("symbol"), col("ts"))
     },
+    "barrier_touches" -> { (s, dir) =>
+      usTs("ts", "t1", "pt_ts", "sl_ts")(
+        Labels.barrierTouches(
+          TradeData.fromEvents(s, dir),
+          horizon = "4 hours",
+          constTarget = Some(0.02),
+        )
+      ).orderBy(col("symbol"), col("ts"))
+    },
     "triple_barrier_vol" -> { (s, dir) =>
       usTs("ts", "t1", "touch_ts")(
         Labels.tripleBarrier(
@@ -594,6 +603,25 @@ object SparkEntry {
          |                 WHEN sl_first THEN -1
          |                 ELSE 0 END AS INTEGER) AS label
          |FROM lab
+         |ORDER BY symbol, ts""".stripMargin,
+    "barrier_touches" ->
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT t.symbol, t.ts, t.price, 0.02 AS trgt,
+         |         least(t.ts + INTERVAL 4 HOUR, m.last_ts) AS t1
+         |  FROM trades t
+         |  JOIN (SELECT symbol, max(ts) AS last_ts FROM trades GROUP BY symbol) m
+         |    USING (symbol)),
+         |touch AS (
+         |  SELECT e.symbol, e.ts, e.price, e.trgt, e.t1,
+         |         p.ts AS u, p.price / e.price - 1 AS ret
+         |  FROM ev e
+         |  JOIN trades p ON e.symbol = p.symbol AND p.ts > e.ts AND p.ts <= e.t1)
+         |SELECT symbol, epoch_us(ts) AS ts, trgt, epoch_us(t1) AS t1,
+         |       epoch_us(min(CASE WHEN ret >= trgt THEN u END)) AS pt_ts,
+         |       epoch_us(min(CASE WHEN ret <= -trgt THEN u END)) AS sl_ts
+         |FROM touch
+         |GROUP BY symbol, ts, price, trgt, t1
          |ORDER BY symbol, ts""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,

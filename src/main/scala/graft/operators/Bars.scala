@@ -169,17 +169,20 @@ object Bars {
   def dollarBars(
       df: DataFrame,
       barSize: Double = 1000000.0,
+      splitByDate: Boolean = true,
       c: TradingCols = TradingCols.default,
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val barCents = math.round(barSize * 100)
+    // splitByDate=false: one carry scan per symbol across all days
+    val dateExpr = if (splitByDate) to_date(col(c.ts)) else to_date(lit("1970-01-01"))
 
     val sorted = df.na
       .drop(Seq(c.price))
       .select(
         col(c.symbol).cast("string").as("symbol"),
-        to_date(col(c.ts)).as("date"),
+        dateExpr.as("date"),
         col(c.ts).as("ts"),
         col(c.price).cast("double").as("price"),
         col(c.size).cast("long").as("size"),

@@ -143,6 +143,25 @@ object Labels {
       .select(col(c.symbol), col(c.ts), col("vertical_barrier"))
   }
 
+  /** Barrier touch timestamps per event (the reference's intended
+    * `apply_profit_taking_stop_loss` / AFML `apply_pt_sl_on_t1`,
+    * _testing/labels.py:27): for each tick, the earliest path tick
+    * whose return crosses +pt / -sl within the horizon, plus the
+    * capped vertical barrier. tripleBarrier derives its label from
+    * exactly these.
+    */
+  def barrierTouches(
+      df: DataFrame,
+      horizon: String = "24 hours",
+      ptMult: Double = 1.0,
+      slMult: Double = 1.0,
+      constTarget: Option[Double] = None,
+      volSpan: Int = 100,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame =
+    tripleBarrierCore(df, horizon, ptMult, slMult, volSpan, constTarget, c)
+      .select(col(c.symbol), col(c.ts), col("trgt"), col("t1"), col("pt_ts"), col("sl_ts"))
+
   /** Triple-barrier label (AFML pg.45; completes the reference's
     * stub). For each event (tick) with volatility target `trgt`:
     *  - upper barrier: +ptMult * trgt, lower: -slMult * trgt on the
@@ -168,6 +187,37 @@ object Labels {
       constTarget: Option[Double] = None,
       signOnVertical: Boolean = false,
       c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val agg = tripleBarrierCore(df, horizon, ptMult, slMult, volSpan, constTarget, c)
+    val ptFirst = col("pt_ts").isNotNull && (col("sl_ts").isNull || col("pt_ts") <= col("sl_ts"))
+    val slFirst = col("sl_ts").isNotNull && !ptFirst
+    val verticalLabel =
+      if (signOnVertical) signum(col("__v_ret")).cast("int") else lit(0)
+    agg
+      .withColumn("touch_ts", when(ptFirst, col("pt_ts")).when(slFirst, col("sl_ts")).otherwise(col("t1")))
+      .withColumn(
+        "touch_return",
+        when(ptFirst, col("__pt_ret")).when(slFirst, col("__sl_ret")).otherwise(col("__v_ret")),
+      )
+      .withColumn("label", when(ptFirst, 1).when(slFirst, -1).otherwise(verticalLabel).cast("int"))
+      .select(
+        col(c.symbol), col(c.ts), col("trgt"), col("t1"),
+        col("touch_ts"), col("touch_return"), col("label"),
+      )
+  }
+
+  /** Shared event×path crossing aggregation behind barrierTouches and
+    * tripleBarrier: per event, the earliest pt/sl crossing ticks and
+    * realized returns plus the vertical-barrier return.
+    */
+  private def tripleBarrierCore(
+      df: DataFrame,
+      horizon: String,
+      ptMult: Double,
+      slMult: Double,
+      volSpan: Int,
+      constTarget: Option[Double],
+      c: TradingCols,
   ): DataFrame = {
     val horizonMicros = {
       val parts = horizon.split("\\s+")
@@ -231,7 +281,7 @@ object Labels {
     // min_by / arg_min skip rows with null ordering in both Spark and
     // DuckDB, so the CASE-guarded orderings select the earliest
     // crossing tick (and its realized return) directly.
-    val agg = touches
+    touches
       .groupBy(col(c.symbol), col(c.ts), col(c.price), col("trgt"), col("t1"))
       .agg(
         min(col("__pt_u")).as("pt_ts"),
@@ -239,21 +289,6 @@ object Labels {
         min_by(col("__ret"), col("__pt_u")).as("__pt_ret"),
         min_by(col("__ret"), col("__sl_u")).as("__sl_ret"),
         max_by(col("__ret"), col("__u")).as("__v_ret"),
-      )
-    val ptFirst = col("pt_ts").isNotNull && (col("sl_ts").isNull || col("pt_ts") <= col("sl_ts"))
-    val slFirst = col("sl_ts").isNotNull && !ptFirst
-    val verticalLabel =
-      if (signOnVertical) signum(col("__v_ret")).cast("int") else lit(0)
-    agg
-      .withColumn("touch_ts", when(ptFirst, col("pt_ts")).when(slFirst, col("sl_ts")).otherwise(col("t1")))
-      .withColumn(
-        "touch_return",
-        when(ptFirst, col("__pt_ret")).when(slFirst, col("__sl_ret")).otherwise(col("__v_ret")),
-      )
-      .withColumn("label", when(ptFirst, 1).when(slFirst, -1).otherwise(verticalLabel).cast("int"))
-      .select(
-        col(c.symbol), col(c.ts), col("trgt"), col("t1"),
-        col("touch_ts"), col("touch_return"), col("label"),
       )
   }
 }
