@@ -103,8 +103,12 @@ object Labels {
       span: Int = 100,
       c: TradingCols = TradingCols.default,
   ): DataFrame = {
-    val rets = returns24h(df, "24 hours", c)
-    Ewm
+    // single-security parity (reference dynamic_labels.py:45): a frame
+    // without the symbol column is treated as one instrument
+    val hasSymbol = df.columns.contains(c.symbol)
+    val withSym = if (hasSymbol) df else df.withColumn(c.symbol, lit("__single"))
+    val rets = returns24h(withSym, "24 hours", c)
+    val vol = Ewm
       .stdOverKey(
         rets,
         keyCols = Seq(c.symbol),
@@ -114,6 +118,7 @@ object Labels {
         outCol = "daily_return_volatility",
       )
       .select(col(c.symbol), col(c.ts), col("daily_return_volatility"))
+    if (hasSymbol) vol else vol.drop(c.symbol)
   }
 
   /** Vertical barrier (dynamic_labels.py:89): first observed

@@ -57,6 +57,49 @@ class ApiSpec extends SparkSpec {
     assert(viaSql.length == 2)
   }
 
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("native expressions equal their HOF formulations") {
+    import graft.functions.{TextExprs, VectorExprs}
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    // shingle hashing: native vs charShingles+shingleHashes HOFs
+    val normed = docs
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("n"))
+      .persist()
+    normed.count()
+    val cmp = normed
+      .select(
+        col("doc_id"),
+        array_sort(TextExprs.shingleHashes(col("n"), 5)).as("native"),
+        array_sort(array_distinct(Dedup.shingleHashes(Dedup.charShingles(col("n"), 5)))).as("hof"),
+      )
+      .where(col("native") =!= col("hof"))
+    assert(cmp.count() == 0)
+    normed.unpersist()
+    // dot product: native vs aggregate/zip_with
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v,
+    )
+    val dcmp = emb
+      .select(VectorExprs.dotNative(col("embedding"), col("embedding")).as("n"), hofDot.as("h"))
+      .where(col("n") =!= col("h"))
+    assert(dcmp.count() == 0)
+  }
+
+  test("dailyVol handles single-security frames without a symbol column") {
+    import graft.operators.Labels
+    val df = graft.sources.TradeData.synthetic(spark, 300, 1).drop("symbol")
+    val out = Labels.dailyVol(df, span = 5)
+    assert(!out.columns.contains("symbol"))
+    assert(out.count() == 300)
+  }
+
   test("trade store partitions by date/symbol and prunes on read") {
     val dir = Files.createTempDirectory("graft-store").toString
     val trades = TradeData.synthetic(spark, 2000, 3)
