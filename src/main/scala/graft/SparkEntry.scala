@@ -449,7 +449,7 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
         |                                   ORDER BY revenue DESC, c_custkey) AS rnk
         |      FROM rev)
-        |SELECT c_mktsegment, rnk, c_custkey, c_name, revenue
+        |SELECT c_mktsegment, CAST(rnk AS INTEGER) AS rnk, c_custkey, c_name, revenue
         |FROM r WHERE rnk <= 5
         |ORDER BY c_mktsegment, rnk""".stripMargin,
     "time_bars" ->
@@ -568,7 +568,7 @@ object SparkEntry {
     "triple_barrier" ->
       s"""WITH $T,
          |ev AS (
-         |  SELECT t.symbol, t.ts, t.price, 0.02 AS trgt,
+         |  SELECT t.symbol, t.ts, t.price, CAST(0.02 AS DOUBLE) AS trgt,
          |         least(t.ts + INTERVAL 4 HOUR, m.last_ts) AS t1
          |  FROM trades t
          |  JOIN (SELECT symbol, max(ts) AS last_ts FROM trades GROUP BY symbol) m
@@ -607,7 +607,7 @@ object SparkEntry {
     "barrier_touches" ->
       s"""WITH $T,
          |ev AS (
-         |  SELECT t.symbol, t.ts, t.price, 0.02 AS trgt,
+         |  SELECT t.symbol, t.ts, t.price, CAST(0.02 AS DOUBLE) AS trgt,
          |         least(t.ts + INTERVAL 4 HOUR, m.last_ts) AS t1
          |  FROM trades t
          |  JOIN (SELECT symbol, max(ts) AS last_ts FROM trades GROUP BY symbol) m
@@ -710,7 +710,7 @@ object SparkEntry {
          |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
          |      FROM scored)
-         |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH tb AS (
@@ -730,7 +730,7 @@ object SparkEntry {
          |  JOIN nrm ne ON ne.vec_id = c.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
          |      FROM scored)
-         |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS nv FROM embeddings),
@@ -754,7 +754,7 @@ object SparkEntry {
          |  FROM assign a JOIN qprobe q ON a.cell = q.cell AND a.id != q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
          |      FROM scored)
-         |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
     "embed_dedup" ->
       s"""WITH tb AS (
