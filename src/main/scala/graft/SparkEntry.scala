@@ -252,6 +252,20 @@ object SparkEntry {
         .ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "rolling_features" -> { (s, dir) =>
+      usTs("ts")(
+        operators.Rolling
+          .features(TradeData.fromEvents(s, dir), "1 hour")
+          .select(
+            col("symbol"), col("ts"), col("price"),
+            col("rolling_vwap"), col("rolling_mean_price"),
+            col("rolling_min"), col("rolling_max"), col("rolling_n"),
+          )
+      ).orderBy(col("symbol"), col("ts"))
+    },
+    "simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6)
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup
         .simhashDocs(s.read.parquet(s"$dir/documents.parquet"))
@@ -693,6 +707,35 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
          |sh AS (SELECT id, $wordNgramsSql AS sh FROM d),
          |${lshPairsSql(0.3)}""".stripMargin,
+    "rolling_features" ->
+      s"""WITH $T
+         |SELECT symbol, epoch_us(ts) AS ts, price,
+         |       sum(price * size) OVER w / sum(size) OVER w AS rolling_vwap,
+         |       avg(price) OVER w AS rolling_mean_price,
+         |       min(price) OVER w AS rolling_min,
+         |       max(price) OVER w AS rolling_max,
+         |       CAST(count(*) OVER w AS BIGINT) AS rolling_n
+         |FROM trades
+         |WINDOW w AS (PARTITION BY symbol ORDER BY epoch_us(ts)
+         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, ts""".stripMargin,
+    "simhash_pairs" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),
+         |s AS (SELECT doc_id AS id, $simhashVotesSql AS simhash FROM h),
+         |bands AS (
+         |  SELECT id, simhash,
+         |         unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+         |                 (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS band,
+         |         unnest([0, 1, 2, 3]) AS bidx
+         |  FROM s),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |  FROM bands a JOIN bands b
+         |    ON a.bidx = b.bidx AND a.band = b.band AND a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),

@@ -221,6 +221,46 @@ object Dedup {
     bitCols.reduceLeft(_ + _)
   }
 
+  /** SimHash near-duplicate pairs: 4 bands of 15 bits — by
+    * pigeonhole, any pair with hamming distance <= 3 shares at least
+    * one band, so recall is exact at maxHamming=3; verification is
+    * bit_count(xor) (native in both Spark and DuckDB).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val sims = docs
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sims.count()
+    // (bidx, band) pairs: the band index disambiguates equal band
+    // values at different bit positions
+    val bandStructs = sims.select(
+      col("id"),
+      col("simhash"),
+      posexplode(
+        array((0 until 4).map(j => shiftright(col("simhash"), 15 * j).bitwiseAND(lit(32767L))): _*)
+      ).as(Seq("bidx", "band")),
+    )
+    bandStructs
+      .as("a")
+      .join(
+        bandStructs.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.band") === col("b.band") && col("a.id") < col("b.id"),
+      )
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"),
+      )
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-doc simhash with exact-bucket duplicate grouping. */
   def simhashDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("simhash"))

@@ -259,27 +259,18 @@ object Labels {
       )
       .drop("__last_ts")
 
-    // bucketed range join: event buckets [ts..t1] x path tick bucket
-    val evB = events.withColumn(
-      "__b",
-      explode(
-        sequence(
-          expr(s"unix_micros(${c.ts}) div ${horizonMicros}L"),
-          expr(s"unix_micros(t1) div ${horizonMicros}L"),
-        )
-      ),
-    )
-    val path = df
-      .select(
-        col(c.symbol),
-        col(c.ts).as("__u"),
-        col(c.price).as("__pu"),
+    // bucketed range join: event intervals [ts..t1] x path ticks
+    val path = df.select(col(c.symbol), col(c.ts).as("__u"), col(c.price).as("__pu"))
+    val touches = RangeJoin
+      .intervalJoin(
+        events,
+        path,
+        by = Seq(c.symbol),
+        startCol = c.ts,
+        endCol = "t1",
+        pointCol = "__u",
+        bucketMicros = horizonMicros,
       )
-      .withColumn("__b", expr(s"unix_micros(__u) div ${horizonMicros}L"))
-
-    val touches = evB
-      .join(path, Seq(c.symbol, "__b"))
-      .where(col("__u") > col(c.ts) && col("__u") <= col("t1"))
       .withColumn("__ret", col("__pu") / col(c.price) - 1)
       .withColumn("__pt_u", when(col("__ret") >= col("trgt") * ptMult, col("__u")))
       .withColumn("__sl_u", when(col("__ret") <= -col("trgt") * slMult, col("__u")))

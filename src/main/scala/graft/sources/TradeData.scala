@@ -52,6 +52,15 @@ object TradeData {
       |  FROM events WHERE value IS NOT NULL
       |)""".stripMargin
 
+  /** CSV trade source (another wire format for the same trades view;
+    * header row, ISO timestamps). Columns: symbol,ts,price,size,trade_id.
+    */
+  def fromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema("symbol STRING, ts TIMESTAMP, price DOUBLE, size LONG, trade_id LONG")
+      .csv(path)
+
   /** Deterministic synthetic trade generator (counterpart of the
     * reference's `generate_trade_data`): nRows ticks across
     * nSymbols, seeded — used by ScalaTests, never by the oracle

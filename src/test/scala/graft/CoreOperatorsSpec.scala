@@ -256,6 +256,52 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(win == nat)
   }
 
+  test("range join pairs points within intervals only") {
+    import graft.operators.RangeJoin
+    val left = Seq(
+      ("A", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 1L),
+      ("A", ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00"), 2L),
+    ).toDF("sym", "start", "end", "iv")
+    val right = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 10.0), // == start: excluded
+      ("A", ts("2024-01-01 01:30:00"), 20.0),
+      ("A", ts("2024-01-01 02:00:00"), 30.0), // == end: included
+      ("A", ts("2024-01-01 03:00:00"), 40.0), // in no interval
+      ("B", ts("2024-01-01 01:00:00"), 50.0), // wrong key
+    ).toDF("sym", "p", "v")
+    val out = RangeJoin
+      .intervalJoin(left, right, Seq("sym"), "start", "end", "p", bucketMicros = 3600000000L)
+      .select("iv", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet
+    assert(out == Set((1L, 20.0), (1L, 30.0)))
+  }
+
+  test("rolling features match a hand computation") {
+    import graft.operators.Rolling
+    val df = trades(
+      ("A", "2024-01-01 10:00:00", 10.0, 1L),
+      ("A", "2024-01-01 10:30:00", 20.0, 3L),
+      ("A", "2024-01-01 11:15:00", 30.0, 1L), // 10:00 tick now outside 1h window
+    )
+    val out = Rolling.features(df, "1 hour").orderBy("ts").collect()
+    assert(out(1).getAs[Double]("rolling_vwap") == (10.0 + 60.0) / 4)
+    assert(out(1).getAs[Long]("rolling_n") == 2)
+    assert(out(2).getAs[Long]("rolling_n") == 2) // 10:30 and 11:15
+    assert(out(2).getAs[Double]("rolling_min") == 20.0)
+  }
+
+  test("csv trade source round-trips the synthetic generator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val t = graft.sources.TradeData.synthetic(spark, 100, 2)
+    t.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = graft.sources.TradeData.fromCsv(spark, dir)
+    assert(back.count() == 100)
+    assert(back.agg(sum("size")).head.getLong(0) == t.agg(sum("size")).head.getLong(0))
+    assert(back.schema("ts").dataType.typeName == "timestamp")
+  }
+
   // --- EWM std against pandas-computed vectors ---
   test("ewm std matches pandas ewm(span=3).std() vector") {
     // pandas: s = [1, 2, 4, 8]; s.ewm(span=3, adjust=True).std()

@@ -148,6 +148,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(part.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("simhash pairs find exact duplicates with hamming 0") {
+    val d = docs(
+      "spark shuffles data across many executors today",
+      "spark shuffles data across many executors today",
+      "entirely different words in this one here now",
+    )
+    val out = Dedup.simhashPairs(d, maxHamming = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("id_a") == 0L && out.head.getAs[Long]("id_b") == 1L)
+    assert(out.head.getAs[Int]("hamming") == 0)
+  }
+
   test("multimodal plumbing: deterministic stub features and frame sampling") {
     val d = docs("some fake image payload content")
     val media = Multimodal.attachPayload(d)
