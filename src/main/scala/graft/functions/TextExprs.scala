@@ -119,6 +119,46 @@ case class MinHashSigExpr(child: Expression, nHashes: Int, p: Long, as: Seq[Long
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** SimHash fingerprint over a token array: per bit j, the majority
+  * vote of bit (j%4) of md5-hex-nibble (j/4) across all (duplicate-
+  * counted) tokens. Bit-identical to the HOF/DuckDB formulation
+  * (md5 hex digit p = high/low nibble of digest byte p/2).
+  */
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < bits) {
+        val hexPos = j / 4 // 0-based hex digit index
+        val b = d(hexPos / 2) & 0xff
+        val nibble = if (hexPos % 2 == 0) b >> 4 else b & 0xf
+        if (((nibble >> (j % 4)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
@@ -127,6 +167,9 @@ object TextExprs {
 
   def hashStrings(arr: Column): Column =
     toColumn(HashStringsExpr(toExpression(arr)))
+
+  def simhash(tokens: Column, bits: Int): Column =
+    toColumn(SimHashExpr(toExpression(tokens), bits))
 
   def minhashSig(hashed: Column, nHashes: Int, p: Long, as: Seq[Long], bs: Seq[Long]): Column =
     toColumn(MinHashSigExpr(toExpression(hashed), nHashes, p, as, bs))

@@ -193,12 +193,20 @@ object Dedup {
   /** SimHash fingerprint (60-bit, kept positive in a signed 64-bit
     * value for engine portability): per bit j, the majority vote of
     * bit j of md5(token) over all (duplicate-counted) tokens.
-    *
-    * Per-row expression with one md5 per token; at petabyte scale
-    * this would become a single custom Catalyst Expression computing
-    * all 60 votes in one pass over the tokens (see SURVEY §4).
+    * Native single-pass expression (graft.functions.SimHashExpr);
+    * [[simhashHof]] is the bit-identical HOF formulation the DuckDB
+    * oracle mirrors (equality pinned in ApiSpec).
     */
-  def simhash(text: Column, bits: Int = 60): Column = {
+  def simhash(text: Column, bits: Int = 60): Column =
+    graft.functions.TextExprs.simhash(
+      filter(TextAnalysis.tokens(text), t => t =!= ""),
+      bits,
+    )
+
+  /** Interpreted HOF formulation of [[simhash]] (reference/oracle
+    * semantics; ~60x slower — each vote re-evaluates its input).
+    */
+  def simhashHof(text: Column, bits: Int = 60): Column = {
     val hashes = transform(
       filter(TextAnalysis.tokens(text), t => t =!= ""),
       t => md5(t),

@@ -79,6 +79,14 @@ class ApiSpec extends SparkSpec {
       .where(col("native") =!= col("hof"))
     assert(cmp.count() == 0)
     normed.unpersist()
+    // simhash: native single-pass vs 60 HOF votes
+    val scmp = docs
+      .select(
+        Dedup.simhash(col("text")).as("native"),
+        Dedup.simhashHof(col("text")).as("hof"),
+      )
+      .where(col("native") =!= col("hof"))
+    assert(scmp.count() == 0)
     // dot product: native vs aggregate/zip_with
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(20)
     val hofDot = aggregate(
