@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.AsofJoin
+import graft.sources.TradeData
+
+/** Physical-plan invariants: these are the scale properties SURVEY §6
+  * claims — pinned so a regression (lost pushdown, extra shuffle,
+  * missed broadcast) fails CI rather than silently costing 10x at
+  * cluster scale.
+  */
+class ExplainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6 pushes both filters to the parquet scan") {
+    val p = plan("q6_filter")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_discount") || p.contains("LessThan(l_quantity"))
+  }
+
+  test("q5 broadcasts every dimension join") {
+    val p = plan("q5_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension joins must not shuffle lineitem")
+  }
+
+  test("window asof shuffles exactly once on the by-key") {
+    val p = plan("returns_24h")
+    val exchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected a single symbol exchange (x2 plan occurrences), got:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("native asof plans AsofJoinExec with planned exchanges") {
+    val trades = TradeData.fromEvents(spark, dir)
+    val left = trades.select($"symbol", $"ts", $"price")
+    import org.apache.spark.sql.functions._
+    val right = trades.select($"symbol", col("ts").as("rts"), col("price").as("rp"))
+    val df = AsofJoin.asofNative(left.withColumnRenamed("price", "lp"), right, "ts", "rts", by = Seq("symbol"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"))
+  }
+
+  test("ann topk applies WindowGroupLimit pushdown") {
+    val p = plan("ann_topk")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("bars aggregate with a partial (map-side) phase") {
+    val p = plan("time_bars")
+    assert(p.contains("partial_"))
+  }
+
+}
