@@ -108,6 +108,14 @@ object SparkEntry {
         Bars.dollarBars(TradeData.fromEvents(s, dir), barSize = 50000.0)
       )
     },
+    "imbalance_bars" -> { (s, dir) =>
+      // rows-only: adaptive sequential thresholds are not
+      // SQL-expressible; semantics pinned in CoreOperatorsSpec
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars
+          .tickImbalanceBars(TradeData.fromEvents(s, dir), initTicks = 50.0)
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
     "fixed_time_return" -> { (s, dir) =>
       usTs("ts")(
         Labels.fixedTimeReturn(TradeData.fromEvents(s, dir), window = 5)

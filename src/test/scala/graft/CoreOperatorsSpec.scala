@@ -256,6 +256,30 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(win == nat)
   }
 
+  test("tick imbalance bars close on one-sided runs and conserve volume") {
+    import graft.operators.ImbalanceBars
+    // monotone up-run: every tick has sign +1, so with initTicks=4,
+    // initImbalance=1 the threshold is 4 and bars close every 4 ticks
+    val df = trades((0 until 12).map { i =>
+      ("A", f"2024-01-01 00:${i}%02d:00", 100.0 + i, 10L)
+    }: _*)
+    val out = ImbalanceBars
+      .tickImbalanceBars(df, initTicks = 4, initImbalance = 1.0, alpha = 0.0001)
+      .orderBy("ts_start")
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getAs[Long]("n_trades") == 4 && r.getAs[Long]("theta") == 4))
+    assert(out.map(_.getAs[Long]("volume")).sum == 120L)
+    // adaptive: mixed signs accumulate |theta| slower -> fewer closes
+    val mixed = trades((0 until 12).map { i =>
+      ("A", f"2024-01-01 00:${i}%02d:00", if (i % 2 == 0) 100.0 else 101.0, 10L)
+    }: _*)
+    val mixedBars = ImbalanceBars
+      .tickImbalanceBars(mixed, initTicks = 4, initImbalance = 1.0, alpha = 0.0001)
+      .collect()
+    assert(mixedBars.length < 3)
+  }
+
   test("range join pairs points within intervals only") {
     import graft.operators.RangeJoin
     val left = Seq(
