@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Honesty contract (round-2 fix): each query is fully materialized
+  * through the noop sink — every output column is evaluated, so a
+  * query that would abort on real data cannot hide behind a pruned
+  * `count()`. Failures are recorded per query (`ok:false`, elapsed =
+  * time-to-failure) and the process exits non-zero if any query fails.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,13 +25,28 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          // noop sink evaluates every column of every row
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE in $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, (_, ok)) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val nFail = results.count { case (_, (_, ok)) => !ok }
+    val total = results.map { case (_, (v, _)) => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFail,"sf":"$sfDir"}"""
+    )
     spark.stop()
+    if (nFail > 0) sys.exit(1)
   }
 }

@@ -162,7 +162,7 @@ object SparkEntry {
       usTs("ts")(
         operators.AsofJoin
           .asofNative(left, right, "__lookback", "__rts", by = Seq("symbol"))
-          .withColumn("return24h", col("price") / col("lookback_price") - 1)
+          .withColumn("return24h", col("price") / nullif(col("lookback_price"), lit(0)) - 1)
           .select(col("symbol"), col("ts"), col("price"), col("lookback_price"), col("return24h"))
       ).orderBy(col("symbol"), col("ts"))
     },

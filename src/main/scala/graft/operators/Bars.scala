@@ -207,21 +207,28 @@ object Bars {
           def emit(units: Long): Unit =
             if (units > 0)
               out += DollarPiece(sym, date, ts, price, units, tradeId, barId)
-          // units needed to push carry to >= barCents
-          val k1 = (barCents - carry + pc - 1) / pc
-          if (size < k1) {
-            emit(size)
-            carry += size * pc
-          } else {
-            emit(k1)
-            barId += 1; carry = 0L
-            val rem = size - k1
-            val k2 = (barCents + pc - 1) / pc // units per full bar at this price
-            val nFull = rem / k2
-            var i = 0L
-            while (i < nFull) { emit(k2); barId += 1; i += 1 }
-            val r = rem % k2
-            if (r > 0) { emit(r); carry = r * pc }
+          // degenerate-price policy: a tick whose price rounds to
+          // zero cents contributes no dollar value — it can never
+          // close a bar, so it is skipped (carry unchanged) instead
+          // of dividing by zero. The canonical trades view filters
+          // these upstream; this is the operator-level guard.
+          if (pc > 0L) {
+            // units needed to push carry to >= barCents
+            val k1 = (barCents - carry + pc - 1) / pc
+            if (size < k1) {
+              emit(size)
+              carry += size * pc
+            } else {
+              emit(k1)
+              barId += 1; carry = 0L
+              val rem = size - k1
+              val k2 = (barCents + pc - 1) / pc // units per full bar at this price
+              val nFull = rem / k2
+              var i = 0L
+              while (i < nFull) { emit(k2); barId += 1; i += 1 }
+              val r = rem % k2
+              if (r > 0) { emit(r); carry = r * pc }
+            }
           }
           out
         }

@@ -20,6 +20,15 @@ import graft.functions.Ewm
   */
 object Labels {
 
+  /** Division with null (not ANSI abort / inf) on a zero denominator.
+    * Degenerate-price policy: the canonical trades view already drops
+    * zero-price ticks, but the operators must not abort a 100 TB job
+    * if one slips through — a return against a zero price is undefined
+    * and propagates as null, same as an incomplete forward window.
+    */
+  private[graft] def safeDiv(num: Column, den: Column): Column =
+    num / nullif(den, lit(0))
+
   /** Forward return: price[t+offset+window] / price[t+offset] - 1
     * per symbol in time order (labels.py:96).
     */
@@ -33,7 +42,7 @@ object Labels {
     val w = Window.partitionBy(col(c.symbol)).orderBy(col(c.ts), col(c.tradeId))
     df.withColumn(
       outCol,
-      lead(col(c.price), offset + window).over(w) / lead(col(c.price), offset).over(w) - 1,
+      safeDiv(lead(col(c.price), offset + window).over(w), lead(col(c.price), offset).over(w)) - 1,
     )
   }
 
@@ -90,7 +99,7 @@ object Labels {
     )
     AsofJoin
       .asof(left, right, leftOn = "__lookback", rightOn = "__rts", by = Seq(c.symbol))
-      .withColumn("return24h", col(c.price) / col("lookback_price") - 1)
+      .withColumn("return24h", safeDiv(col(c.price), col("lookback_price")) - 1)
       .drop("__lookback")
   }
 
@@ -271,7 +280,7 @@ object Labels {
         pointCol = "__u",
         bucketMicros = horizonMicros,
       )
-      .withColumn("__ret", col("__pu") / col(c.price) - 1)
+      .withColumn("__ret", safeDiv(col("__pu"), col(c.price)) - 1)
       .withColumn("__pt_u", when(col("__ret") >= col("trgt") * ptMult, col("__u")))
       .withColumn("__sl_u", when(col("__ret") <= -col("trgt") * slMult, col("__u")))
     // min_by / arg_min skip rows with null ordering in both Spark and

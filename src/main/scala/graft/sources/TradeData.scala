@@ -29,9 +29,15 @@ object TradeData {
     // via nanosAsLong; truncate to micros (what DuckDB's ts::TIMESTAMP
     // cast does too) and rebuild a proper timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Zero-price ticks are dropped at the source: a price of exactly 0
+    // is not a trade, and every downstream return/label/dollar-bar
+    // operator divides by price (Spark 4 ANSI mode aborts the job on
+    // 0-division; the reference's pandas oracle silently produces inf).
+    // The oracle CTE below applies the identical predicate so both
+    // engines see the same tick stream.
     spark.read
       .parquet(s"$sfDir/events.parquet")
-      .where(col("value").isNotNull)
+      .where(col("value").isNotNull && col("value") =!= 0)
       .select(
         col("event_type").as(c.symbol),
         timestamp_micros(expr("ts div 1000")).as(c.ts),
@@ -49,7 +55,7 @@ object TradeData {
       |         value AS price,
       |         (event_id % 97 + 1) AS size,
       |         event_id AS trade_id
-      |  FROM events WHERE value IS NOT NULL
+      |  FROM events WHERE value IS NOT NULL AND value <> 0
       |)""".stripMargin
 
   /** CSV trade source (another wire format for the same trades view;

@@ -357,4 +357,32 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out(1).getAs[Int]("label") == -1) // 103 -> 96 hits -2%
     assert(out(2).getAs[Int]("label") == 0)  // 96 -> 96.5 inside barriers
   }
+
+  // --- degenerate-price policy: operators must not abort on a zero
+  // price (Spark 4 ANSI mode would raise DIVIDE_BY_ZERO); returns
+  // against a zero price propagate null, zero-cent ticks contribute
+  // no dollar value ---
+  test("zero-price ticks do not crash returns, labels, or dollar bars") {
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 0.0, 5L), // degenerate tick
+      ("A", "2021-01-01 01:00:00", 10.0, 5L),
+      ("A", "2021-01-02 00:30:00", 11.0, 5L), // 24h lookback hits the zero tick
+      ("A", "2021-01-02 03:00:00", 12.0, 5L),
+    )
+    val rets = Labels.returns24h(df).orderBy("ts").collect()
+    assert(rets.length == 4)
+    // ts=01-02 00:30 as-of (lookback 01-01 00:30) matches the 00:00
+    // zero-price tick -> null return
+    assert(rets(2).getAs[Double]("lookback_price") == 0.0)
+    assert(rets(2).isNullAt(rets(2).fieldIndex("return24h")))
+    val fwd = Labels.fixedTimeReturn(df, window = 1, offset = 0).orderBy("ts").collect()
+    assert(fwd(0).isNullAt(fwd(0).fieldIndex("fwd_return"))) // 10/0 -> null
+    val vol = Labels.dailyVol(df, span = 10).collect()
+    assert(vol.length == 4) // EWM scan runs, null returns decay weights
+    val bars = Bars.dollarBars(df, barSize = 100.0).collect()
+    // zero-cent tick skipped: 5+5 units of $10..11 -> $50, $105... bars form
+    assert(bars.map(_.getAs[Long]("volume")).sum == 15L)
+    val tb = Labels.tripleBarrier(df, horizon = "48 hours", constTarget = Some(0.05)).collect()
+    assert(tb.nonEmpty) // path returns against price=0 are null, not fatal
+  }
 }
