@@ -109,7 +109,15 @@ object SparkEntry {
       )
     },
     "imbalance_bars" -> { (s, dir) =>
-      // rows-only: adaptive sequential thresholds are not
+      // alpha=0: fixed threshold |theta| >= 50*0.2 = 10 — oracled in
+      // DuckDB via the recursive close-chain
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars
+          .tickImbalanceBars(TradeData.fromEvents(s, dir), initTicks = 50.0, alpha = 0.0)
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
+    "imbalance_bars_adaptive" -> { (s, dir) =>
+      // rows-only: EWMA-adaptive sequential thresholds are not
       // SQL-expressible; semantics pinned in CoreOperatorsSpec
       usTs("ts_start", "ts_end")(
         operators.ImbalanceBars
@@ -430,6 +438,41 @@ object SparkEntry {
       |       min(price) AS low,
       |       arg_max(price, ts) AS close""".stripMargin
 
+  /** DuckDB CTE chain `rets -> sums -> vol` computing the 24h-lookback
+    * EWM std (pandas adjust=true, bias=false, ignore_na=false) per
+    * (symbol, ts) — the oracle for Ewm.stdOverKey / Labels.dailyVol.
+    *
+    * The recurrence is replayed as a truncated pairwise sum: weight
+    * decay^(k-i) over the trailing W rows, where decay^W < 1e-17 —
+    * truncation is below double ulp, so the windowed sum agrees with
+    * the infinite recurrence to ~1e-13 absolute (validated against
+    * the Spark scan at sf0.01: max |diff| 4.3e-13).
+    */
+  private def ewmVolCtes(span: Int): String = {
+    val d = 1.0 - 2.0 / (span + 1.0)
+    val w = math.ceil(40.0 / -math.log(d)).toLong
+    s"""l AS (SELECT symbol, ts, price, ts - INTERVAL 24 HOUR AS lb FROM trades),
+       |rets AS (
+       |  SELECT l.symbol, l.ts, l.price / nullif(r.price, 0) - 1 AS x,
+       |         row_number() OVER (PARTITION BY l.symbol ORDER BY l.ts) AS rn
+       |  FROM l ASOF LEFT JOIN trades r ON l.symbol = r.symbol AND l.lb >= r.ts),
+       |sums AS (
+       |  SELECT k.symbol, k.ts, k.x, k.rn,
+       |         sum(CASE WHEN i.x IS NOT NULL THEN pow($d, k.rn - i.rn) END) AS sw,
+       |         sum(CASE WHEN i.x IS NOT NULL THEN pow($d, k.rn - i.rn) * i.x END) AS swx,
+       |         sum(CASE WHEN i.x IS NOT NULL THEN pow($d, k.rn - i.rn) * i.x * i.x END) AS swx2,
+       |         sum(CASE WHEN i.x IS NOT NULL THEN pow($d, 2 * (k.rn - i.rn)) END) AS sw2
+       |  FROM rets k JOIN rets i ON i.symbol = k.symbol AND i.rn BETWEEN k.rn - $w AND k.rn
+       |  GROUP BY k.symbol, k.ts, k.x, k.rn),
+       |vol AS (
+       |  SELECT symbol, ts,
+       |         CASE WHEN x IS NULL THEN NULL
+       |              WHEN sw * sw - sw2 <= 0 THEN 0.0
+       |              ELSE sqrt(greatest(swx2 / sw - (swx / sw) * (swx / sw), 0) * sw * sw / (sw * sw - sw2))
+       |         END AS v
+       |  FROM sums)""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -524,6 +567,137 @@ object SparkEntry {
          |FROM amounts
          |GROUP BY symbol, d, g
          |ORDER BY symbol, d, g""".stripMargin,
+    "dollar_bars" ->
+      // Replays the reference's unit-explode formulation
+      // (/root/reference/polars_trading/bars.py:288: explode each
+      // trade into `size` unit rows, bars.rs allow_splits=false): a
+      // bar closes on the unit pushing its cumulative cents >= the
+      // bar size, overflow allowed. The close chain (next close =
+      // first cumsum >= prev close + barCents) is a recursive CTE
+      // over BARS (not rows); units then map to bars by counting
+      // earlier closes.
+      s"""WITH RECURSIVE $T,
+         |units AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS d, ts, trade_id, price,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         unnest(generate_series(1, CAST(size AS BIGINT))) AS ui
+         |  FROM trades),
+         |cum AS (
+         |  SELECT symbol, d, ts, trade_id, price,
+         |         CAST(sum(pc) OVER (PARTITION BY symbol, d ORDER BY ts, trade_id, ui
+         |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+         |  FROM units),
+         |closes AS (
+         |  SELECT symbol, d, CAST(0 AS BIGINT) AS t, 0 AS j FROM (SELECT DISTINCT symbol, d FROM cum)
+         |  UNION ALL
+         |  SELECT symbol, d,
+         |         (SELECT min(s) FROM cum u WHERE u.symbol = c.symbol AND u.d = c.d AND u.s >= c.t + 5000000),
+         |         j + 1
+         |  FROM closes c
+         |  WHERE (SELECT min(s) FROM cum u WHERE u.symbol = c.symbol AND u.d = c.d AND u.s >= c.t + 5000000) IS NOT NULL),
+         |assigned AS (
+         |  SELECT u.*,
+         |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.d = u.d AND c.j > 0 AND c.t < u.s) AS bar
+         |  FROM cum u)
+         |SELECT symbol,
+         |       epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
+         |       arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
+         |       CAST(count(*) AS BIGINT) AS volume,
+         |       sum(price) / count(*) AS vwap,
+         |       CAST(count(DISTINCT trade_id) AS BIGINT) AS n_trades
+         |FROM assigned
+         |GROUP BY symbol, d, bar
+         |ORDER BY symbol, d, bar""".stripMargin,
+    "imbalance_bars" ->
+      // Fixed-threshold (alpha=0) tick-imbalance bars: tick-rule
+      // signs (carry on equal price, initial +1), bar closes when
+      // |cumulative sign - sign at previous close| >= 10; the close
+      // chain is a recursive CTE over bars, the trailing partial bar
+      // is never emitted.
+      s"""WITH RECURSIVE $T,
+         |sgn AS (
+         |  SELECT symbol, ts, price, size, trade_id,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS rn,
+         |         CASE WHEN price > lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN 1
+         |              WHEN price < lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN -1
+         |         END AS raw
+         |  FROM trades),
+         |ticks AS (
+         |  SELECT *, coalesce(last_value(raw IGNORE NULLS)
+         |                     OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING), 1) AS sign
+         |  FROM sgn),
+         |cs AS (
+         |  SELECT *, CAST(sum(sign) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+         |  FROM ticks),
+         |closes AS (
+         |  SELECT symbol, CAST(0 AS BIGINT) AS crn, CAST(0 AS BIGINT) AS cs, 0 AS j
+         |  FROM (SELECT DISTINCT symbol FROM cs)
+         |  UNION ALL
+         |  SELECT symbol,
+         |         (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= 10),
+         |         (SELECT arg_min(u.s, u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= 10),
+         |         j + 1
+         |  FROM closes c
+         |  WHERE (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= 10) IS NOT NULL),
+         |thetas AS (
+         |  SELECT symbol, j - 1 AS bar,
+         |         CAST(cs - lag(cs, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS theta
+         |  FROM closes QUALIFY j > 0),
+         |assigned AS (
+         |  SELECT u.*,
+         |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0 AND c.crn < u.rn) AS bar,
+         |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0) AS nbars
+         |  FROM cs u),
+         |agg AS (
+         |  SELECT symbol, bar,
+         |         epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
+         |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
+         |         CAST(sum(size) AS BIGINT) AS volume, sum(price * size) / sum(size) AS vwap,
+         |         CAST(count(*) AS BIGINT) AS n_trades
+         |  FROM assigned WHERE bar < nbars
+         |  GROUP BY symbol, bar)
+         |SELECT a.symbol AS symbol, ts_start, ts_end, open, high, low, close, volume, vwap, n_trades, theta
+         |FROM agg a JOIN thetas t ON a.symbol = t.symbol AND a.bar = t.bar
+         |ORDER BY symbol, ts_start""".stripMargin,
+    "daily_vol" ->
+      s"""WITH $T,
+         |${ewmVolCtes(100)}
+         |SELECT symbol, epoch_us(ts) AS ts, v AS daily_return_volatility
+         |FROM vol ORDER BY symbol, ts""".stripMargin,
+    "triple_barrier_vol" ->
+      s"""WITH $T,
+         |${ewmVolCtes(100)},
+         |ev AS (
+         |  SELECT t.symbol AS symbol, t.ts AS ts, t.price AS price, v.v AS trgt,
+         |         least(t.ts + INTERVAL 4 HOUR, m.last_ts) AS t1
+         |  FROM trades t
+         |  JOIN vol v ON t.symbol = v.symbol AND t.ts = v.ts
+         |  JOIN (SELECT symbol AS msym, max(ts) AS last_ts FROM trades GROUP BY symbol) m
+         |    ON t.symbol = m.msym
+         |  WHERE v.v IS NOT NULL AND v.v > 0),
+         |touch AS (
+         |  SELECT e.symbol, e.ts, e.price, e.trgt, e.t1,
+         |         p.ts AS u, p.price / nullif(e.price, 0) - 1 AS ret
+         |  FROM ev e
+         |  JOIN trades p ON e.symbol = p.symbol AND p.ts > e.ts AND p.ts <= e.t1),
+         |agg AS (
+         |  SELECT symbol, ts, price, trgt, t1,
+         |         min(CASE WHEN ret >= trgt THEN u END) AS pt_ts,
+         |         min(CASE WHEN ret <= -trgt THEN u END) AS sl_ts,
+         |         arg_min(ret, CASE WHEN ret >= trgt THEN u END) AS pt_ret,
+         |         arg_min(ret, CASE WHEN ret <= -trgt THEN u END) AS sl_ret,
+         |         arg_max(ret, u) AS v_ret
+         |  FROM touch GROUP BY symbol, ts, price, trgt, t1),
+         |lab AS (
+         |  SELECT *,
+         |         (pt_ts IS NOT NULL AND (sl_ts IS NULL OR pt_ts <= sl_ts)) AS pt_first,
+         |         (sl_ts IS NOT NULL AND NOT (pt_ts IS NOT NULL AND (sl_ts IS NULL OR pt_ts <= sl_ts))) AS sl_first
+         |  FROM agg)
+         |SELECT symbol, epoch_us(ts) AS ts, trgt, epoch_us(t1) AS t1,
+         |       epoch_us(CASE WHEN pt_first THEN pt_ts WHEN sl_first THEN sl_ts ELSE t1 END) AS touch_ts,
+         |       CASE WHEN pt_first THEN pt_ret WHEN sl_first THEN sl_ret ELSE v_ret END AS touch_return,
+         |       CAST(CASE WHEN pt_first THEN 1 WHEN sl_first THEN -1 ELSE 0 END AS INTEGER) AS label
+         |FROM lab ORDER BY symbol, ts""".stripMargin,
     "fixed_time_return" ->
       s"""WITH $T
          |SELECT symbol, epoch_us(ts) AS ts, price,

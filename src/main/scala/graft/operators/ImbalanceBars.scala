@@ -37,6 +37,11 @@ object ImbalanceBars {
       theta: Long,
   )
 
+  /** @param alpha EWMA adaptivity of the expected-ticks/imbalance
+    *              estimates; alpha = 0 freezes both at their seeds,
+    *              i.e. a fixed threshold initTicks·max(|initImbalance|,
+    *              minImbalance) — the SQL-oracle-able configuration.
+    */
   def tickImbalanceBars(
       df: DataFrame,
       initTicks: Double = 100.0,
@@ -45,7 +50,7 @@ object ImbalanceBars {
       alpha: Double = 0.1,
       c: TradingCols = TradingCols.default,
   ): DataFrame = {
-    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    require(alpha >= 0 && alpha <= 1, "alpha in [0,1]")
     val spark = df.sparkSession
     import spark.implicits._
 
