@@ -294,8 +294,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     },
     "ann_lsh_topk" -> { (s, dir) =>
+      // explicit (4,4,0): the DuckDB oracle inlines these plane
+      // weights; production callers omit them and get the
+      // corpus-size-scaled parameters (autoLshParams)
       Similarity
-        .lshTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 10)
+        .lshTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          nQueries = 10, k = 10, nTables = 4, nPlanes = 4, probeBits = 0,
+        )
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     },
@@ -305,8 +311,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     },
     "embed_dedup" -> { (s, dir) =>
+      // explicit (4,4,0) to match the oracle's inlined planes; see
+      // ann_lsh_topk
       Similarity
-        .cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3)
+        .cosinePairs(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          threshold = 0.3, nTables = 4, nPlanes = 4, probeBits = 0,
+        )
         .orderBy(col("id_a"), col("id_b"))
     },
     "multimodal_meta" -> { (s, dir) =>

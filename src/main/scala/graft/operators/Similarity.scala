@@ -58,6 +58,39 @@ object Similarity {
   def dotNorm(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotNative(a, b)
 
+  /** Corpus-size-scaled LSH parameters: (nTables, nPlanes, probeBits).
+    *
+    * nPlanes ≈ log₂(N) + 2 keeps the expected bucket size O(1), so the
+    * per-table self-join is O(N) candidate pairs regardless of corpus
+    * size — the round-1 fixed 2^4 bucket space made the candidate set
+    * ≈23% of ALL pairs (effectively quadratic at 100 TB). Fine buckets
+    * cost recall, which 1-bit multiprobe (query also probes every
+    * bucket at hamming distance 1) buys back at (1+nPlanes)× probe
+    * cost but unchanged bucket sizes: for genuine near-duplicates
+    * (cosine ≥ 0.9, bit-agreement p ≈ 0.86), 4 tables × 1-bit probes
+    * give recall ≥ 0.94 at nPlanes = 11. On isotropic data with no
+    * near-dups (like the synthetic test embeddings, top-10 cosine
+    * ≈ 0.35) no sub-quadratic scheme holds high exact-top-k recall —
+    * brute force is the honest baseline there.
+    */
+  def autoLshParams(n: Long): (Int, Int, Int) = {
+    // ceil(log2 n) + 2 planes: expected bucket size ~1/4, so the
+    // 1-bit-probe candidate fraction (1+planes)·tables/2^planes stays
+    // below 1% for n >= ~1500 and FALLS as n grows (at the 24-plane
+    // cap, buckets regrow linearly but only past n ≈ 6·10^7)
+    val planes = math.max(4, math.min(24, math.ceil(math.log(math.max(n, 16).toDouble) / math.log(2.0)).toInt + 2))
+    val probes = if (planes > 4) 1 else 0
+    (4, planes, probes)
+  }
+
+  /** Per-(table,bucket) probe list: the bucket itself plus, when
+    * probeBits = 1, every bucket at hamming distance 1 — cheap XORs
+    * on the already-computed bucket id, not re-evaluated dot products.
+    */
+  private def probeList(bucket: Column, nPlanes: Int, probeBits: Int): Column =
+    if (probeBits <= 0) array(bucket)
+    else array((bucket +: (0 until nPlanes).map(j => bucket.bitwiseXOR(lit(1L << j)))): _*)
+
   /** Random-hyperplane LSH bucket id in [0, 2^nPlanes). */
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
     val w = planeWeights(nPlanes, dim)
@@ -120,21 +153,34 @@ object Similarity {
       emb: DataFrame,
       nQueries: Int = 10,
       k: Int = 10,
-      nTables: Int = 4,
-      nPlanes: Int = 4,
+      /** 0 = derive (nTables, nPlanes, probeBits) from the corpus size
+        * via [[autoLshParams]] (one metadata-cheap count job). */
+      nTables: Int = 0,
+      nPlanes: Int = 0,
+      probeBits: Int = 0,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    val (t, p, pb) =
+      if (nTables > 0 && nPlanes > 0) (nTables, nPlanes, probeBits)
+      else autoLshParams(emb.count())
     val tb = withNormalized(emb, vecCol, "__v")
       .select(
         col(idCol),
         col("__v"),
-        posexplode(lshBuckets(col(vecCol), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")),
+        posexplode(lshBuckets(col(vecCol), t, p, dim)).as(Seq("tbl", "bucket")),
       )
+    // queries additionally probe the hamming-1 neighborhood of their
+    // bucket (multiprobe) — the corpus side stays single-bucket
     val q = tb
       .where(col(idCol) < nQueries)
-      .select(col(idCol).as("query_id"), col("__v").as("qv"), col("tbl"), col("bucket"))
+      .select(
+        col(idCol).as("query_id"),
+        col("__v").as("qv"),
+        col("tbl"),
+        explode(probeList(col("bucket"), p, pb)).as("bucket"),
+      )
     // score at match time (cheap with the native dot), then dedup the
     // (query, neighbor) pairs that matched in several tables — avoids
     // shuffling vector payloads through the dedup exchange
@@ -172,14 +218,20 @@ object Similarity {
       .select(col("id"), col("nv"))
     val cents = nv.where(col("id") < nCells).select(col("id").as("cent_id"), col("nv").as("cv"))
     // cell assignment: nearest centroid by cosine (deterministic
-    // tiebreak on centroid id)
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("cs").desc, col("cent_id"))
+    // tiebreak on the SMALLEST centroid id, hence -cent_id in the
+    // ordering struct). groupBy + max_by gets partial map-side
+    // aggregation — one row per vector enters the exchange; the
+    // row_number window formulation would sort-shuffle all N×nCells
+    // scored rows.
     val assigned = nv
       .join(broadcast(cents), lit(true))
       .withColumn("cs", dotNorm(col("nv"), col("cv")))
-      .withColumn("r", row_number().over(wAssign))
-      .where(col("r") === 1)
-      .select(col("id"), col("nv"), col("cent_id").as("cell"))
+      .groupBy(col("id"))
+      .agg(
+        first(col("nv")).as("nv"),
+        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+      )
+      .select(col("id"), col("nv"), col("cell"))
     // queries probe their nProbe nearest cells
     val qProbe = nv
       .where(col("id") < nQueries)
@@ -204,17 +256,29 @@ object Similarity {
   def cosinePairs(
       emb: DataFrame,
       threshold: Double = 0.9,
-      nTables: Int = 4,
-      nPlanes: Int = 4,
+      /** 0 = derive (nTables, nPlanes, probeBits) from the corpus size
+        * via [[autoLshParams]]. */
+      nTables: Int = 0,
+      nPlanes: Int = 0,
+      probeBits: Int = 0,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    val (t, p, pb) =
+      if (nTables > 0 && nPlanes > 0) (nTables, nPlanes, probeBits)
+      else autoLshParams(emb.count())
     val tb = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-      .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), nTables, nPlanes, dim)).as(Seq("tbl", "bucket")))
+      .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), t, p, dim)).as(Seq("tbl", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tb.count() // eager: both self-join sides must hit the cache
-    tb.as("a")
+    // multiprobe on side a only: hamming(bucket_a, bucket_b) <= 1 is
+    // symmetric, and the a.id < b.id filter keeps both orientations
+    val aSide =
+      if (pb <= 0) tb.as("a")
+      else
+        tb.withColumn("bucket", explode(probeList(col("bucket"), p, pb))).as("a")
+    aSide
       .join(
         tb.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"),

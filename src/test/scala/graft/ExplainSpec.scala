@@ -55,4 +55,12 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial_"))
   }
 
+  test("ivf cell assignment is a partial aggregation, not a window sort") {
+    val p = plan("ann_ivf_topk")
+    // nearest-centroid via max_by gets map-side combine: one row per
+    // vector enters the exchange, instead of sort-shuffling N×nCells
+    // scored rows through a row_number window
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby"), p)
+  }
+
 }

@@ -148,6 +148,90 @@ class PipelineOpsSpec extends SparkSpec {
     assert(part.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("auto LSH params: sub-1% candidates with >=0.8 near-dup recall on clustered vectors") {
+    // clustered corpus — the regime LSH is FOR: near-duplicates at
+    // cosine ~0.95 (members of a cluster), everything else isotropic
+    val n = 2000
+    val dim = 64
+    val nClusters = 50
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(nClusters, dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val vecs = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+
+    val (t, p, pb) = Similarity.autoLshParams(n)
+    assert(p == math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2) // 13 at n=2000
+    assert(pb == 1)
+
+    // candidate-pair count through the same buckets + 1-bit probes.
+    // Wasted work is measured on the ISOTROPIC driver embeddings
+    // (sf0.1, same n): there every candidate is waste. On the
+    // clustered corpus the count includes the true near-dup pairs —
+    // LSH is output-sensitive, so those are not overhead.
+    def candidateCount(df: org.apache.spark.sql.DataFrame): Long = {
+      val tb = df
+        .select(
+          col("vec_id").as("id"),
+          posexplode(Similarity.lshBuckets(col("embedding"), t, p, dim)).as(Seq("tbl", "bucket")),
+        )
+      val probes = tb.withColumn(
+        "bucket",
+        explode(array((col("bucket") +: (0 until p).map(j => col("bucket").bitwiseXOR(lit(1L << j)))): _*)),
+      )
+      probes
+        .as("a")
+        .join(tb.as("b"), Seq("tbl", "bucket"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"))
+        .distinct()
+        .count()
+    }
+    val iso = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val isoCand = candidateCount(iso)
+    val totalPairs = n.toLong * (n - 1) / 2
+    info(s"auto params (tables=$t, planes=$p, probes=$pb): $isoCand isotropic candidates of $totalPairs pairs (${100.0 * isoCand / totalPairs}%)")
+    assert(isoCand < totalPairs / 100, s"candidate fraction ${isoCand.toDouble / totalPairs} not sub-1%")
+    val clusteredCand = candidateCount(emb)
+    info(s"clustered candidates (incl. true near-dups): $clusteredCand (${100.0 * clusteredCand / totalPairs}%)")
+
+    // recall of true near-dup pairs (cosine >= 0.9) under auto params
+    val truePairs = Similarity
+      .cosinePairs(emb, threshold = 0.9, nTables = 1, nPlanes = 1, probeBits = 0)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet // 1 table x 1 plane = half the corpus per bucket: recall-complete reference within buckets
+    val bf = {
+      // exact reference: brute-force all pairs >= 0.9 via a cross join on ids
+      val nv = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      nv.as("x")
+        .join(nv.as("y"), col("x.id") < col("y.id"))
+        .select(
+          col("x.id").as("id_a"),
+          col("y.id").as("id_b"),
+          Similarity.cosine(col("x.v"), col("y.v")).as("s"),
+        )
+        .where(col("s") >= 0.9)
+        .select("id_a", "id_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    }
+    val found = Similarity
+      .cosinePairs(emb, threshold = 0.9) // auto params
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = if (bf.isEmpty) 1.0 else (bf & found).size.toDouble / bf.size
+    info(s"near-dup recall under auto params: $recall over ${bf.size} true pairs (1x1-bucket sanity: ${truePairs.size})")
+    assert(bf.nonEmpty, "test corpus must contain near-dup pairs")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("simhash pairs find exact duplicates with hamming 0") {
     val d = docs(
       "spark shuffles data across many executors today",
