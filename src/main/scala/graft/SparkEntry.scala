@@ -108,6 +108,16 @@ object SparkEntry {
         Bars.dollarBars(TradeData.fromEvents(s, dir), barSize = 50000.0)
       )
     },
+    "volume_bars_overflow" -> { (s, dir) =>
+      usTs("ts_start", "ts_end")(
+        Bars.volumeBars(TradeData.fromEvents(s, dir), barSize = 500L, allowSplits = false)
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
+    "dollar_bars_split" -> { (s, dir) =>
+      usTs("ts_start", "ts_end")(
+        Bars.dollarBarsSplit(TradeData.fromEvents(s, dir), barSize = 50000.0)
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
     "imbalance_bars" -> { (s, dir) =>
       // alpha=0: fixed threshold |theta| >= 50*0.2 = 10 — oracled in
       // DuckDB via the recursive close-chain
@@ -619,6 +629,68 @@ object SparkEntry {
          |FROM assigned
          |GROUP BY symbol, d, bar
          |ORDER BY symbol, d, bar""".stripMargin,
+    "volume_bars_overflow" ->
+      // bar_groups allow_splits=false on trade sizes: whole trade in
+      // the bar, close with overflow at cum >= barSize — the same
+      // recursive close-chain as dollar_bars but at trade granularity,
+      // and the trailing partial bar IS emitted (bar_groups assigns
+      // every row a group).
+      s"""WITH RECURSIVE $T,
+         |cum AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS d, ts, trade_id, price, size,
+         |         CAST(sum(size) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+         |                              ORDER BY ts, trade_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+         |  FROM trades),
+         |closes AS (
+         |  SELECT symbol, d, CAST(0 AS BIGINT) AS t, 0 AS j FROM (SELECT DISTINCT symbol, d FROM cum)
+         |  UNION ALL
+         |  SELECT symbol, d,
+         |         (SELECT min(s) FROM cum u WHERE u.symbol = c.symbol AND u.d = c.d AND u.s >= c.t + 500),
+         |         j + 1
+         |  FROM closes c
+         |  WHERE (SELECT min(s) FROM cum u WHERE u.symbol = c.symbol AND u.d = c.d AND u.s >= c.t + 500) IS NOT NULL),
+         |assigned AS (
+         |  SELECT u.*,
+         |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.d = u.d AND c.j > 0 AND c.t < u.s) AS bar
+         |  FROM cum u)
+         |SELECT symbol,
+         |       $ohlcvSql,
+         |       CAST(sum(size) AS BIGINT) AS volume,
+         |       sum(price * size) / sum(size) AS vwap,
+         |       CAST(count(*) AS BIGINT) AS n_trades
+         |FROM assigned
+         |GROUP BY symbol, d, bar
+         |ORDER BY symbol, ts_start""".stripMargin,
+    "dollar_bars_split" ->
+      // bar_groups(price*size, allow_splits=true): boundaries at exact
+      // multiples of barSize in cumulative cents — closed-form group
+      // assignment, mirrors the volume_bars oracle at cent granularity.
+      s"""WITH $T,
+         |cum AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS d, ts, trade_id, price,
+         |         CAST(round(price * 100) AS BIGINT) * size AS cents,
+         |         CAST(sum(CAST(round(price * 100) AS BIGINT) * size)
+         |              OVER (PARTITION BY symbol, CAST(ts AS DATE)
+         |                    ORDER BY ts, trade_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+         |  FROM trades),
+         |pieces AS (
+         |  SELECT symbol, d, ts, trade_id, price,
+         |         cum_end, cum_end - cents AS cum_start,
+         |         unnest(generate_series((cum_end - cents) // 5000000,
+         |                                greatest((cum_end - cents) // 5000000, (cum_end - 1) // 5000000))) AS g
+         |  FROM cum),
+         |amounts AS (
+         |  SELECT *, least(cum_end, (g + 1) * 5000000) - greatest(cum_start, g * 5000000) AS amount
+         |  FROM pieces)
+         |SELECT symbol,
+         |       $ohlcvSql,
+         |       sum(amount) / 100.0 AS dollar_volume,
+         |       sum(price * amount) / sum(amount) AS vwap,
+         |       CAST(count(*) AS BIGINT) AS n_trades
+         |FROM amounts
+         |WHERE amount > 0
+         |GROUP BY symbol, d, g
+         |ORDER BY symbol, ts_start""".stripMargin,
     "imbalance_bars" ->
       // Fixed-threshold (alpha=0) tick-imbalance bars: tick-rule
       // signs (carry on equal price, initial +1), bar closes when

@@ -109,8 +109,18 @@ object Bars {
       df: DataFrame,
       barSize: Long = 10000L,
       splitByDate: Boolean = true,
+      /** true: split a straddling trade at the exact boundary
+        * (reference bar_groups allow_splits=true — arithmetic on the
+        * cumulative sum, whole-stage codegen); false: the whole trade
+        * stays in the bar, the bar closes with overflow when its total
+        * reaches barSize (allow_splits=false — sequential reset-cumsum,
+        * streaming O(1)-state scan). The trailing partial bar is
+        * emitted in both modes, matching bar_groups.
+        */
+      allowSplits: Boolean = true,
       c: TradingCols = TradingCols.default,
   ): DataFrame = {
+    if (!allowSplits) return volumeBarsOverflow(df, barSize, splitByDate, c)
     val keyNames = c.symbol +: (if (splitByDate) Seq("__date") else Nil)
     val w = Window
       .partitionBy(keyNames.map(col): _*)
@@ -141,6 +151,141 @@ object Bars {
       .agg(ohlcvAggs(c, col("__amount")).head, ohlcvAggs(c, col("__amount")).tail: _*)
       .orderBy((keyNames :+ "__g").map(col): _*)
       .select(col(c.symbol) +: barCols.map(col): _*)
+  }
+
+  /** One trade with its overflow-mode bar assignment. */
+  private[operators] final case class OverflowRow(
+      symbol: String,
+      date: java.sql.Date,
+      ts: java.sql.Timestamp,
+      price: Double,
+      size: Long,
+      trade_id: Long,
+      bar_id: Long,
+  )
+
+  /** Volume bars with overflow semantics (bar_groups
+    * allow_splits=false, /root/reference/src/bars.rs:53): the whole
+    * trade joins the open bar; the bar closes when its total reaches
+    * barSize and the next trade starts a fresh bar. The reset-cumsum
+    * is inherently sequential per (symbol,date) — a streaming
+    * per-partition scan with O(1) state after one hash repartition,
+    * the same shape as [[dollarBars]].
+    */
+  private def volumeBarsOverflow(
+      df: DataFrame,
+      barSize: Long,
+      splitByDate: Boolean,
+      c: TradingCols,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dateExpr = if (splitByDate) to_date(col(c.ts)) else to_date(lit("1970-01-01"))
+    val sorted = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        dateExpr.as("date"),
+        col(c.ts).as("ts"),
+        col(c.price).cast("double").as("price"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .repartition(col("symbol"), col("date"))
+      .sortWithinPartitions(col("symbol"), col("date"), col("ts"), col("trade_id"))
+
+    val assigned = sorted
+      .as[(String, java.sql.Date, java.sql.Timestamp, Double, Long, Long)]
+      .mapPartitions { it =>
+        var curSym: String = null
+        var curDate: java.sql.Date = null
+        var cur = 0L
+        var barId = 0L
+        it.map { case (sym, date, ts, price, size, tradeId) =>
+          if (sym != curSym || curDate == null || date.getTime != curDate.getTime) {
+            curSym = sym; curDate = date; cur = 0L; barId = 0L
+          }
+          val row = OverflowRow(sym, date, ts, price, size, tradeId, barId)
+          cur += size
+          if (cur >= barSize) { barId += 1; cur = 0L }
+          row
+        }
+      }
+      .toDF()
+
+    val pc = TradingCols(symbol = "symbol", ts = "ts", price = "price", size = "size", tradeId = "trade_id")
+    assigned
+      .groupBy(col("symbol"), col("date"), col("bar_id"))
+      .agg(ohlcvAggs(pc, col("size")).head, ohlcvAggs(pc, col("size")).tail: _*)
+      .select(col("symbol") +: barCols.map(col): _*)
+  }
+
+  /** Dollar bars with split-at-boundary semantics (the
+    * bar_groups(price*size, allow_splits=true) composition the
+    * reference's kernel supports but bars.py never calls): bar
+    * boundaries fall at exact multiples of barSize in cumulative
+    * dollar terms, a straddling trade's dollar value is split at the
+    * boundary. Pure arithmetic on a cumulative-cents window — stays
+    * in whole-stage codegen, no sequential scan (unlike the overflow
+    * form, the split form has a closed-form group assignment).
+    *
+    * Output mirrors the OHLCV schema with `dollar_volume` (exact
+    * cents, exposed as dollars) in place of the integer share count:
+    * vwap is dollar-weighted, matching _ohlcv_expr over the split
+    * amount column.
+    */
+  def dollarBarsSplit(
+      df: DataFrame,
+      barSize: Double = 1000000.0,
+      splitByDate: Boolean = true,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val barCents = math.round(barSize * 100)
+    val keyNames = c.symbol +: (if (splitByDate) Seq("__date") else Nil)
+    val w = Window
+      .partitionBy(keyNames.map(col): _*)
+      .orderBy(col(c.ts), col(c.tradeId))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base =
+      if (splitByDate) df.withColumn("__date", to_date(col(c.ts))) else df
+    val pieces = base.na
+      .drop(Seq(c.price))
+      .withColumn("__cents", (round(col(c.price) * 100)).cast("long") * col(c.size))
+      .withColumn("__cum_end", sum(col("__cents")).over(w))
+      .withColumn("__cum_start", col("__cum_end") - col("__cents"))
+      .withColumn(
+        "__g",
+        explode(
+          sequence(
+            expr(s"__cum_start div ${barCents}L"),
+            expr(s"greatest(__cum_start div ${barCents}L, (__cum_end - 1) div ${barCents}L)"),
+          )
+        ),
+      )
+      .withColumn(
+        "__amount",
+        least(col("__cum_end"), (col("__g") + 1) * barCents) -
+          greatest(col("__cum_start"), col("__g") * barCents),
+      )
+      .where(col("__amount") > 0)
+    val ord = struct(col(c.ts), col(c.tradeId))
+    pieces
+      .groupBy((keyNames :+ "__g").map(col): _*)
+      .agg(
+        min(col(c.ts)).as("ts_start"),
+        max(col(c.ts)).as("ts_end"),
+        min_by(col(c.price), ord).as("open"),
+        max(col(c.price)).as("high"),
+        min(col(c.price)).as("low"),
+        max_by(col(c.price), ord).as("close"),
+        (sum(col("__amount")) / 100.0).as("dollar_volume"),
+        (sum(col(c.price) * col("__amount")) / sum(col("__amount"))).as("vwap"),
+        count(lit(1)).as("n_trades"),
+      )
+      .select(
+        col(c.symbol), col("ts_start"), col("ts_end"), col("open"), col("high"),
+        col("low"), col("close"), col("dollar_volume"), col("vwap"), col("n_trades"),
+      )
   }
 
   /** One split piece of a trade assigned to a dollar bar. */

@@ -30,6 +30,42 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("vwap") == 3.0))
   }
 
+  // --- volume bars, overflow mode (bar_groups allow_splits=false,
+  // src/bars.rs:53): whole trade joins the bar, close with overflow,
+  // trailing partial bar emitted ---
+  test("volume bars overflow mode keeps trades whole and emits the partial bar") {
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 3.0, 3L),
+      ("A", "2021-01-01 00:01:00", 4.0, 3L), // 3+3=6 >= 5 -> close with overflow
+      ("A", "2021-01-01 00:02:00", 5.0, 3L), // trailing partial
+    )
+    val out = Bars.volumeBars(df, barSize = 5L, allowSplits = false).orderBy("ts_start").collect()
+    assert(out.map(r => (r.getAs[Long]("volume"), r.getAs[Long]("n_trades"))).toSeq ==
+      Seq((6L, 2L), (3L, 1L)))
+    assert(out.head.getAs[Double]("open") == 3.0 && out.head.getAs[Double]("close") == 4.0)
+    // single 8-unit trade vs barSize 5: one bar of 8, no split
+    val one = Bars.volumeBars(trades(("A", "2021-01-01 00:00:00", 3.0, 8L)), barSize = 5L, allowSplits = false).collect()
+    assert(one.map(_.getAs[Long]("volume")).toSeq == Seq(8L))
+  }
+
+  // --- dollar bars, split mode (bar_groups(price*size, splits=true)):
+  // boundaries at exact dollar multiples, straddling value split ---
+  test("dollar bars split mode cuts the dollar value at exact boundaries") {
+    val df = trades(("A", "2021-01-01 00:00:00", 3.0, 8L)) // $24 vs $13 bars
+    val out = Bars.dollarBarsSplit(df, barSize = 13.0).orderBy("ts_start").collect()
+    assert(out.map(_.getAs[Double]("dollar_volume")).toSeq == Seq(13.0, 11.0))
+    assert(out.forall(_.getAs[Double]("vwap") == 3.0))
+    assert(out.map(_.getAs[Long]("n_trades")).toSeq == Seq(1L, 1L))
+    // multi-trade: $9 + $8 with $10 bars -> first bar exactly $10 (splits trade 2)
+    val df2 = trades(
+      ("A", "2021-01-01 00:00:00", 3.0, 3L),
+      ("A", "2021-01-01 00:01:00", 4.0, 2L),
+    )
+    val out2 = Bars.dollarBarsSplit(df2, barSize = 10.0).orderBy("ts_start").collect()
+    assert(out2.map(_.getAs[Double]("dollar_volume")).toSeq == Seq(10.0, 7.0))
+    assert(out2.head.getAs[Long]("n_trades") == 2L) // trade 1 + first $1 of trade 2
+  }
+
   // --- dollar bars: reference test_bars.py:115 unit-level overflow ---
   test("dollar bars split by unit-level overflow") {
     val df = trades(("A", "2021-01-01 00:00:00", 3.0, 8L))
