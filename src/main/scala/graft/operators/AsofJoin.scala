@@ -32,6 +32,13 @@ object AsofJoin {
   case object Backward extends Direction
   case object Forward extends Direction
 
+  /** polars `strategy="nearest"`: the right row minimizing
+    * |leftOn - rightOn| (within tolerance when given); a distance tie
+    * resolves to the backward (earlier) candidate, and equal keys are
+    * folded into the backward candidate (last of the equals).
+    */
+  case object Nearest extends Direction
+
   /** Joins `right`'s value columns onto `left`.
     *
     * @param left    any columns; `leftOn` must be orderable
@@ -78,30 +85,50 @@ object AsofJoin {
     // (O(n) incremental in Spark's WindowExec); forward is backward on
     // a descending key order. An unbounded-FOLLOWING frame would
     // recompute per row (O(n^2) per partition) — deliberately avoided.
-    val ord = direction match {
-      case Backward => Seq(col("__key").asc, col("__tag").asc)
-      case Forward  => Seq(col("__key").desc, col("__tag").asc)
-    }
-    val w = part
-      .orderBy(ord: _*)
+    // Nearest runs both scans (one exchange, two in-partition sorts)
+    // and picks the closer candidate per row.
+    val ascW = part
+      .orderBy(col("__key").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = last(col("__right"), ignoreNulls = true).over(w)
+    val descW = part
+      .orderBy(col("__key").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwdMatch = last(col("__right"), ignoreNulls = true).over(ascW)
+    val fwdMatch = last(col("__right"), ignoreNulls = true).over(descW)
 
-    val withMatch = unioned
-      .withColumn("__m", matched)
-      .where(col("__tag") === 1)
-
-    val inTol = tolerance match {
-      case None => lit(true)
-      case Some(t) =>
-        abs(col("__key") - col("__m").getField(rightOn)) <= t
+    def withinTol(m: Column): Column = tolerance match {
+      case None    => lit(true)
+      case Some(t) => abs(col("__key") - m.getField(rightOn)) <= t
     }
+
+    val withMatch = direction match {
+      case Backward => unioned.withColumn("__m", bwdMatch)
+      case Forward  => unioned.withColumn("__m", fwdMatch)
+      case Nearest =>
+        val bOk = col("__mb").isNotNull && withinTol(col("__mb"))
+        val fOk = col("__mf").isNotNull && withinTol(col("__mf"))
+        val distB = col("__key") - col("__mb").getField(rightOn)
+        val distF = col("__mf").getField(rightOn) - col("__key")
+        unioned
+          .withColumn("__mb", bwdMatch)
+          .withColumn("__mf", fwdMatch)
+          .withColumn(
+            "__m",
+            when(bOk && fOk, when(distB <= distF, col("__mb")).otherwise(col("__mf")))
+              .when(bOk, col("__mb"))
+              .when(fOk, col("__mf")),
+          )
+      }
+    val leftRows = withMatch.where(col("__tag") === 1)
+
+    // for Nearest, tolerance is already folded into candidate choice
+    val inTol = if (direction == Nearest) lit(true) else withinTol(col("__m"))
 
     val leftOut = left.columns.toSeq.map(cn => col("__left").getField(cn).as(cn))
     val rightOut = valueCols.map(cn =>
       when(col("__m").isNotNull && inTol, col("__m").getField(cn)).as(cn)
     )
-    withMatch.select(leftOut ++ rightOut: _*)
+    leftRows.select(leftOut ++ rightOut: _*)
   }
 
   /** Native-plan variant: same contract and semantics as [[asof]],
@@ -118,6 +145,10 @@ object AsofJoin {
       rightOn: String,
       by: Seq[String] = Nil,
       direction: Direction = Backward,
+      /** max |leftOn - rightOn| in the key's native units (micros for
+        * timestamp keys, days for dates); None = unbounded. Scalar —
+        * unlike the window form's per-row Column tolerance. */
+      tolerance: Option[Double] = None,
   ): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = left.sparkSession
@@ -151,6 +182,8 @@ object AsofJoin {
       attr(rPlan, rightOn),
       rightVals,
       forward = direction == Forward,
+      nearest = direction == Nearest,
+      tolerance = tolerance,
     )
     ColumnBridge.ofRows(spark, node)
   }

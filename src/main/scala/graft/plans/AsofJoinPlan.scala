@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types._
 
 /** Native as-of join: LogicalPlan + Strategy + physical merge scan.
   *
@@ -23,7 +24,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *
   * Semantics identical to AsofJoin.asof (inclusive backward/forward;
   * at equal keys backward takes the last right row, forward the
-  * first). Null left keys match nothing.
+  * first; nearest picks the smaller |left-right| distance, ties and
+  * equal keys to the backward candidate). Null left keys match
+  * nothing. `tolerance` is a max |left-right| distance in the key's
+  * native units (micros for timestamps, days for dates).
   */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -34,6 +38,8 @@ case class AsofJoinPlan(
     rightOn: Expression,
     rightValues: Seq[Attribute],
     forward: Boolean,
+    nearest: Boolean = false,
+    tolerance: Option[Double] = None,
 ) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
   override lazy val resolved: Boolean = childrenResolved
@@ -43,8 +49,8 @@ case class AsofJoinPlan(
 
 object AsofJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lBy, rBy, lOn, rOn, rVals, fwd) =>
-      AsofJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn, rVals, fwd) :: Nil
+    case AsofJoinPlan(l, r, lBy, rBy, lOn, rOn, rVals, fwd, near, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn, rVals, fwd, near, tol) :: Nil
     case _ => Nil
   }
 }
@@ -58,6 +64,8 @@ case class AsofJoinExec(
     rightOn: Expression,
     rightValues: Seq[Attribute],
     forward: Boolean,
+    nearest: Boolean = false,
+    tolerance: Option[Double] = None,
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
@@ -75,6 +83,22 @@ case class AsofJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  /** Numeric view of the as-of key for distance/tolerance arithmetic
+    * (timestamps are micros, dates are days; all < 2^53 so exact in
+    * a double). Only needed when nearest or tolerance is requested.
+    */
+  private def keyReader(dt: DataType): (InternalRow, Int) => Double = dt match {
+    case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i).toDouble
+    case IntegerType | DateType                      => (r, i) => r.getInt(i).toDouble
+    case ShortType                                   => (r, i) => r.getShort(i).toDouble
+    case DoubleType                                  => (r, i) => r.getDouble(i)
+    case FloatType                                   => (r, i) => r.getFloat(i).toDouble
+    case other =>
+      throw new IllegalArgumentException(
+        s"as-of nearest/tolerance needs a numeric, timestamp or date key, got $other"
+      )
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOutput = left.output
     val rightOutput = right.output
@@ -84,7 +108,13 @@ case class AsofJoinExec(
     val rOn = rightOn
     val rVals = rightValues
     val fwd = forward
+    val near = nearest
+    val tol = tolerance
     val keyTypes = (lBy :+ lOn).map(_.dataType)
+    val keyIdx = keyTypes.length - 1
+    val needDist = near || tol.isDefined
+    val readKey: (InternalRow, Int) => Double =
+      if (needDist) keyReader(lOn.dataType) else null
     val numRightVals = rVals.length
     val outputAttrs = output
 
@@ -105,32 +135,59 @@ case class AsofJoinExec(
       // backward state: latest right row seen with (group,key) <= current left
       var lastGroup: UnsafeRow = null
       var lastVal: UnsafeRow = null
+      var lastKeyD = 0.0
+
+      def inTol(dist: Double): Boolean = tol.forall(dist <= _)
 
       lIt.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lGroup = lGroupProj(lRow)
-        if (!fwd) {
+        val lNull = lKey.isNullAt(keyIdx)
+        if (fwd && !near) {
+          while (rIt.hasNext && ordering.compare(rKeyProj(rIt.head), lKey) < 0)
+            rIt.next()
+          val matched = rIt.hasNext && !lNull && {
+            val h = rIt.head
+            rGroupProj(h) == lGroup &&
+            (!needDist || inTol(readKey(rKeyProj(h), keyIdx) - readKey(lKey, keyIdx)))
+          }
+          resultProj(joined(lRow, if (matched) rValProj(rIt.head) else nullRight))
+        } else {
+          // backward and nearest both consume rows <= left key
           while (rIt.hasNext && ordering.compare(rKeyProj(rIt.head), lKey) <= 0) {
             val r = rIt.next()
             // rows with null right keys are consumed but never match
             val rk = rKeyProj(r)
-            if (!rk.isNullAt(keyTypes.length - 1)) {
+            if (!rk.isNullAt(keyIdx)) {
               lastGroup = rGroupProj(r).copy()
               lastVal = rValProj(r).copy()
+              if (needDist) lastKeyD = readKey(rk, keyIdx)
             }
           }
           // null left key sorts first -> never advances, never matches
-          val matched =
-            lastGroup != null && lastGroup == lGroup && !lKey.isNullAt(keyTypes.length - 1)
-          resultProj(joined(lRow, if (matched) lastVal else nullRight))
-        } else {
-          while (rIt.hasNext && ordering.compare(rKeyProj(rIt.head), lKey) < 0)
-            rIt.next()
-          val matched = rIt.hasNext && {
-            val h = rIt.head
-            rGroupProj(h) == lGroup && !lKey.isNullAt(keyTypes.length - 1)
+          val lKeyD = if (needDist && !lNull) readKey(lKey, keyIdx) else 0.0
+          val bwdOk = lastGroup != null && lastGroup == lGroup && !lNull &&
+            (!needDist || inTol(lKeyD - lastKeyD))
+          if (!near) {
+            resultProj(joined(lRow, if (bwdOk) lastVal else nullRight))
+          } else {
+            // forward candidate: the first unconsumed right row (> left key)
+            val fwdOk = rIt.hasNext && !lNull && {
+              val h = rIt.head
+              val hk = rKeyProj(h)
+              rGroupProj(h) == lGroup && !hk.isNullAt(keyIdx) &&
+              inTol(readKey(hk, keyIdx) - lKeyD)
+            }
+            val pick =
+              if (bwdOk && fwdOk) {
+                // tie -> backward
+                if (lKeyD - lastKeyD <= readKey(rKeyProj(rIt.head), keyIdx) - lKeyD) lastVal
+                else rValProj(rIt.head)
+              } else if (bwdOk) lastVal
+              else if (fwdOk) rValProj(rIt.head)
+              else nullRight
+            resultProj(joined(lRow, pick))
           }
-          resultProj(joined(lRow, if (matched) rValProj(rIt.head) else nullRight))
         }
       }
     }

@@ -242,7 +242,7 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(tol.map(r => Option(r.getAs[Double]("v"))).toSeq == Seq(Some(1.0), None, None))
   }
 
-  test("native asof plan agrees with the window asof on both directions") {
+  test("native asof agrees with window asof on all strategies x tolerance") {
     // right keys unique: with duplicate (by, key) rows the matched
     // VALUE is unspecified in both implementations (unstable sort /
     // arbitrary merge order between equal keys)
@@ -250,19 +250,40 @@ class CoreOperatorsSpec extends SparkSpec {
       .toDF("sym", "k", "payload")
     val right = Seq(("A", 8L, 1.0), ("A", 20L, 2.0), ("A", 21L, 2.5), ("B", 50L, 3.0))
       .toDF("sym", "rk", "v")
-    for (dir <- Seq(AsofJoin.Backward, AsofJoin.Forward)) {
+    for {
+      dir <- Seq(AsofJoin.Backward, AsofJoin.Forward, AsofJoin.Nearest)
+      tol <- Seq(None, Some(5.0))
+    } {
       val win = AsofJoin
-        .asof(left, right, "k", "rk", by = Seq("sym"), direction = dir)
+        .asof(left, right, "k", "rk", by = Seq("sym"), direction = dir,
+          tolerance = tol.map(t => lit(t.toLong)))
         .orderBy("sym", "k")
         .collect()
         .map(r => (r.getString(0), r.getLong(1), Option(r.getAs[Double]("v"))))
       val nat = AsofJoin
-        .asofNative(left, right, "k", "rk", by = Seq("sym"), direction = dir)
+        .asofNative(left, right, "k", "rk", by = Seq("sym"), direction = dir, tolerance = tol)
         .orderBy("sym", "k")
         .collect()
         .map(r => (r.getString(0), r.getLong(1), Option(r.getAs[Double]("v"))))
-      assert(win.toSeq == nat.toSeq, s"direction $dir")
+      assert(win.toSeq == nat.toSeq, s"direction $dir tolerance $tol")
     }
+    // nearest picks the closer side; ties and equal keys go backward
+    val near = AsofJoin
+      .asofNative(left, right, "k", "rk", by = Seq("sym"), direction = AsofJoin.Nearest)
+      .orderBy("sym", "k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("v")))
+    // A k=10: dist to rk=8 is 2 vs rk=20 is 10 -> 1.0; A k=25: rk=21
+    // (4) vs nothing forward -> 2.5; B: rk=50 both ways -> 3.0
+    assert(near.toSeq == Seq(("A", 10L, 1.0), ("A", 25L, 2.5), ("B", 9L, 3.0), ("B", 10L, 3.0)))
+    // nearest + tolerance 5: B rows are 40+ away -> null
+    val nearTol = AsofJoin
+      .asofNative(left, right, "k", "rk", by = Seq("sym"), direction = AsofJoin.Nearest, tolerance = Some(5.0))
+      .orderBy("sym", "k")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getAs[Double]("v"))))
+    assert(nearTol.toSeq == Seq(
+      ("A", 10L, Some(1.0)), ("A", 25L, Some(2.5)), ("B", 9L, None), ("B", 10L, None)))
     // inclusive semantics: backward at k=25 sees rk=21; forward at
     // k=10 sees rk=20
     val back = AsofJoin
