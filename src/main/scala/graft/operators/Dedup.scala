@@ -108,16 +108,16 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
   ): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Persist barriers are load-bearing: the signature and both sides
-    // of the band self-join reuse hsl/sig, which must be stored
-    // columns (interpreted HOFs get no CSE; CollapseProject would
-    // re-inline the subtrees). Materialization is eager (count) so
-    // the self-join sides hit the cache instead of racing to fill it.
-    val base = shingled.persist(MEMORY_AND_DISK)
-    base.count()
-    val sigd = base
-      .select(
+    // Checkpoint barriers are load-bearing twice over: (a) hsl/sig are
+    // reused by several consumers and must be stored columns
+    // (interpreted HOFs get no CSE; CollapseProject would re-inline
+    // the subtrees); (b) at scale the hashed-shingle sets are larger
+    // than the corpus, so they live in a columnar parquet table each
+    // consumer scans (pruned to its columns), not an executor cache —
+    // see graft.sources.Checkpoint.
+    val base = graft.sources.Checkpoint.table(shingled, "lsh-shingles")
+    val sigd = graft.sources.Checkpoint.table(
+      base.select(
         col("id"),
         graft.functions.TextExprs
           .minhashSig(
@@ -128,9 +128,9 @@ object Dedup {
             (0 until nHashes).map(minhashB),
           )
           .as("sig"),
-      )
-      .persist(MEMORY_AND_DISK)
-    sigd.count()
+      ),
+      "lsh-signatures",
+    )
     val withBands = sigd
       .select(col("id"), explode(bandHashes(col("sig"), nHashes, bands)).as("band"))
     val cand = withBands
@@ -177,10 +177,10 @@ object Dedup {
   ): DataFrame = {
     // materialize tokens before the per-gram lambda iterates over
     // them (interpreted HOFs re-evaluate outer subtrees per element)
-    val tokenized = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tokenized.count()
+    val tokenized = graft.sources.Checkpoint.table(
+      docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks")),
+      "ngram-tokens",
+    )
     lshJaccardPairs(
       tokenized.select(
         col("id"),
@@ -240,10 +240,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
-    val sims = docs
-      .select(col(idCol).as("id"), simhash(col(textCol)).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sims.count()
+    // checkpointed so the band self-join reads a 16-byte/doc parquet
+    // table twice instead of recomputing simhashes per side
+    val sims = graft.sources.Checkpoint.table(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash")),
+      "simhash",
+    )
     // (bidx, band) pairs: the band index disambiguates equal band
     // values at different bit positions
     val bandStructs = sims.select(

@@ -268,10 +268,14 @@ object Similarity {
     val (t, p, pb) =
       if (nTables > 0 && nPlanes > 0) (nTables, nPlanes, probeBits)
       else autoLshParams(emb.count())
-    val tb = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-      .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), t, p, dim)).as(Seq("tbl", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tb.count() // eager: both self-join sides must hit the cache
+    // checkpointed columnar so both self-join sides scan the same
+    // parquet table (nv is 512 bytes/vector x nTables entries — too
+    // large for an executor cache at corpus scale)
+    val tb = graft.sources.Checkpoint.table(
+      withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
+        .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), t, p, dim)).as(Seq("tbl", "bucket"))),
+      "cosine-buckets",
+    )
     // multiprobe on side a only: hamming(bucket_a, bucket_b) <= 1 is
     // symmetric, and the a.id < b.id filter keeps both orientations
     val aSide =

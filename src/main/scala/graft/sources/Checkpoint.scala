@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Parquet checkpoint tables for pipeline stages that are re-read by
+  * several downstream consumers (both sides of a self-join, a
+  * signature table plus its verify pass).
+  *
+  * Why not `persist(MEMORY_AND_DISK)`: a cached row-format copy of a
+  * wide intermediate (hashed-shingle sets are ~8 bytes per input
+  * character — larger than the corpus) occupies executor memory/disk
+  * for the job's lifetime and is re-shuffled per consumer. A parquet
+  * checkpoint is columnar and compressed, each consumer scans only
+  * the columns it needs (the band join reads `sig`, the verify join
+  * reads `hsl`), and on a cluster it lands on the shared FS instead
+  * of executor-local store. The write is also the materialization
+  * barrier the interpreted-HOF CSE hazard needs (see Dedup) — no
+  * eager count() required.
+  */
+object Checkpoint {
+
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      created.forEach { p =>
+        try {
+          val dir = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(dir)) {
+            java.nio.file.Files
+              .walk(dir)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+        } catch { case _: Exception => () }
+      }
+    }
+  }
+
+  /** Writes `df` to a fresh parquet table under
+    * `spark.graft.checkpointDir` (default: local tmp, deleted on JVM
+    * exit — set it to a shared filesystem path on a cluster, where
+    * lifecycle is the caller's) and returns a scan of it.
+    */
+  def table(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val conf = spark.conf.getOption("spark.graft.checkpointDir")
+    val base = conf.getOrElse(System.getProperty("java.io.tmpdir"))
+    val path = s"$base/graft-ckpt-$name-${java.util.UUID.randomUUID()}"
+    if (conf.isEmpty) { cleanupHook; created.add(path) }
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+}
