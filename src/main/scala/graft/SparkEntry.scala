@@ -96,17 +96,17 @@ object SparkEntry {
     "tick_bars" -> { (s, dir) =>
       usTs("ts_start", "ts_end")(
         Bars.tickBars(TradeData.fromEvents(s, dir), barSize = 20)
-      )
+      ).orderBy(col("symbol"), col("ts_start"))
     },
     "volume_bars" -> { (s, dir) =>
       usTs("ts_start", "ts_end")(
         Bars.volumeBars(TradeData.fromEvents(s, dir), barSize = 500L)
-      )
+      ).orderBy(col("symbol"), col("ts_start"))
     },
     "dollar_bars" -> { (s, dir) =>
       usTs("ts_start", "ts_end")(
         Bars.dollarBars(TradeData.fromEvents(s, dir), barSize = 50000.0)
-      )
+      ).orderBy(col("symbol"), col("ts_start"))
     },
     "volume_bars_overflow" -> { (s, dir) =>
       usTs("ts_start", "ts_end")(
@@ -563,7 +563,7 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_trades
          |FROM numbered
          |GROUP BY symbol, d, g
-         |ORDER BY symbol, d, g""".stripMargin,
+         |ORDER BY symbol, ts_start""".stripMargin,
     "volume_bars" ->
       s"""WITH $T,
          |cum AS (
@@ -587,7 +587,7 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_trades
          |FROM amounts
          |GROUP BY symbol, d, g
-         |ORDER BY symbol, d, g""".stripMargin,
+         |ORDER BY symbol, ts_start""".stripMargin,
     "dollar_bars" ->
       // Replays the reference's unit-explode formulation
       // (/root/reference/polars_trading/bars.py:288: explode each
@@ -628,7 +628,7 @@ object SparkEntry {
          |       CAST(count(DISTINCT trade_id) AS BIGINT) AS n_trades
          |FROM assigned
          |GROUP BY symbol, d, bar
-         |ORDER BY symbol, d, bar""".stripMargin,
+         |ORDER BY symbol, ts_start""".stripMargin,
     "volume_bars_overflow" ->
       // bar_groups allow_splits=false on trade sizes: whole trade in
       // the bar, close with overflow at cum >= barSize — the same

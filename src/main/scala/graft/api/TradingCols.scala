@@ -12,8 +12,18 @@ final case class TradingCols(
     ts: String = "ts",
     price: String = "price",
     size: String = "size",
-    /** Deterministic per-trade tiebreaker for ordering at equal timestamps. */
+    /** Deterministic per-trade tiebreaker for ordering at equal
+      * timestamps; operators fall back to timestamp-only ordering
+      * when the input has no such column.
+      */
     tradeId: String = "trade_id",
+    /** OHLC output column names (config.py also renames the bar
+      * outputs, not just the inputs).
+      */
+    open: String = "open",
+    high: String = "high",
+    low: String = "low",
+    close: String = "close",
 )
 
 object TradingCols {

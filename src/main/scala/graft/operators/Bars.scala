@@ -38,18 +38,18 @@ object Bars {
     Seq(
       min(col(c.ts)).as("ts_start"),
       max(col(c.ts)).as("ts_end"),
-      min_by(col(c.price), ord).as("open"),
-      max(col(c.price)).as("high"),
-      min(col(c.price)).as("low"),
-      max_by(col(c.price), ord).as("close"),
+      min_by(col(c.price), ord).as(c.open),
+      max(col(c.price)).as(c.high),
+      min(col(c.price)).as(c.low),
+      max_by(col(c.price), ord).as(c.close),
       sum(sizeCol).cast("long").as("volume"),
       (sum(col(c.price) * sizeCol) / sum(sizeCol)).as("vwap"),
       count(lit(1)).as("n_trades"),
     )
   }
 
-  private val barCols =
-    Seq("ts_start", "ts_end", "open", "high", "low", "close", "volume", "vwap", "n_trades")
+  private def barCols(c: TradingCols): Seq[String] =
+    Seq("ts_start", "ts_end", c.open, c.high, c.low, c.close, "volume", "vwap", "n_trades")
 
   /** Time bars: tumbling windows of `barSize` (epoch-aligned, UTC),
     * equivalent to the reference's `dt.truncate` grouping
@@ -61,12 +61,13 @@ object Bars {
       c: TradingCols = TradingCols.default,
   ): DataFrame = {
     val aggs = ohlcvAggs(c, col(c.size))
+    // unsorted by design: ordering is the caller's concern — an
+    // operator-embedded orderBy would add a range exchange per query
     df.na
       .drop(Seq(c.price))
       .groupBy(col(c.symbol), window(col(c.ts), barSize).getField("start").as("bar_ts"))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col(c.symbol), col("bar_ts"))
-      .select(col(c.symbol) +: col("bar_ts") +: barCols.map(col): _*)
+      .select(col(c.symbol) +: col("bar_ts") +: barCols(c).map(col): _*)
   }
 
   /** Tick bars: N consecutive ticks per bar within (symbol, date)
@@ -91,8 +92,7 @@ object Bars {
     grouped
       .groupBy((keyNames :+ "__g").map(col): _*)
       .agg(ohlcvAggs(c, col(c.size)).head, ohlcvAggs(c, col(c.size)).tail: _*)
-      .orderBy((keyNames :+ "__g").map(col): _*)
-      .select(col(c.symbol) +: barCols.map(col): _*)
+      .select(col(c.symbol) +: barCols(c).map(col): _*)
   }
 
   /** Volume bars with split-at-boundary semantics (reference
@@ -149,8 +149,7 @@ object Bars {
     pieces
       .groupBy((keyNames :+ "__g").map(col): _*)
       .agg(ohlcvAggs(c, col("__amount")).head, ohlcvAggs(c, col("__amount")).tail: _*)
-      .orderBy((keyNames :+ "__g").map(col): _*)
-      .select(col(c.symbol) +: barCols.map(col): _*)
+      .select(col(c.symbol) +: barCols(c).map(col): _*)
   }
 
   /** One trade with its overflow-mode bar assignment. */
@@ -217,7 +216,7 @@ object Bars {
     assigned
       .groupBy(col("symbol"), col("date"), col("bar_id"))
       .agg(ohlcvAggs(pc, col("size")).head, ohlcvAggs(pc, col("size")).tail: _*)
-      .select(col("symbol") +: barCols.map(col): _*)
+      .select(col("symbol") +: barCols(c).map(col): _*)
   }
 
   /** Dollar bars with split-at-boundary semantics (the
@@ -384,7 +383,6 @@ object Bars {
     pieces
       .groupBy(col("symbol"), col("date"), col("bar_id"))
       .agg(ohlcvAggs(pc, col("units")).head, ohlcvAggs(pc, col("units")).tail: _*)
-      .orderBy(col("symbol"), col("date"), col("bar_id"))
-      .select(col("symbol") +: barCols.map(col): _*)
+      .select(col("symbol") +: barCols(c).map(col): _*)
   }
 }

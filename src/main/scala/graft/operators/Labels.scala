@@ -29,6 +29,20 @@ object Labels {
   private[graft] def safeDiv(num: Column, den: Column): Column =
     num / nullif(den, lit(0))
 
+  /** Single-frame parity (reference labels take `symbol: IntoExpr |
+    * None`, labels.py:35): a frame without the symbol column is one
+    * instrument — run under a constant key, drop it on the way out.
+    */
+  private def singleFrame(df: DataFrame, c: TradingCols)(f: DataFrame => DataFrame): DataFrame =
+    if (df.columns.contains(c.symbol)) f(df)
+    else f(df.withColumn(c.symbol, lit("__single"))).drop(c.symbol)
+
+  /** Time ordering with the tradeId tiebreak when present (synthetic
+    * single-column frames may carry only ts+price).
+    */
+  private def timeOrd(df: DataFrame, c: TradingCols): Seq[Column] =
+    if (df.columns.contains(c.tradeId)) Seq(col(c.ts), col(c.tradeId)) else Seq(col(c.ts))
+
   /** Forward return: price[t+offset+window] / price[t+offset] - 1
     * per symbol in time order (labels.py:96).
     */
@@ -38,9 +52,9 @@ object Labels {
       offset: Int = 1,
       c: TradingCols = TradingCols.default,
       outCol: String = "fwd_return",
-  ): DataFrame = {
-    val w = Window.partitionBy(col(c.symbol)).orderBy(col(c.ts), col(c.tradeId))
-    df.withColumn(
+  ): DataFrame = singleFrame(df, c) { d =>
+    val w = Window.partitionBy(col(c.symbol)).orderBy(timeOrd(d, c): _*)
+    d.withColumn(
       outCol,
       safeDiv(lead(col(c.price), offset + window).over(w), lead(col(c.price), offset).over(w)) - 1,
     )
@@ -85,7 +99,7 @@ object Labels {
       df: DataFrame,
       lookback: String = "24 hours",
       c: TradingCols = TradingCols.default,
-  ): DataFrame = {
+  ): DataFrame = singleFrame(df, c) { df =>
     val left = df.select(
       col(c.symbol),
       col(c.ts),
@@ -138,7 +152,7 @@ object Labels {
       df: DataFrame,
       offset: String = "24 hours",
       c: TradingCols = TradingCols.default,
-  ): DataFrame = {
+  ): DataFrame = singleFrame(df, c) { df =>
     val left = df.select(
       col(c.symbol),
       col(c.ts),
@@ -172,9 +186,10 @@ object Labels {
       constTarget: Option[Double] = None,
       volSpan: Int = 100,
       c: TradingCols = TradingCols.default,
-  ): DataFrame =
+  ): DataFrame = singleFrame(df, c) { df =>
     tripleBarrierCore(df, horizon, ptMult, slMult, volSpan, constTarget, c)
       .select(col(c.symbol), col(c.ts), col("trgt"), col("t1"), col("pt_ts"), col("sl_ts"))
+  }
 
   /** Triple-barrier label (AFML pg.45; completes the reference's
     * stub). For each event (tick) with volatility target `trgt`:
@@ -201,7 +216,7 @@ object Labels {
       constTarget: Option[Double] = None,
       signOnVertical: Boolean = false,
       c: TradingCols = TradingCols.default,
-  ): DataFrame = {
+  ): DataFrame = singleFrame(df, c) { df =>
     val agg = tripleBarrierCore(df, horizon, ptMult, slMult, volSpan, constTarget, c)
     val ptFirst = col("pt_ts").isNotNull && (col("sl_ts").isNull || col("pt_ts") <= col("sl_ts"))
     val slFirst = col("sl_ts").isNotNull && !ptFirst

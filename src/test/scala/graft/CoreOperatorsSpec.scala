@@ -415,6 +415,38 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out(2).getAs[Int]("label") == 0)  // 96 -> 96.5 inside barriers
   }
 
+  // --- single-frame parity: reference labels take symbol=None
+  // (labels.py:35) — a frame without the symbol column is one
+  // instrument ---
+  test("labels work on a single frame without a symbol column") {
+    val df = Seq(
+      (ts("2021-01-01 00:00:00"), 100.0),
+      (ts("2021-01-01 01:00:00"), 110.0),
+      (ts("2021-01-01 02:00:00"), 121.0),
+    ).toDF("ts", "price") // no symbol, no trade_id
+    val fwd = Labels.fixedTimeReturn(df, window = 1, offset = 0).orderBy("ts").collect()
+    assert(!fwd.head.schema.fieldNames.contains("symbol"))
+    assert(math.abs(fwd(0).getAs[Double]("fwd_return") - 0.10) < 1e-12)
+    val vb = Labels.verticalBarrier(df, "1 hours").orderBy("ts").collect()
+    assert(vb(0).getAs[java.sql.Timestamp]("vertical_barrier") == ts("2021-01-01 01:00:00"))
+    val r24 = Labels.returns24h(df, "1 hours").orderBy("ts").collect()
+    assert(math.abs(r24(1).getAs[Double]("return24h") - 0.10) < 1e-12)
+    val tb = Labels.tripleBarrier(df, horizon = "3 hours", constTarget = Some(0.05)).collect()
+    assert(tb.nonEmpty && !tb.head.schema.fieldNames.contains("symbol"))
+  }
+
+  // --- OHLC output column config (config.py renames outputs too) ---
+  test("bar outputs honor configured OHLC column names") {
+    val c = TradingCols(open = "o", high = "h", low = "l", close = "cl")
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 3.0, 5L),
+      ("A", "2021-01-01 00:30:00", 4.0, 5L),
+    )
+    val out = Bars.timeBars(df, "1 hour", c).collect()
+    assert(out.head.schema.fieldNames.toSet.intersect(Set("o", "h", "l", "cl")).size == 4)
+    assert(out.head.getAs[Double]("o") == 3.0 && out.head.getAs[Double]("cl") == 4.0)
+  }
+
   // --- degenerate-price policy: operators must not abort on a zero
   // price (Spark 4 ANSI mode would raise DIVIDE_BY_ZERO); returns
   // against a zero price propagate null, zero-cent ticks contribute

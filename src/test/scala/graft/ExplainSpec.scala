@@ -55,6 +55,16 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial_"))
   }
 
+  test("bar operators are unsorted: exactly one range exchange per query") {
+    // the operator no longer embeds an orderBy, so the only sort is
+    // the caller's final presentation ordering
+    for (q <- Seq("time_bars", "tick_bars", "volume_bars")) {
+      val p = plan(q)
+      val ranges = "rangepartitioning".r.findAllIn(p.toLowerCase).length
+      assert(ranges <= 1, s"$q has $ranges range exchanges:\n$p")
+    }
+  }
+
   test("ivf cell assignment is a partial aggregation, not a window sort") {
     val p = plan("ann_ivf_topk")
     // nearest-centroid via max_by gets map-side combine: one row per
