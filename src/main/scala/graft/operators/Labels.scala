@@ -131,10 +131,13 @@ object Labels {
     val hasSymbol = df.columns.contains(c.symbol)
     val withSym = if (hasSymbol) df else df.withColumn(c.symbol, lit("__single"))
     val rets = returns24h(withSym, "24 hours", c)
+    // segmented scan chunked by date: a hot symbol parallelizes
+    // across its days instead of serializing through one core
     val vol = Ewm
-      .stdOverKey(
+      .stdOverKeyChunked(
         rets,
         keyCols = Seq(c.symbol),
+        chunkCol = to_date(col(c.ts)),
         orderCols = Seq(c.ts),
         valueCol = "return24h",
         span = span,
