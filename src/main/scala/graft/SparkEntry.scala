@@ -316,8 +316,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     },
     "ann_ivf_topk" -> { (s, dir) =>
+      // explicit seed centroids + no k-means: the DuckDB oracle
+      // replays exactly this; production callers omit the params and
+      // get sqrt(N) cells with spherical k-means refinement
       Similarity
-        .ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 10)
+        .ivfTopK(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          nQueries = 10, k = 10, nCells = 16, nProbe = 4, kmeansIters = 0,
+        )
         .orderBy(col("query_id"), col("rnk"))
     },
     "embed_dedup" -> { (s, dir) =>

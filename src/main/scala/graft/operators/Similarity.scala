@@ -199,24 +199,37 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: vectors are assigned to the cell of
     * their nearest centroid; a query probes its `nProbe` closest
-    * cells and ranks only those candidates. Centroid "training" is
-    * deterministic seed-selection (the first `nCells` vectors) — the
-    * assignment/probe machinery is the real scale path (a k-means
-    * refinement would only change the centroid table). Candidate
-    * fraction ≈ nProbe/nCells of the corpus.
+    * cells and ranks only those candidates. Candidate fraction ≈
+    * nProbe/nCells of the corpus.
+    *
+    * Centroids: deterministic seed-selection (the first `nCells`
+    * vectors) refined by `kmeansIters` rounds of spherical k-means,
+    * entirely as DataFrame ops — assignment is a broadcast join +
+    * max_by partial aggregation, means are a posexplode/avg
+    * aggregation, so each round is two shuffles of (cell, dim)
+    * cardinality, never a driver loop over vectors. Cells that lose
+    * all members drop out (standard k-means shrinkage).
+    *
+    * nCells = 0 derives √N cells (the classic IVF balance point:
+    * probe cost ≈ cell size ≈ √N) from a metadata-cheap count.
     */
   def ivfTopK(
       emb: DataFrame,
       nQueries: Int = 10,
       k: Int = 10,
-      nCells: Int = 16,
+      nCells: Int = 0,
       nProbe: Int = 4,
+      kmeansIters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(16, math.min(65536, math.round(math.sqrt(emb.count().toDouble)).toInt))
     val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
       .select(col("id"), col("nv"))
-    val cents = nv.where(col("id") < nCells).select(col("id").as("cent_id"), col("nv").as("cv"))
+    val seed = nv.where(col("id") < cells).select(col("id").as("cent_id"), col("nv").as("cv"))
+    val cents = (0 until kmeansIters).foldLeft(seed) { (c, _) => kmeansRound(nv, c) }
     // cell assignment: nearest centroid by cosine (deterministic
     // tiebreak on the SMALLEST centroid id, hence -cent_id in the
     // ordering struct). groupBy + max_by gets partial map-side
@@ -248,6 +261,39 @@ object Similarity {
       .withColumn("rnk", row_number().over(wRank))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+  }
+
+  /** One spherical k-means round: assign each vector to its nearest
+    * centroid (broadcast join + max_by partial agg), average members
+    * per cell per dimension, re-normalize the means onto the sphere.
+    */
+  private def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = nv
+      .join(broadcast(cents), lit(true))
+      .withColumn("cs", dotNorm(col("nv"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        first(col("nv")).as("nv"),
+        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+      )
+    val means = assigned
+      .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m"),
+        ).as("mv")
+      )
+    means
+      .withColumn("__nrm", sqrt(dot(col("mv"), col("mv"))))
+      .where(col("__nrm") > 0)
+      .select(
+        col("cell").as("cent_id"),
+        transform(col("mv"), x => x / col("__nrm")).as("cv"),
+      )
   }
 
   /** Embedding near-duplicate pairs: sharing an LSH bucket in any

@@ -232,6 +232,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("auto IVF (sqrt-N cells + spherical k-means) recalls clustered neighbors") {
+    val n = 1000
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(25, dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val emb = (0 until n).map { i =>
+      val c = centers(i % 25)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity
+      .bruteForceTopK(emb, nQueries = 10, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivf = Similarity
+      .ivfTopK(emb, nQueries = 10, k = 10) // auto: ~32 cells, k-means x2
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(s"auto-IVF recall vs brute force on clustered corpus: $recall")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("simhash pairs find exact duplicates with hamming 0") {
     val d = docs(
       "spark shuffles data across many executors today",
