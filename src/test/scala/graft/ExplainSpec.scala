@@ -45,6 +45,33 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("AsofJoin"))
   }
 
+  test("native asof over bucketed tables elides both shuffle exchanges") {
+    // the co-partitioning requirement is declared to Catalyst, so a
+    // symbol-bucketed, (symbol, ts)-sorted table satisfies it at scan
+    // time — the 100 TB story: a TradeStore-style bucketed layout
+    // makes every as-of join exchange-free
+    import org.apache.spark.sql.functions._
+    val trades = TradeData.fromEvents(spark, dir)
+    trades
+      .write.mode("overwrite")
+      .bucketBy(4, "symbol").sortBy("symbol", "ts")
+      .saveAsTable("asof_left")
+    trades
+      .select($"symbol", $"ts".as("rts"), $"price".as("rp"))
+      .write.mode("overwrite")
+      .bucketBy(4, "symbol").sortBy("symbol", "rts")
+      .saveAsTable("asof_right")
+    val l = spark.table("asof_left").select($"symbol", $"ts", $"price".as("lp"))
+    val r = spark.table("asof_right")
+    val out = AsofJoin.asofNative(l, r, "ts", "rts", by = Seq("symbol"))
+    val p = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(p.contains("AsofJoin"))
+    assert(exchanges == 0, s"expected exchange-free plan over bucketed inputs, got $exchanges:\n$p")
+    // and the join still computes: every left row present
+    assert(out.count() == trades.count())
+  }
+
   test("ann topk applies WindowGroupLimit pushdown") {
     val p = plan("ann_topk")
     assert(p.contains("WindowGroupLimit"))

@@ -49,6 +49,36 @@ class StreamingBarsSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("streaming dedup emits each fingerprint once within the watermark") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "alpha beta gamma"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "Alpha  Beta gamma"), // dup of 0 (normalized)
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "delta epsilon"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), "alpha beta gamma"), // dup of 0
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "zeta eta"),
+    ).toDF("doc_id", "ts", "text")
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = graft.streaming.StreamingDedup
+      .exactWithinWatermark(stream, "ts", watermark = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("stream_dedup")
+    assert(out.count() == 3) // 0-group once, 2, 4
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(Set(2L, 4L)) == Set(2L, 4L))
+    assert(ids.intersect(Set(0L, 1L, 3L)).size == 1) // exactly one of the dup group
+  }
+
   test("streaming time bars equal batch time bars on the same data") {
     val batchTrades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-stream").toString
