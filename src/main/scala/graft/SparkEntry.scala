@@ -126,6 +126,24 @@ object SparkEntry {
           .tickImbalanceBars(TradeData.fromEvents(s, dir), initTicks = 50.0, alpha = 0.0)
       ).orderBy(col("symbol"), col("ts_start"))
     },
+    "dollar_imbalance_bars" -> { (s, dir) =>
+      // alpha=0: fixed threshold |theta| >= 50*500*100 cents
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars.dollarImbalanceBars(
+          TradeData.fromEvents(s, dir),
+          initTicks = 50.0, initDollarImbalance = 500.0, alpha = 0.0,
+        )
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
+    "tick_run_bars" -> { (s, dir) =>
+      // alpha=0: fixed threshold max(up,down) >= 50*0.55
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars.tickRunBars(
+          TradeData.fromEvents(s, dir),
+          initTicks = 50.0, initPmax = 0.55, alpha = 0.0,
+        )
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
     "imbalance_bars_adaptive" -> { (s, dir) =>
       // rows-only: EWMA-adaptive sequential thresholds are not
       // SQL-expressible; semantics pinned in CoreOperatorsSpec
@@ -500,6 +518,60 @@ object SparkEntry {
        |  FROM sums)""".stripMargin
   }
 
+  /** Recursive close-chain oracle shared by the fixed-threshold
+    * (alpha=0) imbalance-bar family: `cumExpr` is the per-tick signed
+    * quantity; the bar closes when the cumulative sum moves
+    * `threshold` away from its value at the previous close. The
+    * trailing partial bar is never emitted (matches the streaming
+    * scan, which only emits on close).
+    */
+  private def imbalanceOracleSql(cumExpr: String, threshold: String): String =
+    s"""WITH RECURSIVE $T,
+       |sgn AS (
+       |  SELECT symbol, ts, price, size, trade_id,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS rn,
+       |         CASE WHEN price > lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN 1
+       |              WHEN price < lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN -1
+       |         END AS raw
+       |  FROM trades),
+       |ticks AS (
+       |  SELECT *, coalesce(last_value(raw IGNORE NULLS)
+       |                     OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING), 1) AS sign
+       |  FROM sgn),
+       |cs AS (
+       |  SELECT *, CAST(sum($cumExpr) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+       |  FROM ticks),
+       |closes AS (
+       |  SELECT symbol, CAST(0 AS BIGINT) AS crn, CAST(0 AS BIGINT) AS cs, 0 AS j
+       |  FROM (SELECT DISTINCT symbol FROM cs)
+       |  UNION ALL
+       |  SELECT symbol,
+       |         (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= $threshold),
+       |         (SELECT arg_min(u.s, u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= $threshold),
+       |         j + 1
+       |  FROM closes c
+       |  WHERE (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= $threshold) IS NOT NULL),
+       |thetas AS (
+       |  SELECT symbol, j - 1 AS bar,
+       |         CAST(cs - lag(cs, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS theta
+       |  FROM closes QUALIFY j > 0),
+       |assigned AS (
+       |  SELECT u.*,
+       |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0 AND c.crn < u.rn) AS bar,
+       |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0) AS nbars
+       |  FROM cs u),
+       |agg AS (
+       |  SELECT symbol, bar,
+       |         epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
+       |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
+       |         CAST(sum(size) AS BIGINT) AS volume, sum(price * size) / sum(size) AS vwap,
+       |         CAST(count(*) AS BIGINT) AS n_trades
+       |  FROM assigned WHERE bar < nbars
+       |  GROUP BY symbol, bar)
+       |SELECT a.symbol AS symbol, ts_start, ts_end, open, high, low, close, volume, vwap, n_trades, theta
+       |FROM agg a JOIN thetas t ON a.symbol = t.symbol AND a.bar = t.bar
+       |ORDER BY symbol, ts_start""".stripMargin
+
   /** DuckDB oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -698,11 +770,16 @@ object SparkEntry {
          |GROUP BY symbol, d, g
          |ORDER BY symbol, ts_start""".stripMargin,
     "imbalance_bars" ->
-      // Fixed-threshold (alpha=0) tick-imbalance bars: tick-rule
-      // signs (carry on equal price, initial +1), bar closes when
-      // |cumulative sign - sign at previous close| >= 10; the close
-      // chain is a recursive CTE over bars, the trailing partial bar
-      // is never emitted.
+      // Fixed-threshold (alpha=0) tick-imbalance bars: close at
+      // |cum sign - sign at previous close| >= 50*0.2 = 10
+      imbalanceOracleSql("sign", "10"),
+    "dollar_imbalance_bars" ->
+      // theta accumulates sign * exact cents; close at
+      // |delta| >= 50 * 500 * 100 cents
+      imbalanceOracleSql("sign * CAST(round(price * 100) AS BIGINT) * size", "2500000"),
+    "tick_run_bars" ->
+      // run bars: two cumulative counts (up/down ticks); close when
+      // either run since the previous close reaches 50*0.55 = 27.5
       s"""WITH RECURSIVE $T,
          |sgn AS (
          |  SELECT symbol, ts, price, size, trade_id,
@@ -716,21 +793,25 @@ object SparkEntry {
          |                     OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING), 1) AS sign
          |  FROM sgn),
          |cs AS (
-         |  SELECT *, CAST(sum(sign) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+         |  SELECT *,
+         |         CAST(sum(CASE WHEN sign > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cu,
+         |         CAST(sum(CASE WHEN sign < 0 THEN 1 ELSE 0 END) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
          |  FROM ticks),
          |closes AS (
-         |  SELECT symbol, CAST(0 AS BIGINT) AS crn, CAST(0 AS BIGINT) AS cs, 0 AS j
+         |  SELECT symbol, CAST(0 AS BIGINT) AS crn, CAST(0 AS BIGINT) AS ccu, CAST(0 AS BIGINT) AS ccd, 0 AS j
          |  FROM (SELECT DISTINCT symbol FROM cs)
          |  UNION ALL
          |  SELECT symbol,
-         |         (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= 10),
-         |         (SELECT arg_min(u.s, u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= 10),
+         |         (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND greatest(u.cu - c.ccu, u.cd - c.ccd) >= 27.5),
+         |         (SELECT arg_min(u.cu, u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND greatest(u.cu - c.ccu, u.cd - c.ccd) >= 27.5),
+         |         (SELECT arg_min(u.cd, u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND greatest(u.cu - c.ccu, u.cd - c.ccd) >= 27.5),
          |         j + 1
          |  FROM closes c
-         |  WHERE (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= 10) IS NOT NULL),
-         |thetas AS (
+         |  WHERE (SELECT min(u.rn) FROM cs u WHERE u.symbol = c.symbol AND u.rn > c.crn AND greatest(u.cu - c.ccu, u.cd - c.ccd) >= 27.5) IS NOT NULL),
+         |runs AS (
          |  SELECT symbol, j - 1 AS bar,
-         |         CAST(cs - lag(cs, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS theta
+         |         CAST(ccu - lag(ccu, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS up_ticks,
+         |         CAST(ccd - lag(ccd, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS down_ticks
          |  FROM closes QUALIFY j > 0),
          |assigned AS (
          |  SELECT u.*,
@@ -745,8 +826,8 @@ object SparkEntry {
          |         CAST(count(*) AS BIGINT) AS n_trades
          |  FROM assigned WHERE bar < nbars
          |  GROUP BY symbol, bar)
-         |SELECT a.symbol AS symbol, ts_start, ts_end, open, high, low, close, volume, vwap, n_trades, theta
-         |FROM agg a JOIN thetas t ON a.symbol = t.symbol AND a.bar = t.bar
+         |SELECT a.symbol AS symbol, ts_start, ts_end, open, high, low, close, volume, vwap, n_trades, up_ticks, down_ticks
+         |FROM agg a JOIN runs t ON a.symbol = t.symbol AND a.bar = t.bar
          |ORDER BY symbol, ts_start""".stripMargin,
     "daily_vol" ->
       s"""WITH $T,

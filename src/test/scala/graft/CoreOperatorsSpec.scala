@@ -415,6 +415,42 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out(2).getAs[Int]("label") == 0)  // 96 -> 96.5 inside barriers
   }
 
+  // --- dollar imbalance bars (AFML 2.3.2.2, alpha=0): theta in exact
+  // cents, bar closes when |theta| reaches ticks*dollars*100 ---
+  test("dollar imbalance bars close on signed dollar flow") {
+    // sign: first tick +, then down, down, up; cents = price*100*size
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 10.0, 1L), // +1000c, theta 1000
+      ("A", "2021-01-01 00:01:00", 9.0, 2L),  // -1800c, theta -800
+      ("A", "2021-01-01 00:02:00", 8.0, 3L),  // -2400c, theta -3200 -> |.| >= 3000 close
+      ("A", "2021-01-01 00:03:00", 9.0, 1L),  // +900 (partial, not emitted)
+    )
+    val out = operators.ImbalanceBars
+      .dollarImbalanceBars(df, initTicks = 10.0, initDollarImbalance = 3.0, alpha = 0.0)
+      .collect() // threshold = 10 * 3.0 * 100 = 3000 cents
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("theta") == -3200L)
+    assert(out.head.getAs[Long]("n_trades") == 3L && out.head.getAs[Long]("volume") == 6L)
+  }
+
+  // --- tick run bars (AFML 2.3.2.3, alpha=0): close when either
+  // directional run reaches ticks*pMax ---
+  test("tick run bars close on one-sided runs and report both counts") {
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 10.0, 1L), // + (initial)
+      ("A", "2021-01-01 00:01:00", 11.0, 1L), // +
+      ("A", "2021-01-01 00:02:00", 10.5, 1L), // -
+      ("A", "2021-01-01 00:03:00", 11.5, 1L), // + -> up=3 >= 4*0.75=3 close
+      ("A", "2021-01-01 00:04:00", 12.0, 1L), // partial
+    )
+    val out = operators.ImbalanceBars
+      .tickRunBars(df, initTicks = 4.0, initPmax = 0.75, alpha = 0.0)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("up_ticks") == 3L && out.head.getAs[Long]("down_ticks") == 1L)
+    assert(out.head.getAs[Long]("n_trades") == 4L)
+  }
+
   // --- segmented EWM: the chunked linear-recurrence scan must agree
   // with the monolithic per-key scan (up to float associativity) ---
   test("chunked EWM scan matches the monolithic scan across chunk boundaries") {
