@@ -1,15 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
 
 import graft.api.TradingCols
 
-/** Event-time rolling features over trailing time windows
-  * (RANGE frames on epoch-micros, per symbol): the declarative
-  * formulation Catalyst evaluates incrementally in one pass per
-  * partition — no self-join, no explode.
+/** Event-time rolling features over trailing time windows.
+  *
+  * Two implementations with identical semantics (equality pinned in
+  * ScalaTest; both within the oracle's 6-decimal compare):
+  *
+  *  - [[featuresDeclarative]]: RANGE frames on epoch-micros. Spark
+  *    recomputes sliding frames per row (no retraction), so this is
+  *    O(n·w) per partition — fine at bench scale, quadratic-ish for
+  *    wide windows at 100 TB.
+  *  - [[features]] (default for windows <= 1 day): a halo-chunked
+  *    monotonic-deque scan. Rows are chunked by calendar day and the
+  *    previous day's tail (within `window` of the boundary) is
+  *    duplicated into each chunk as context, so every chunk computes
+  *    independently — parallelism symbol × day with NO sequential
+  *    cross-chunk pass, O(n) amortized per chunk (incremental sums,
+  *    min/max via monotonic deques).
   */
 object Rolling {
 
@@ -18,6 +31,17 @@ object Rolling {
     *  - rolling_vwap, rolling_mean_price, rolling_min/max, rolling_n
     */
   def features(
+      df: DataFrame,
+      window: String = "1 hour",
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val m = windowMicros(window)
+    if (m > 86400000000L) featuresDeclarative(df, window, c)
+    else featuresScan(df, m, c)
+  }
+
+  /** RANGE-frame formulation (also the shape the DuckDB oracle uses). */
+  def featuresDeclarative(
       df: DataFrame,
       window: String = "1 hour",
       c: TradingCols = TradingCols.default,
@@ -32,6 +56,130 @@ object Rolling {
       .withColumn("rolling_min", min(col(c.price)).over(w))
       .withColumn("rolling_max", max(col(c.price)).over(w))
       .withColumn("rolling_n", count(lit(1)).over(w))
+  }
+
+  /** Halo-chunked deque scan; requires windowMicros <= 1 day so the
+    * halo (context) rows of a chunk all come from the previous
+    * calendar day's tail.
+    */
+  private def featuresScan(df: DataFrame, m: Long, c: TradingCols): DataFrame = {
+    val day = 86400000000L
+    val withUts = df
+      .withColumn("__uts", unix_micros(col(c.ts)))
+      .withColumn("__day", unix_micros(date_trunc("DAY", col(c.ts))))
+    val base = withUts
+      .withColumn("__chunk", col("__day"))
+      .withColumn("__ctx", lit(false))
+    // previous-day tail duplicated into the next chunk as context
+    val halo = withUts
+      .where(col("__day") + day - col("__uts") <= m)
+      .withColumn("__chunk", col("__day") + day)
+      .withColumn("__ctx", lit(true))
+    val unioned = base.unionByName(halo).drop("__day")
+
+    val sorted = unioned
+      .repartition(col(c.symbol), col("__chunk"))
+      .sortWithinPartitions(col(c.symbol), col("__chunk"), col("__uts"))
+
+    val schema = sorted.schema
+    val symIdx = schema.fieldIndex(c.symbol)
+    val chunkIdx = schema.fieldIndex("__chunk")
+    val utsIdx = schema.fieldIndex("__uts")
+    val priceIdx = schema.fieldIndex(c.price)
+    val sizeIdx = schema.fieldIndex(c.size)
+    val ctxIdx = schema.fieldIndex("__ctx")
+    val keepIdx = schema.fieldNames.zipWithIndex
+      .collect { case (n, i) if n != "__uts" && n != "__chunk" && n != "__ctx" => i }
+    val outSchema = StructType(
+      keepIdx.map(schema.fields(_)).toSeq ++ Seq(
+        StructField("rolling_vwap", DoubleType, nullable = true),
+        StructField("rolling_mean_price", DoubleType, nullable = true),
+        StructField("rolling_min", DoubleType, nullable = true),
+        StructField("rolling_max", DoubleType, nullable = true),
+        StructField("rolling_n", LongType, nullable = false),
+      )
+    )
+
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        // per-(symbol, chunk) deque state
+        var curSym: Any = null
+        var curChunk: Long = Long.MinValue
+        val q = new java.util.ArrayDeque[(Long, Double, Long)]() // (uts, price, size)
+        val minQ = new java.util.ArrayDeque[(Long, Double)]()
+        val maxQ = new java.util.ArrayDeque[(Long, Double)]()
+        var sumPS, sumP = 0.0
+        var sumS, n = 0L
+        // rows of one uts group awaiting emission (non-ctx only)
+        var pendingOut: List[Row] = Nil
+
+        private def resetChunk(): Unit = {
+          q.clear(); minQ.clear(); maxQ.clear()
+          sumPS = 0.0; sumP = 0.0; sumS = 0L; n = 0L
+        }
+
+        private def add(uts: Long, p: Double, s: Long): Unit = {
+          q.addLast((uts, p, s))
+          sumPS += p * s; sumP += p; sumS += s; n += 1
+          while (!minQ.isEmpty && minQ.peekLast()._2 > p) minQ.removeLast()
+          minQ.addLast((uts, p))
+          while (!maxQ.isEmpty && maxQ.peekLast()._2 < p) maxQ.removeLast()
+          maxQ.addLast((uts, p))
+        }
+
+        private def evict(nowUts: Long): Unit = {
+          while (!q.isEmpty && q.peekFirst()._1 < nowUts - m) {
+            val (u, p, s) = q.removeFirst()
+            sumPS -= p * s; sumP -= p; sumS -= s; n -= 1
+            if (!minQ.isEmpty && minQ.peekFirst()._1 == u && minQ.peekFirst()._2 == p) minQ.removeFirst()
+            if (!maxQ.isEmpty && maxQ.peekFirst()._1 == u && maxQ.peekFirst()._2 == p) maxQ.removeFirst()
+          }
+        }
+
+        override def hasNext: Boolean = {
+          while (pendingOut.isEmpty && buf.hasNext) {
+            val head = buf.head
+            val sym = head.get(symIdx)
+            val chunk = head.getLong(chunkIdx)
+            if (sym != curSym || chunk != curChunk) {
+              curSym = sym; curChunk = chunk; resetChunk()
+            }
+            // consume the whole equal-uts group first (RANGE-frame tie
+            // semantics: ties see each other)
+            val uts = head.getLong(utsIdx)
+            var group: List[Row] = Nil
+            while (
+              buf.hasNext && buf.head.get(symIdx) == sym &&
+              buf.head.getLong(chunkIdx) == chunk && buf.head.getLong(utsIdx) == uts
+            ) {
+              val r = buf.next()
+              add(uts, r.getDouble(priceIdx), r.getLong(sizeIdx))
+              if (!r.getBoolean(ctxIdx)) group = r :: group
+            }
+            evict(uts)
+            pendingOut = group.reverse.map { r =>
+              Row.fromSeq(
+                // Seq[Any]: a bare Seq would widen the Long count to
+                // Double and break the BIGINT field
+                keepIdx.map(r.get).toSeq ++ Seq[Any](
+                  sumPS / sumS,
+                  sumP / n,
+                  minQ.peekFirst()._2,
+                  maxQ.peekFirst()._2,
+                  n,
+                )
+              )
+            }
+          }
+          pendingOut.nonEmpty
+        }
+
+        override def next(): Row = {
+          val r = pendingOut.head; pendingOut = pendingOut.tail; r
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   private[graft] def windowMicros(window: String): Long = {

@@ -415,6 +415,35 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out(2).getAs[Int]("label") == 0)  // 96 -> 96.5 inside barriers
   }
 
+  // --- rolling features: the halo-chunked deque scan must equal the
+  // RANGE-frame formulation, including across midnight boundaries ---
+  test("rolling deque scan equals RANGE windows across day boundaries") {
+    val rnd = new scala.util.Random(5)
+    val t0 = java.time.Instant.parse("2021-01-01T00:00:00Z")
+    val rows = (0 until 400).map { i =>
+      val sym = if (i % 2 == 0) "A" else "B"
+      // ~11-minute spacing: windows span midnight repeatedly
+      (sym, java.sql.Timestamp.from(t0.plusSeconds(i * 660L)), 1.0 + rnd.nextInt(9999) / 100.0, (rnd.nextInt(50) + 1).toLong, i.toLong)
+    }
+    val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+    val scan = operators.Rolling
+      .features(df, "1 hour")
+      .orderBy("symbol", "ts")
+      .collect()
+    val win = operators.Rolling
+      .featuresDeclarative(df, "1 hour")
+      .orderBy("symbol", "ts")
+      .collect()
+    assert(scan.length == win.length && scan.nonEmpty)
+    scan.zip(win).foreach { case (s, w) =>
+      assert(s.getAs[Long]("rolling_n") == w.getAs[Long]("rolling_n"), s"n at ${s.getAs[Any]("ts")}")
+      assert(s.getAs[Double]("rolling_min") == w.getAs[Double]("rolling_min"))
+      assert(s.getAs[Double]("rolling_max") == w.getAs[Double]("rolling_max"))
+      assert(math.abs(s.getAs[Double]("rolling_vwap") - w.getAs[Double]("rolling_vwap")) < 1e-9)
+      assert(math.abs(s.getAs[Double]("rolling_mean_price") - w.getAs[Double]("rolling_mean_price")) < 1e-9)
+    }
+  }
+
   // --- dollar imbalance bars (AFML 2.3.2.2, alpha=0): theta in exact
   // cents, bar closes when |theta| reaches ticks*dollars*100 ---
   test("dollar imbalance bars close on signed dollar flow") {
