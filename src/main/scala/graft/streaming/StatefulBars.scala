@@ -52,6 +52,15 @@ object StatefulBars {
       n_trades: Long,
   )
 
+  private[streaming] def tsMicros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L
+
+  private[streaming] def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** N-ticks-per-bar streaming bars over a (possibly streaming)
     * trades DataFrame with TradingCols.default columns.
     */
@@ -80,19 +89,19 @@ object StatefulBars {
       rows: Iterator[Tick],
       state: GroupState[OpenBar],
   ): Iterator[Bar] = {
-    val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.trade_id))
+    val sorted = rows.toSeq.sortBy(t => (tsMicros(t.ts), t.trade_id))
     var bar = state.getOption.orNull
     val out = Seq.newBuilder[Bar]
     sorted.foreach { t =>
-      val tsMs = t.ts.getTime
+      val tsUs = tsMicros(t.ts) // full microsecond precision
       bar =
         if (bar == null)
-          OpenBar(1, tsMs, tsMs, t.price, t.price, t.price, t.price, t.size, t.price * t.size)
+          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, t.price * t.size)
         else
           OpenBar(
             bar.n + 1,
             bar.tsStart,
-            tsMs,
+            tsUs,
             bar.open,
             math.max(bar.high, t.price),
             math.min(bar.low, t.price),
@@ -103,8 +112,8 @@ object StatefulBars {
       if (bar.n >= barSize) {
         out += Bar(
           symbol,
-          new Timestamp(bar.tsStart),
-          new Timestamp(bar.tsEnd),
+          microsTs(bar.tsStart),
+          microsTs(bar.tsEnd),
           bar.open,
           bar.high,
           bar.low,
@@ -117,6 +126,117 @@ object StatefulBars {
       }
     }
     if (bar == null) state.remove() else state.update(bar)
+    out.result().iterator
+  }
+
+  // ---- streaming tick-imbalance bars (adaptive thresholds) ----
+
+  final case class ImbBar(
+      symbol: String,
+      ts_start: Timestamp,
+      ts_end: Timestamp,
+      open: Double,
+      high: Double,
+      low: Double,
+      close: Double,
+      volume: Long,
+      vwap: Double,
+      n_trades: Long,
+      theta: Long,
+  )
+
+  final case class ImbState(
+      hasPrev: Boolean,
+      prevPrice: Double,
+      prevSign: Int,
+      expT: Double,
+      expB: Double,
+      theta: Long,
+      bar: OpenBar, // null when no bar open
+  )
+
+  /** Streaming tick-imbalance bars: the same per-symbol state machine
+    * as the batch operators.ImbalanceBars scan (tick-rule signs,
+    * EWMA-adaptive |theta| threshold), carried across micro-batches in
+    * O(1) state per symbol. Completed bars emit exactly once in
+    * append mode; the open partial bar lives in state (the batch
+    * operator never emits partials either, so streaming == batch on
+    * the same input).
+    */
+  def tickImbalanceBars(
+      trades: DataFrame,
+      initTicks: Double = 100.0,
+      initImbalance: Double = 0.2,
+      minImbalance: Double = 0.05,
+      alpha: Double = 0.1,
+  ): Dataset[ImbBar] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val ticks = trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[Tick]
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processImbalance(initTicks, initImbalance, minImbalance, alpha)
+      )
+  }
+
+  private def processImbalance(
+      initTicks: Double,
+      initImbalance: Double,
+      minImbalance: Double,
+      alpha: Double,
+  )(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[ImbState],
+  ): Iterator[ImbBar] = {
+    val sorted = rows.toSeq.sortBy(t => (tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.getOrElse(
+      ImbState(hasPrev = false, 0.0, 1, initTicks, initImbalance, 0L, null)
+    )
+    val out = Seq.newBuilder[ImbBar]
+    sorted.foreach { t =>
+      val tsUs = tsMicros(t.ts)
+      val sign =
+        if (!st.hasPrev || t.price == st.prevPrice) st.prevSign
+        else if (t.price > st.prevPrice) 1
+        else -1
+      val bar =
+        if (st.bar == null)
+          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, t.price * t.size)
+        else
+          OpenBar(
+            st.bar.n + 1, st.bar.tsStart, tsUs, st.bar.open,
+            math.max(st.bar.high, t.price), math.min(st.bar.low, t.price), t.price,
+            st.bar.volume + t.size, st.bar.pv + t.price * t.size,
+          )
+      val theta = st.theta + sign
+      val threshold = st.expT * math.max(math.abs(st.expB), minImbalance)
+      if (math.abs(theta.toDouble) >= threshold) {
+        out += ImbBar(
+          symbol, microsTs(bar.tsStart), microsTs(bar.tsEnd),
+          bar.open, bar.high, bar.low, bar.close,
+          bar.volume, bar.pv / bar.volume, bar.n, theta,
+        )
+        val (expT, expB) =
+          if (alpha > 0)
+            ((1 - alpha) * st.expT + alpha * bar.n,
+             (1 - alpha) * st.expB + alpha * (theta.toDouble / bar.n))
+          else (st.expT, st.expB)
+        st = ImbState(hasPrev = true, t.price, sign, expT, expB, 0L, null)
+      } else {
+        st = ImbState(hasPrev = true, t.price, sign, st.expT, st.expB, theta, bar)
+      }
+    }
+    state.update(st)
     out.result().iterator
   }
 }

@@ -41,12 +41,49 @@ class StreamingBarsSpec extends SparkSpec {
     val joined = streamed
       .as("s")
       .join(batch.as("b"), col("s.symbol") === col("b.symbol") && col("s.ts_start") === col("b.ts_start"))
-      .where(
+    // every streamed bar matches a batch bar (micros-exact ts_start)
+    assert(joined.count() == batch.count())
+    assert(
+      joined.where(
         col("s.volume") =!= col("b.volume") ||
           abs(col("s.vwap") - col("b.vwap")) > lit(1e-9) ||
           col("s.open") =!= col("b.open") || col("s.close") =!= col("b.close")
-      )
-    assert(joined.count() == 0)
+      ).count() == 0
+    )
+  }
+
+  test("streaming imbalance bars equal batch imbalance bars (adaptive thresholds)") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-simb").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StatefulBars
+      .tickImbalanceBars(stream, initTicks = 20.0)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_imb")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_imb")
+    val batch = graft.operators.ImbalanceBars
+      .tickImbalanceBars(trades, initTicks = 20.0)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed
+      .as("s")
+      .join(batch.as("b"), col("s.symbol") === col("b.symbol") && col("s.ts_start") === col("b.ts_start"))
+    assert(joined.count() == batch.count())
+    assert(
+      joined.where(
+        col("s.theta") =!= col("b.theta") ||
+          col("s.volume") =!= col("b.volume") ||
+          col("s.n_trades") =!= col("b.n_trades") ||
+          abs(col("s.vwap") - col("b.vwap")) > lit(1e-9)
+      ).count() == 0
+    )
   }
 
   test("streaming dedup emits each fingerprint once within the watermark") {
