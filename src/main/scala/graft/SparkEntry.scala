@@ -135,6 +135,15 @@ object SparkEntry {
         )
       ).orderBy(col("symbol"), col("ts_start"))
     },
+    "volume_imbalance_bars" -> { (s, dir) =>
+      // alpha=0: fixed threshold |theta| >= 50*10 = 500 shares
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars.volumeImbalanceBars(
+          TradeData.fromEvents(s, dir),
+          initTicks = 50.0, initVolumeImbalance = 10.0, alpha = 0.0,
+        )
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
     "tick_run_bars" -> { (s, dir) =>
       // alpha=0: fixed threshold max(up,down) >= 50*0.55
       usTs("ts_start", "ts_end")(
@@ -777,6 +786,9 @@ object SparkEntry {
       // theta accumulates sign * exact cents; close at
       // |delta| >= 50 * 500 * 100 cents
       imbalanceOracleSql("sign * CAST(round(price * 100) AS BIGINT) * size", "2500000"),
+    "volume_imbalance_bars" ->
+      // theta accumulates sign * size; close at |delta| >= 50*10
+      imbalanceOracleSql("sign * size", "500"),
     "tick_run_bars" ->
       // run bars: two cumulative counts (up/down ticks); close when
       // either run since the previous close reaches 50*0.55 = 27.5

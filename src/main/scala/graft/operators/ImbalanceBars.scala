@@ -128,6 +128,72 @@ object ImbalanceBars {
       .toDF()
   }
 
+  /** Volume imbalance bars (AFML ch.2.3.2.2, volume form): θ
+    * accumulates sign_t · size_t; close at |θ| >=
+    * E[T]·max(|E[signed size/tick]|, minVolumeImbalance) — frozen
+    * when alpha=0.
+    */
+  def volumeImbalanceBars(
+      df: DataFrame,
+      initTicks: Double = 100.0,
+      initVolumeImbalance: Double = 10.0,
+      minVolumeImbalance: Double = 1.0,
+      alpha: Double = 0.1,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = sortedTicks(df, c)
+    sorted
+      .mapPartitions { it =>
+        var curSym: String = null
+        var prevPrice = Double.NaN
+        var prevSign = 1
+        var expT = initTicks
+        var expB = initVolumeImbalance
+        var n = 0L; var theta = 0L
+        var tsS: java.sql.Timestamp = null; var tsE: java.sql.Timestamp = null
+        var o, h, l, cl = 0.0
+        var vol = 0L; var pv = 0.0
+        def resetBar(): Unit = { n = 0L; theta = 0L; tsS = null; vol = 0L; pv = 0.0 }
+        new Iterator[BarRow] {
+          private var pending: BarRow = null
+          override def hasNext: Boolean = {
+            while (pending == null && it.hasNext) {
+              val (sym, ts, price, size, _) = it.next()
+              if (sym != curSym) {
+                curSym = sym; prevPrice = Double.NaN; prevSign = 1
+                expT = initTicks; expB = initVolumeImbalance
+                resetBar()
+              }
+              val sign =
+                if (prevPrice.isNaN || price == prevPrice) prevSign
+                else if (price > prevPrice) 1
+                else -1
+              prevPrice = price; prevSign = sign
+              if (n == 0L) { tsS = ts; o = price; h = price; l = price }
+              n += 1; theta += sign * size; tsE = ts
+              h = math.max(h, price); l = math.min(l, price); cl = price
+              vol += size; pv += price * size
+              val threshold = expT * math.max(math.abs(expB), minVolumeImbalance)
+              if (math.abs(theta.toDouble) >= threshold) {
+                pending = BarRow(sym, tsS, tsE, o, h, l, cl, vol, pv / vol, n, theta)
+                if (alpha > 0) {
+                  expT = (1 - alpha) * expT + alpha * n
+                  expB = (1 - alpha) * expB + alpha * (theta.toDouble / n)
+                }
+                resetBar()
+              }
+            }
+            pending != null
+          }
+          override def next(): BarRow = { val r = pending; pending = null; r }
+        }
+      }
+      .toDF()
+  }
+
   /** Tick run bars (AFML ch.2.3.2.3): θ = max(up-tick count,
     * down-tick count) in the open bar; closes at θ >= E[T]·max(P[up],
     * 1-P[up]) — EWMA-adaptive, frozen at initTicks·initPmax when

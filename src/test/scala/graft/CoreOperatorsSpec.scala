@@ -462,6 +462,21 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_trades") == 3L && out.head.getAs[Long]("volume") == 6L)
   }
 
+  // --- volume imbalance bars: theta in shares ---
+  test("volume imbalance bars close on signed size flow") {
+    val df = trades(
+      ("A", "2021-01-01 00:00:00", 10.0, 3L), // + -> theta 3
+      ("A", "2021-01-01 00:01:00", 9.0, 4L),  // - -> theta -1
+      ("A", "2021-01-01 00:02:00", 8.0, 8L),  // - -> theta -9 -> |.| >= 8 close
+      ("A", "2021-01-01 00:03:00", 9.0, 1L),  // partial
+    )
+    val out = operators.ImbalanceBars
+      .volumeImbalanceBars(df, initTicks = 4.0, initVolumeImbalance = 2.0, alpha = 0.0)
+      .collect() // threshold = 4 * 2 = 8
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("theta") == -9L && out.head.getAs[Long]("volume") == 15L)
+  }
+
   // --- tick run bars (AFML 2.3.2.3, alpha=0): close when either
   // directional run reaches ticks*pMax ---
   test("tick run bars close on one-sided runs and report both counts") {
