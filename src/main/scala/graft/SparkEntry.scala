@@ -179,16 +179,14 @@ object SparkEntry {
       ).orderBy(col("symbol"), col("ts"))
     },
     "frac_diff" -> { (s, dir) =>
+      // chunked scan: bit-identical to the window form (pinned in
+      // ScalaTest), parallelism symbol x day instead of one sorted
+      // window per symbol
       val t = TradeData.fromEvents(s, dir)
       usTs("ts")(
-        t.select(
-          col("symbol"),
-          col("ts"),
-          col("price"),
-          FracDiff
-            .fracDiff(col("price"), 0.5, 1e-3, Seq(col("symbol")), Seq(col("ts"), col("trade_id")))
-            .as("frac_diff"),
-        )
+        FracDiff
+          .fracDiffChunked(t, "price", 0.5, 1e-3, "symbol", to_date(col("ts")), Seq("ts", "trade_id"))
+          .select(col("symbol"), col("ts"), col("price"), col("frac_diff"))
       ).orderBy(col("symbol"), col("ts"))
     },
     "returns_24h" -> { (s, dir) =>

@@ -47,6 +47,138 @@ object FracDiff {
     when(row_number().over(w) >= ws.length, dot)
   }
 
+  /** Halo-chunked FFD: identical values to [[fracDiff]] (the per-row
+    * dot multiplies the same lags by the same weight literals in the
+    * same left-to-right order — bit-identical doubles, pinned in
+    * ScalaTest), but parallelism is symbol × chunk instead of one
+    * sorted window per symbol: the state a chunk needs from its past
+    * is exactly the previous n_w−1 values, so per-chunk tail
+    * summaries (≤ n_w−1 doubles each) are folded per symbol into
+    * carry-ins (metadata-sized pass, same shape as
+    * Ewm.stdOverKeyChunked) and each chunk scans independently seeded
+    * with its carry.
+    */
+  def fracDiffChunked(
+      df: org.apache.spark.sql.DataFrame,
+      valueCol: String,
+      d: Double,
+      threshold: Double,
+      symbolCol: String,
+      chunkCol: Column,
+      orderCols: Seq[String],
+      outCol: String = "frac_diff",
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val ws = weights(d, threshold)
+    val nW = ws.length
+
+    val chunked = graft.sources.Checkpoint.table(df.withColumn("__chunk", chunkCol), "fd-chunked")
+    val groupCols = Seq(symbolCol, "__chunk")
+    val sorted = chunked
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val keyIdx = groupCols.map(sorted.schema.fieldIndex)
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+
+    // pass 1: per-chunk tails (last <= nW-1 values, NaN for nulls)
+    val tailSchema = StructType(
+      groupCols.map(n => sorted.schema(n)) :+
+        StructField("__tail", ArrayType(DoubleType, containsNull = false), nullable = false)
+    )
+    val tails = sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var curKey: Seq[Any] = null
+      var buf: scala.collection.mutable.ArrayDeque[Double] = null
+      def flush(): Unit =
+        if (curKey != null) out += Row.fromSeq(curKey :+ buf.toSeq)
+      it.foreach { row =>
+        val key = keyIdx.map(row.get)
+        if (key != curKey) {
+          flush(); curKey = key
+          buf = new scala.collection.mutable.ArrayDeque[Double]()
+        }
+        buf.append(if (row.isNullAt(valIdx)) Double.NaN else row.getDouble(valIdx))
+        if (buf.length > nW - 1) buf.removeHead()
+      }
+      flush()
+      out.iterator
+    }(Encoders.row(tailSchema))
+
+    // pass 2: per-symbol fold of tails -> carry-ins (chunk-ordered)
+    val carries = tails
+      .repartition(col(symbolCol))
+      .sortWithinPartitions(groupCols.map(col): _*)
+      .mapPartitions { it =>
+        var curSym: Any = null
+        var carry: Vector[Double] = Vector.empty
+        it.map { s =>
+          val sym = s.get(0)
+          if (sym != curSym) { curSym = sym; carry = Vector.empty }
+          val row = Row.fromSeq(Seq(s.get(0), s.get(1), carry))
+          carry = (carry ++ s.getSeq[Double](2)).takeRight(nW - 1)
+          row
+        }
+      }(Encoders.row(StructType(
+        groupCols.map(n => sorted.schema(n)) :+
+          StructField("__carry", ArrayType(DoubleType, containsNull = false), nullable = false)
+      )))
+
+    // pass 3: per-chunk scan seeded with the carry
+    val joined = chunked
+      .join(carries, groupCols, "left")
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val jKeyIdx = groupCols.map(joined.schema.fieldIndex)
+    val jValIdx = joined.schema.fieldIndex(valueCol)
+    val carryIdx = joined.schema.fieldIndex("__carry")
+    val keepIdx = chunked.schema.fieldNames.filter(_ != "__chunk").map(joined.schema.fieldIndex)
+    val outSchema = StructType(
+      keepIdx.map(joined.schema.fields(_)).toSeq :+ StructField(outCol, DoubleType, nullable = true)
+    )
+
+    joined.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      val ring = new Array[Double](nW) // ring(0)=current, grows backward
+      var hist = 0L // values preceding the current row (uncapped count, capped seed)
+      var pos = 0
+      it.map { row =>
+        val key = jKeyIdx.map(row.get)
+        if (key != curKey) {
+          curKey = key
+          val carry: Seq[Double] =
+            if (row.isNullAt(carryIdx)) Seq.empty else row.getSeq[Double](carryIdx)
+          java.util.Arrays.fill(ring, Double.NaN)
+          // seed so that "index (pos - k) mod nW" is lag k of the
+          // current row: the last carry value is lag 1 of row 0
+          pos = 0
+          carry.reverse.zipWithIndex.foreach { case (v, back) =>
+            ring(((pos - 1 - back) % nW + nW) % nW) = v
+          }
+          hist = carry.length.toLong
+        }
+        val x = if (row.isNullAt(jValIdx)) Double.NaN else row.getDouble(jValIdx)
+        ring(pos) = x
+        val out: Any =
+          if (hist + 1 < nW) null
+          else {
+            var acc = 0.0
+            var k = 0
+            var bad = false
+            while (k < nW && !bad) {
+              val v = ring(((pos - k) % nW + nW) % nW)
+              if (v.isNaN) bad = true else acc += ws(k) * v
+              k += 1
+            }
+            if (bad) null else acc
+          }
+        pos = (pos + 1) % nW
+        hist += 1
+        Row.fromSeq(keepIdx.map(row.get).toSeq :+ out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The same dot product as ANSI SQL for the DuckDB oracle, with the
     * identical weight literals and left-to-right addition order so
     * float results are bit-identical.

@@ -415,6 +415,45 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out(2).getAs[Int]("label") == 0)  // 96 -> 96.5 inside barriers
   }
 
+  // --- chunked FFD must be BIT-identical to the window form (same
+  // lags, same weight literals, same addition order) ---
+  test("chunked frac_diff is bit-identical to the window formulation") {
+    val rnd = new scala.util.Random(9)
+    val t0 = java.time.Instant.parse("2021-01-01T00:00:00Z")
+    val rows = (0 until 600).map { i =>
+      val sym = if (i % 2 == 0) "A" else "B"
+      (sym, java.sql.Timestamp.from(t0.plusSeconds(i * 1800L)), 1.0 + rnd.nextInt(9999) / 100.0, 1L, i.toLong)
+    }
+    val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+    val win = df
+      .select(
+        $"symbol", $"ts",
+        FracDiff.fracDiff($"price", 0.5, 1e-3, Seq($"symbol"), Seq($"ts", $"trade_id")).as("fd"),
+      )
+      .orderBy("symbol", "ts")
+      .collect()
+    val chunked = FracDiff
+      .fracDiffChunked(df, "price", 0.5, 1e-3, "symbol", to_date($"ts"), Seq("ts", "trade_id"), "fd")
+      .select($"symbol", $"ts", $"fd")
+      .orderBy("symbol", "ts")
+      .collect()
+    assert(win.length == chunked.length && win.nonEmpty)
+    win.zip(chunked).foreach { case (w, c) =>
+      assert(w.getTimestamp(1) == c.getTimestamp(1))
+      (w.isNullAt(2), c.isNullAt(2)) match {
+        case (true, true) => ()
+        case (false, false) =>
+          // bit-identical, not approximately equal
+          assert(
+            java.lang.Double.doubleToLongBits(w.getDouble(2)) ==
+              java.lang.Double.doubleToLongBits(c.getDouble(2)),
+            s"${w.getDouble(2)} vs ${c.getDouble(2)} at ${w.getTimestamp(1)}",
+          )
+        case _ => fail(s"null mismatch at ${w.getTimestamp(1)}")
+      }
+    }
+  }
+
   // --- rolling features: the halo-chunked deque scan must equal the
   // RANGE-frame formulation, including across midnight boundaries ---
   test("rolling deque scan equals RANGE windows across day boundaries") {
