@@ -36,4 +36,30 @@ object TradeStore {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Symbol-bucketed catalog table: the layout that makes every
+    * downstream symbol-keyed operator exchange-free. A scan of a
+    * table bucketed by symbol and sorted by (symbol, ts) reports
+    * HashPartitioning(symbol) to Catalyst, so EnsureRequirements
+    * elides the shuffle (and often the sort) for the native as-of
+    * join, bars, and labels — pinned in ExplainSpec ("native asof
+    * over bucketed tables elides both shuffle exchanges").
+    *
+    * Use nBuckets ≈ cluster cores at the target scale; bucket files
+    * are written sorted so merge scans read presorted runs.
+    */
+  def writeBucketed(
+      trades: DataFrame,
+      table: String,
+      nBuckets: Int = 32,
+      c: TradingCols = TradingCols.default,
+  ): Unit =
+    trades.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, c.symbol)
+      .sortBy(c.symbol, c.ts)
+      .saveAsTable(table)
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -51,17 +51,15 @@ class ExplainSpec extends SparkSpec {
     // time — the 100 TB story: a TradeStore-style bucketed layout
     // makes every as-of join exchange-free
     import org.apache.spark.sql.functions._
+    import graft.sources.TradeStore
     val trades = TradeData.fromEvents(spark, dir)
-    trades
-      .write.mode("overwrite")
-      .bucketBy(4, "symbol").sortBy("symbol", "ts")
-      .saveAsTable("asof_left")
+    TradeStore.writeBucketed(trades, "asof_left", nBuckets = 4)
     trades
       .select($"symbol", $"ts".as("rts"), $"price".as("rp"))
       .write.mode("overwrite")
       .bucketBy(4, "symbol").sortBy("symbol", "rts")
       .saveAsTable("asof_right")
-    val l = spark.table("asof_left").select($"symbol", $"ts", $"price".as("lp"))
+    val l = TradeStore.readBucketed(spark, "asof_left").select($"symbol", $"ts", $"price".as("lp"))
     val r = spark.table("asof_right")
     val out = AsofJoin.asofNative(l, r, "ts", "rts", by = Seq("symbol"))
     val p = out.queryExecution.executedPlan.toString
