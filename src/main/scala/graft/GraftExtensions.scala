@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, HashStringsExpr, MinHashSigExpr, ShingleHashExpr}
+import graft.functions.{DotProductExpr, HashStringsExpr, MinHashSigExpr, ShingleHashExpr, SimHashExpr}
 import graft.operators.Dedup
 
 /** SQL surface for graft's native expressions.
@@ -19,6 +19,7 @@ import graft.operators.Dedup
   *  - graft_shingle_hashes(s, k)   -> array<long> distinct k-shingle hashes
   *  - graft_hash_strings(arr)      -> array<long> distinct md5-prefix hashes
   *  - graft_minhash_sig(hsl, n)    -> array<long> minhash signature
+  *  - graft_simhash(tokens, bits)  -> long simhash fingerprint
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -66,6 +67,11 @@ object GraftExtensions {
           (0 until n).map(Dedup.minhashB),
         )
       },
+    ),
+    (
+      "graft_simhash",
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHashExpr(es(0), litInt(es(1), "bits")),
     ),
   )
 

@@ -55,6 +55,19 @@ class ApiSpec extends SparkSpec {
       .head()
       .getSeq[Long](0)
     assert(viaSql.length == 2)
+    val sh = spark
+      .sql("SELECT graft_simhash(array('alpha', 'beta'), 60) AS s")
+      .head()
+      .getLong(0)
+    val viaCol = {
+      import spark.implicits._
+      Seq(Tuple1(Seq("alpha", "beta")))
+        .toDF("toks")
+        .select(graft.functions.TextExprs.simhash(org.apache.spark.sql.functions.col("toks"), 60).as("s"))
+        .head()
+        .getLong(0)
+    }
+    assert(sh == viaCol && sh >= 0)
   }
 
   test("entry() returns rows (driver smoke contract)") {
