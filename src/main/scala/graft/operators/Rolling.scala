@@ -23,6 +23,16 @@ import graft.api.TradingCols
   *    independently — parallelism symbol × day with NO sequential
   *    cross-chunk pass, O(n) amortized per chunk (incremental sums,
   *    min/max via monotonic deques).
+  *
+  * Bit-exactness: the mean/vwap sums accumulate in exact integer
+  * CENTS (prices are 2-decimal, so `round(price*100)` is an exact
+  * Long and sums of cents·size are exact Longs), with one double
+  * division per emitted row. Integer accumulation is order- and
+  * algorithm-independent, so the incremental add/evict scan, the
+  * RANGE-frame recompute, and the DuckDB oracle produce the SAME
+  * IEEE double bit pattern — pinned with doubleToLongBits in
+  * CoreOperatorsSpec (round 2 shipped float accumulate-subtract here
+  * and drifted past the driver hash; this is the fix).
   */
 object Rolling {
 
@@ -51,8 +61,17 @@ object Rolling {
       .partitionBy(col(c.symbol))
       .orderBy(unix_micros(col(c.ts)))
       .rangeBetween(-micros, 0)
-    df.withColumn("rolling_vwap", sum(col(c.price) * col(c.size)).over(w) / sum(col(c.size)).over(w))
-      .withColumn("rolling_mean_price", avg(col(c.price)).over(w))
+    val cents = round(col(c.price) * lit(100)).cast(LongType)
+    df.withColumn(
+        "rolling_vwap",
+        sum(cents * col(c.size)).over(w).cast(DoubleType)
+          / sum(col(c.size)).over(w).cast(DoubleType) / lit(100.0),
+      )
+      .withColumn(
+        "rolling_mean_price",
+        sum(cents).over(w).cast(DoubleType)
+          / count(lit(1)).over(w).cast(DoubleType) / lit(100.0),
+      )
       .withColumn("rolling_min", min(col(c.price)).over(w))
       .withColumn("rolling_max", max(col(c.price)).over(w))
       .withColumn("rolling_n", count(lit(1)).over(w))
