@@ -1072,8 +1072,10 @@ object SparkEntry {
     "rolling_features" ->
       s"""WITH $T
          |SELECT symbol, epoch_us(ts) AS ts, price,
-         |       sum(price * size) OVER w / sum(size) OVER w AS rolling_vwap,
-         |       avg(price) OVER w AS rolling_mean_price,
+         |       CAST(sum(CAST(round(price * 100) AS BIGINT) * size) OVER w AS DOUBLE)
+         |         / CAST(sum(size) OVER w AS DOUBLE) / 100.0 AS rolling_vwap,
+         |       CAST(sum(CAST(round(price * 100) AS BIGINT)) OVER w AS DOUBLE)
+         |         / CAST(count(*) OVER w AS DOUBLE) / 100.0 AS rolling_mean_price,
          |       min(price) OVER w AS rolling_min,
          |       max(price) OVER w AS rolling_max,
          |       CAST(count(*) OVER w AS BIGINT) AS rolling_n

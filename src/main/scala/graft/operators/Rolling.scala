@@ -9,8 +9,8 @@ import graft.api.TradingCols
 
 /** Event-time rolling features over trailing time windows.
   *
-  * Two implementations with identical semantics (equality pinned in
-  * ScalaTest; both within the oracle's 6-decimal compare):
+  * Two implementations with identical semantics (bit-identical output,
+  * pinned with doubleToLongBits in CoreOperatorsSpec):
   *
   *  - [[featuresDeclarative]]: RANGE frames on epoch-micros. Spark
   *    recomputes sliding frames per row (no retraction), so this is
@@ -128,19 +128,22 @@ object Rolling {
         val q = new java.util.ArrayDeque[(Long, Double, Long)]() // (uts, price, size)
         val minQ = new java.util.ArrayDeque[(Long, Double)]()
         val maxQ = new java.util.ArrayDeque[(Long, Double)]()
-        var sumPS, sumP = 0.0
+        // exact integer accumulation: cents = round(price*100) is an
+        // exact Long for 2-decimal prices, so add/evict cannot drift
+        var sumPS, sumP = 0L
         var sumS, n = 0L
         // rows of one uts group awaiting emission (non-ctx only)
         var pendingOut: List[Row] = Nil
 
         private def resetChunk(): Unit = {
           q.clear(); minQ.clear(); maxQ.clear()
-          sumPS = 0.0; sumP = 0.0; sumS = 0L; n = 0L
+          sumPS = 0L; sumP = 0L; sumS = 0L; n = 0L
         }
 
         private def add(uts: Long, p: Double, s: Long): Unit = {
           q.addLast((uts, p, s))
-          sumPS += p * s; sumP += p; sumS += s; n += 1
+          val cents = math.round(p * 100)
+          sumPS += cents * s; sumP += cents; sumS += s; n += 1
           while (!minQ.isEmpty && minQ.peekLast()._2 > p) minQ.removeLast()
           minQ.addLast((uts, p))
           while (!maxQ.isEmpty && maxQ.peekLast()._2 < p) maxQ.removeLast()
@@ -150,7 +153,8 @@ object Rolling {
         private def evict(nowUts: Long): Unit = {
           while (!q.isEmpty && q.peekFirst()._1 < nowUts - m) {
             val (u, p, s) = q.removeFirst()
-            sumPS -= p * s; sumP -= p; sumS -= s; n -= 1
+            val cents = math.round(p * 100)
+            sumPS -= cents * s; sumP -= cents; sumS -= s; n -= 1
             if (!minQ.isEmpty && minQ.peekFirst()._1 == u && minQ.peekFirst()._2 == p) minQ.removeFirst()
             if (!maxQ.isEmpty && maxQ.peekFirst()._1 == u && maxQ.peekFirst()._2 == p) maxQ.removeFirst()
           }
@@ -182,8 +186,8 @@ object Rolling {
                 // Seq[Any]: a bare Seq would widen the Long count to
                 // Double and break the BIGINT field
                 keepIdx.map(r.get).toSeq ++ Seq[Any](
-                  sumPS / sumS,
-                  sumP / n,
+                  sumPS.toDouble / sumS / 100.0,
+                  sumP.toDouble / n / 100.0,
                   minQ.peekFirst()._2,
                   maxQ.peekFirst()._2,
                   n,

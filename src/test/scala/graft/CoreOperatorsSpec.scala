@@ -478,8 +478,18 @@ class CoreOperatorsSpec extends SparkSpec {
       assert(s.getAs[Long]("rolling_n") == w.getAs[Long]("rolling_n"), s"n at ${s.getAs[Any]("ts")}")
       assert(s.getAs[Double]("rolling_min") == w.getAs[Double]("rolling_min"))
       assert(s.getAs[Double]("rolling_max") == w.getAs[Double]("rolling_max"))
-      assert(math.abs(s.getAs[Double]("rolling_vwap") - w.getAs[Double]("rolling_vwap")) < 1e-9)
-      assert(math.abs(s.getAs[Double]("rolling_mean_price") - w.getAs[Double]("rolling_mean_price")) < 1e-9)
+      // bit-identical, not approximately equal: both paths accumulate
+      // exact Long cents and divide once per emitted row
+      assert(
+        java.lang.Double.doubleToLongBits(s.getAs[Double]("rolling_vwap")) ==
+          java.lang.Double.doubleToLongBits(w.getAs[Double]("rolling_vwap")),
+        s"vwap ${s.getAs[Double]("rolling_vwap")} vs ${w.getAs[Double]("rolling_vwap")} at ${s.getAs[Any]("ts")}",
+      )
+      assert(
+        java.lang.Double.doubleToLongBits(s.getAs[Double]("rolling_mean_price")) ==
+          java.lang.Double.doubleToLongBits(w.getAs[Double]("rolling_mean_price")),
+        s"mean ${s.getAs[Double]("rolling_mean_price")} vs ${w.getAs[Double]("rolling_mean_price")} at ${s.getAs[Any]("ts")}",
+      )
     }
   }
 

@@ -22,12 +22,16 @@ def load_spark(outdir, name):
     return pq.read_table(files[0]).to_pandas()
 
 def norm(df):
+    # Driver-hash precision: no float rounding here. Calibration
+    # (r4, vs CORRECTNESS_r03): queries the driver hash-matches differ
+    # from DuckDB by <= 2.4e-14 relative (last-ulp FP noise); the one
+    # it failed (rolling_features, float accumulate-subtract drift) was
+    # orders of magnitude above that. rtol=1e-12 below separates the
+    # two regimes; the old round-6/rtol-1e-6 gate let drift ship twice.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             continue
-        if np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
         if "datetime" in str(df[c].dtype):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.reset_index(drop=True)
@@ -57,7 +61,7 @@ def main(sfdir, outdir):
         g2 = g.sort_values(by=list(g.columns)).reset_index(drop=True)
         e2 = e.sort_values(by=list(e.columns)).reset_index(drop=True)
         try:
-            pd.testing.assert_frame_equal(g2, e2, check_dtype=False, rtol=1e-6, atol=1e-9)
+            pd.testing.assert_frame_equal(g2, e2, check_dtype=False, rtol=1e-12, atol=1e-12)
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         except AssertionError as ex:
             print(f"FAIL {name}: {str(ex)[:500]}"); n_fail += 1
