@@ -154,8 +154,8 @@ object SparkEntry {
       ).orderBy(col("symbol"), col("ts_start"))
     },
     "imbalance_bars_adaptive" -> { (s, dir) =>
-      // rows-only: EWMA-adaptive sequential thresholds are not
-      // SQL-expressible; semantics pinned in CoreOperatorsSpec
+      // alpha=0.1 (default): the recursive close-chain oracle carries
+      // the EWMA (expT, expB) threshold state across bars
       usTs("ts_start", "ts_end")(
         operators.ImbalanceBars
           .tickImbalanceBars(TradeData.fromEvents(s, dir), initTicks = 50.0)
@@ -579,6 +579,74 @@ object SparkEntry {
        |FROM agg a JOIN thetas t ON a.symbol = t.symbol AND a.bar = t.bar
        |ORDER BY symbol, ts_start""".stripMargin
 
+  /** EWMA-adaptive tick-imbalance oracle: the recursive close-chain
+    * additionally carries (expT, expB) across bars. Float determinism:
+    * every double expression replicates the Scala tree exactly —
+    * `(1 - 0.1d)*state + 0.1d*obs` (NOT the decimal-folded `0.9`,
+    * whose double differs from `1 - 0.1d` in the last ulp), seeds cast
+    * to DOUBLE before use, BIGINT/BIGINT division (theta/n) is
+    * double division in both engines. The close-condition compare
+    * |theta| >= expT*max(|expB|, minB) is then bit-identical, so both
+    * engines close every bar on the same tick.
+    */
+  private def adaptiveImbalanceOracleSql(
+      initTicks: Int,
+      initImbalance: Double,
+      minImbalance: Double,
+      alpha: Double,
+  ): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    val thr = s"c.et * greatest(abs(c.eb), CAST($minImbalance AS DOUBLE))"
+    val cond = s"u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= $thr"
+    val minRn = s"(SELECT min(u.rn) FROM cs u WHERE $cond)"
+    val minS = s"(SELECT arg_min(u.s, u.rn) FROM cs u WHERE $cond)"
+    s"""WITH RECURSIVE $T,
+       |sgn AS (
+       |  SELECT symbol, ts, price, size, trade_id,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS rn,
+       |         CASE WHEN price > lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN 1
+       |              WHEN price < lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN -1
+       |         END AS raw
+       |  FROM trades),
+       |ticks AS (
+       |  SELECT *, coalesce(last_value(raw IGNORE NULLS)
+       |                     OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING), 1) AS sign
+       |  FROM sgn),
+       |cs AS (
+       |  SELECT *, CAST(sum(sign) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+       |  FROM ticks),
+       |closes AS (
+       |  SELECT symbol, CAST(0 AS BIGINT) AS crn, CAST(0 AS BIGINT) AS cs, 0 AS j,
+       |         CAST($initTicks AS DOUBLE) AS et, CAST($initImbalance AS DOUBLE) AS eb
+       |  FROM (SELECT DISTINCT symbol FROM cs)
+       |  UNION ALL
+       |  SELECT symbol, $minRn, $minS, j + 1,
+       |         (1 - $a) * c.et + $a * ($minRn - c.crn),
+       |         (1 - $a) * c.eb + $a * (($minS - c.cs) / ($minRn - c.crn))
+       |  FROM closes c
+       |  WHERE $minRn IS NOT NULL),
+       |thetas AS (
+       |  SELECT symbol, j - 1 AS bar,
+       |         CAST(cs - lag(cs, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS theta
+       |  FROM closes QUALIFY j > 0),
+       |assigned AS (
+       |  SELECT u.*,
+       |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0 AND c.crn < u.rn) AS bar,
+       |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0) AS nbars
+       |  FROM cs u),
+       |agg AS (
+       |  SELECT symbol, bar,
+       |         epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
+       |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
+       |         CAST(sum(size) AS BIGINT) AS volume, sum(price * size) / sum(size) AS vwap,
+       |         CAST(count(*) AS BIGINT) AS n_trades
+       |  FROM assigned WHERE bar < nbars
+       |  GROUP BY symbol, bar)
+       |SELECT a.symbol AS symbol, ts_start, ts_end, open, high, low, close, volume, vwap, n_trades, theta
+       |FROM agg a JOIN thetas t ON a.symbol = t.symbol AND a.bar = t.bar
+       |ORDER BY symbol, ts_start""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -780,6 +848,10 @@ object SparkEntry {
       // Fixed-threshold (alpha=0) tick-imbalance bars: close at
       // |cum sign - sign at previous close| >= 50*0.2 = 10
       imbalanceOracleSql("sign", "10"),
+    "imbalance_bars_adaptive" ->
+      // EWMA-adaptive thresholds (alpha=0.1, AFML default shape):
+      // the close-chain recursion carries (expT, expB)
+      adaptiveImbalanceOracleSql(50, 0.2, 0.05, 0.1),
     "dollar_imbalance_bars" ->
       // theta accumulates sign * exact cents; close at
       // |delta| >= 50 * 500 * 100 cents
