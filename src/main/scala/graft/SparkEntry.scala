@@ -1155,15 +1155,21 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY symbol ORDER BY epoch_us(ts)
          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, ts""".stripMargin,
-    "simhash_pairs" ->
+    "simhash_pairs" -> {
+      // 7 bands: exact recall at the query's maxHamming=6 (pigeonhole
+      // needs maxHamming+1 bands); layout shared with Dedup.simhashPairs
+      val bands = operators.Dedup.bandLayout(60, 7)
+      val bandList = bands
+        .map { case (off, w) => s"(simhash >> $off) & ${(1L << w) - 1}" }
+        .mkString(", ")
+      val bidxList = bands.indices.mkString(", ")
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),
          |s AS (SELECT doc_id AS id, $simhashVotesSql AS simhash FROM h),
          |bands AS (
          |  SELECT id, simhash,
-         |         unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
-         |                 (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS band,
-         |         unnest([0, 1, 2, 3]) AS bidx
+         |         unnest([$bandList]) AS band,
+         |         unnest([$bidxList]) AS bidx
          |  FROM s),
          |pairs AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -1171,7 +1177,8 @@ object SparkEntry {
          |  FROM bands a JOIN bands b
          |    ON a.bidx = b.bidx AND a.band = b.band AND a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
-         |ORDER BY id_a, id_b""".stripMargin,
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),

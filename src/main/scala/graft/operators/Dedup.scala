@@ -229,10 +229,27 @@ object Dedup {
     bitCols.reduceLeft(_ + _)
   }
 
-  /** SimHash near-duplicate pairs: 4 bands of 15 bits — by
-    * pigeonhole, any pair with hamming distance <= 3 shares at least
-    * one band, so recall is exact at maxHamming=3; verification is
-    * bit_count(xor) (native in both Spark and DuckDB).
+  /** Band layout for LSH over a `bits`-wide simhash: `nBands`
+    * contiguous (offset, width) spans covering all bits, widths as
+    * even as possible (remainder bits go to the low bands). Shared
+    * by [[simhashPairs]] and the DuckDB oracle so both engines band
+    * identically.
+    */
+  private[graft] def bandLayout(bits: Int, nBands: Int): Seq[(Int, Int)] = {
+    require(nBands >= 1 && nBands <= bits, s"need 1..$bits bands, got $nBands")
+    val base = bits / nBands
+    val rem = bits % nBands
+    val widths = Seq.tabulate(nBands)(i => base + (if (i < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-duplicate pairs with EXACT recall at the requested
+    * radius: `maxHamming + 1` bands over the 60 bits — by pigeonhole,
+    * a pair differing in at most `maxHamming` bits leaves at least
+    * one band untouched, so every qualifying pair collides in some
+    * band (recall pinned against brute force in DedupSpec);
+    * verification is bit_count(xor) (native in both Spark and
+    * DuckDB). maxHamming=3 gives the classic 4x15-bit banding.
     */
   def simhashPairs(
       docs: DataFrame,
@@ -240,6 +257,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
+    val bands = bandLayout(60, maxHamming + 1)
     // checkpointed so the band self-join reads a 16-byte/doc parquet
     // table twice instead of recomputing simhashes per side
     val sims = graft.sources.Checkpoint.table(
@@ -252,7 +270,9 @@ object Dedup {
       col("id"),
       col("simhash"),
       posexplode(
-        array((0 until 4).map(j => shiftright(col("simhash"), 15 * j).bitwiseAND(lit(32767L))): _*)
+        array(bands.map { case (off, w) =>
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+        }: _*)
       ).as(Seq("bidx", "band")),
     )
     bandStructs

@@ -63,6 +63,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("simhash") >= 0L)) // stays in 60 bits
   }
 
+  test("simhashPairs recall is exact at maxHamming=6 (pigeonhole banding)") {
+    // near-duplicate corpus: variants of one base token stream with a
+    // few tokens swapped, so pair hammings cluster in the adversarial
+    // 4-6 range the old 4-band layout silently dropped
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(300)(i => s"tok$i")
+    val base = Array.fill(80)(vocab(rnd.nextInt(vocab.length)))
+    val texts = (0 until 40).map { _ =>
+      val t = base.clone()
+      (0 until rnd.nextInt(6)).foreach(_ => t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.length)))
+      t.mkString(" ")
+    }
+    val d = docs(texts: _*)
+    val sims = d
+      .select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, ha) <- sims
+      (ib, hb) <- sims
+      if ia < ib
+      ham = java.lang.Long.bitCount(ha ^ hb)
+      if ham <= 6
+    } yield (ia, ib, ham)).toSet
+    val got = Dedup
+      .simhashPairs(d, maxHamming = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+      .toSet
+    assert(got == expected, s"banding must find EVERY pair within hamming 6")
+    assert(
+      expected.exists { case (_, _, h) => h >= 4 && h <= 6 },
+      s"corpus must exercise hamming 4-6; got distances ${expected.map(_._3).toSeq.sorted}",
+    )
+  }
+
+  test("bandLayout covers all bits with maxHamming+1 disjoint bands") {
+    for (bits <- Seq(60, 64); n <- 1 to 10) {
+      val layout = Dedup.bandLayout(bits, n)
+      assert(layout.length == n)
+      assert(layout.map(_._2).sum == bits)
+      assert(layout.sliding(2).forall {
+        case Seq((o1, w1), (o2, _)) => o1 + w1 == o2
+        case _ => true
+      })
+    }
+  }
+
   test("token counts and fingerprint are stable") {
     val d = docs("Hello,  world! 42 times")
     val r = d
