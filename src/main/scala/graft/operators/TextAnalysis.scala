@@ -56,17 +56,23 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val nTok = tokenCountWs(text).cast("double")
-    val scores = langProfiles.map { case (lang, stops) =>
-      lang -> (stopHits(text, stops).cast("double") / greatest(nTok, lit(1.0)))
+    // single-pass argmax: one struct per profile, lexicographic
+    // array_max over (score, prio, lang). Each stopHits filter-HOF is
+    // evaluated exactly once (the earlier greatest(...) + CASE-chain
+    // formulation evaluated every score twice — no CSE across the
+    // comparison). prio = -profile index keeps the first-max-wins
+    // tiebreak of the CASE chain.
+    val entries = langProfiles.zipWithIndex.map { case ((lang, stops), i) =>
+      struct(
+        (stopHits(text, stops).cast("double") / greatest(nTok, lit(1.0))).as("score"),
+        lit(-i).as("prio"),
+        lit(lang).as("lang"),
+      )
     }
-    // argmax chain: a language wins if its score >= all later ones and
-    // is > all earlier ones (handled by CASE order: first max wins)
-    val maxScore = greatest(scores.map(_._2): _*)
-    scores
-      .foldLeft(when(lit(false), lit(""))) { case (acc, (lang, s)) =>
-        acc.when(s === maxScore, lang)
-      }
-      .otherwise(lit("und"))
+    // null text -> null scores (the only null path); the CASE chain
+    // fell through to "und" there
+    when(text.isNull, lit("und"))
+      .otherwise(array_max(array(entries: _*)).getField("lang"))
   }
 
   /** Heuristic quality score in [0,1]: rewards stopword density and
