@@ -47,9 +47,18 @@ object Bench {
       .mkString("{", ",", "}")
     val nFail = results.count { case (_, (_, ok)) => !ok }
     val total = results.map { case (_, (v, _)) => v }.sum
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFail,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout capture has truncated the line's head in past rounds
+    // (losing the first ~7 queries' timings); the file copy is the
+    // recoverable record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
     )
+    catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
     spark.stop()
     if (nFail > 0) sys.exit(1)
   }
