@@ -493,6 +493,40 @@ class CoreOperatorsSpec extends SparkSpec {
     }
   }
 
+  // --- hot-symbol skew: the (symbol, day)-chunk split is the §6
+  // scale claim — one symbol carrying ~90% of rows still yields one
+  // independent chunk per day, and halo stitching stays bit-exact ---
+  test("rolling scan survives hot-symbol skew with per-day parallelism") {
+    val rnd = new scala.util.Random(11)
+    val t0 = java.time.Instant.parse("2021-03-01T00:00:00Z")
+    val nDays = 5
+    val rows = (0 until 2000).map { i =>
+      // 90% of ticks on HOT, spread over 5 days; ties on purpose
+      val sym = if (i % 10 != 0) "HOT" else s"C${i % 4}"
+      val ts = java.sql.Timestamp.from(t0.plusSeconds((i / 2) * (nDays * 86400L / 1000)))
+      (sym, ts, 1.0 + rnd.nextInt(9999) / 100.0, (rnd.nextInt(50) + 1).toLong, i.toLong)
+    }
+    val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+    // the hot symbol really does split into one chunk per day
+    val hotChunks = df
+      .where($"symbol" === "HOT")
+      .select(date_trunc("DAY", $"ts"))
+      .distinct()
+      .count()
+    assert(hotChunks == nDays.toLong, s"expected $nDays day-chunks for HOT, got $hotChunks")
+    val scan = operators.Rolling.features(df, "1 hour").orderBy("symbol", "ts", "trade_id").collect()
+    val win = operators.Rolling.featuresDeclarative(df, "1 hour").orderBy("symbol", "ts", "trade_id").collect()
+    assert(scan.length == win.length && scan.nonEmpty)
+    scan.zip(win).foreach { case (s, w) =>
+      assert(s.getAs[Long]("rolling_n") == w.getAs[Long]("rolling_n"))
+      assert(
+        java.lang.Double.doubleToLongBits(s.getAs[Double]("rolling_vwap")) ==
+          java.lang.Double.doubleToLongBits(w.getAs[Double]("rolling_vwap")),
+        s"vwap at ${s.getAs[Any]("ts")}",
+      )
+    }
+  }
+
   // --- dollar imbalance bars (AFML 2.3.2.2, alpha=0): theta in exact
   // cents, bar closes when |theta| reaches ticks*dollars*100 ---
   test("dollar imbalance bars close on signed dollar flow") {

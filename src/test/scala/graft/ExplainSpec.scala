@@ -90,6 +90,18 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("rolling scan shuffles once on (symbol, day-chunk)") {
+    // the halo-chunked deque scan: one hash exchange co-locating
+    // (symbol, chunk), then a single mapPartitions pass; the only
+    // other exchange is the caller's presentation orderBy
+    val p = plan("rolling_features")
+    val hashes = "hashpartitioning".r.findAllIn(p).length
+    val ranges = "rangepartitioning".r.findAllIn(p.toLowerCase).length
+    assert(hashes <= 2, s"expected a single (symbol, chunk) exchange (x2 plan occurrences), got $hashes:\n$p")
+    assert(ranges <= 1, s"expected only the presentation sort, got $ranges range exchanges:\n$p")
+    assert(!p.contains("Window"), "the <=1-day path must use the deque scan, not RANGE frames")
+  }
+
   test("ivf cell assignment is a partial aggregation, not a window sort") {
     val p = plan("ann_ivf_topk")
     // nearest-centroid via max_by gets map-side combine: one row per
