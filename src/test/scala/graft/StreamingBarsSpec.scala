@@ -86,6 +86,45 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming rolling features equal the batch deque scan bit-for-bit") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sroll").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingRolling
+      .features(stream, "1 hour")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_roll")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_roll")
+    val batch = graft.operators.Rolling.features(trades, "1 hour")
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed
+      .as("s")
+      .join(
+        batch.as("b"),
+        col("s.symbol") === col("b.symbol") && col("s.trade_id") === col("b.trade_id"),
+      )
+    assert(joined.count() == batch.count())
+    // Long-cents sums in both paths -> the doubles must be EQUAL,
+    // not approximately equal
+    assert(
+      joined.where(
+        col("s.rolling_n") =!= col("b.rolling_n") ||
+          col("s.rolling_vwap") =!= col("b.rolling_vwap") ||
+          col("s.rolling_mean_price") =!= col("b.rolling_mean_price") ||
+          col("s.rolling_min") =!= col("b.rolling_min") ||
+          col("s.rolling_max") =!= col("b.rolling_max")
+      ).count() == 0
+    )
+  }
+
   test("streaming dedup emits each fingerprint once within the watermark") {
     import spark.implicits._
     val docs = Seq(
