@@ -303,6 +303,12 @@ object SparkEntry {
         .ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "dedup_clusters" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup
+        .clusters(docs, Dedup.minhashLsh(docs, threshold = 0.5))
+        .orderBy(col("doc_id"))
+    },
     "rolling_features" -> { (s, dir) =>
       usTs("ts")(
         operators.Rolling
@@ -456,7 +462,10 @@ object SparkEntry {
   /** Shared LSH-candidate + Jaccard-verify pipeline (from a `sh` CTE
     * with columns id, sh).
     */
-  private def lshPairsSql(threshold: Double): String =
+  /** CTE chain `hsx -> sig -> bands -> cand -> pairs` (expects `sh`
+    * upstream); final consumers filter `pairs` on their threshold.
+    */
+  private val lshPairsCtes: String =
     s"""hsx AS (SELECT id, list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hsl FROM sh),
        |sig AS (SELECT id, $minhashSigSql AS sig FROM hsx),
        |bands AS (SELECT id, unnest($bandsSql) AS band FROM sig),
@@ -466,7 +475,10 @@ object SparkEntry {
        |  SELECT id_a, id_b,
        |         CAST(len(list_intersect(x.hsl, y.hsl)) AS DOUBLE) /
        |         CAST(len(list_distinct(x.hsl || y.hsl)) AS DOUBLE) AS jaccard
-       |  FROM cand JOIN hsx x ON cand.id_a = x.id JOIN hsx y ON cand.id_b = y.id)
+       |  FROM cand JOIN hsx x ON cand.id_a = x.id JOIN hsx y ON cand.id_b = y.id)""".stripMargin
+
+  private def lshPairsSql(threshold: Double): String =
+    s"""$lshPairsCtes
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -1141,6 +1153,26 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
          |sh AS (SELECT id, $wordNgramsSql AS sh FROM d),
          |${lshPairsSql(0.3)}""".stripMargin,
+    "dedup_clusters" ->
+      // transitive closure over the minhash pairs (min-id reachability;
+      // fine at oracle scale — the Spark side uses log-round
+      // star-contraction instead)
+      s"""WITH RECURSIVE d AS (SELECT doc_id AS id, $normSql AS n FROM documents),
+         |sh AS (SELECT id, $charShinglesSql AS sh FROM d),
+         |$lshPairsCtes,
+         |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |e AS (SELECT id_a AS u, id_b AS v FROM good
+         |      UNION ALL SELECT id_b, id_a FROM good),
+         |reach(u, v) AS (
+         |  SELECT id, id FROM d
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+         |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, s.cluster_size,
+         |       CAST(c.doc_id = c.component AS INTEGER) AS is_canonical
+         |FROM comp c JOIN sizes s USING (component)
+         |ORDER BY c.doc_id""".stripMargin,
     "rolling_features" ->
       s"""WITH $T
          |SELECT symbol, epoch_us(ts) AS ts, price,

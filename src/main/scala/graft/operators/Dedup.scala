@@ -291,6 +291,109 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over near-duplicate pairs, the step that
+    * turns pairwise dedup output into actionable clusters ("keep one
+    * doc per component") at corpus scale.
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log^2 n) rounds on ANY graph shape, unlike plain
+    * label propagation whose round count is the graph diameter (an
+    * adversarial duplicate chain would make that O(n)). Each round is
+    * two join+aggregate passes, fully distributed; the driver sees
+    * only a converged/not-converged count per round. Per-round
+    * parquet checkpoints truncate the lineage (an iterative plan
+    * otherwise grows exponentially in the optimizer).
+    *
+    * Returns (id, component) for every node that appears in `pairs`;
+    * component = the minimum id in the node's component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxRounds: Int = 25,
+  ): DataFrame = {
+    // canonical orientation (u > v); contraction preserves it
+    val init = pairs
+      .select(
+        greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"),
+      )
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: every node v > u links to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = undirected(e)
+      val mTbl = und
+        .groupBy("u")
+        .agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      und
+        .join(mTbl, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: every node v <= u links to m = min(Γ⁻(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val neg = undirected(e).where(col("v") < col("u"))
+      val mTbl = neg.groupBy("u").agg(min("v").as("m"))
+      neg
+        .join(mTbl, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mTbl.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = graft.sources.Checkpoint.table(init, "cc-0")
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = graft.sources.Checkpoint.table(smallStar(largeStar(edges)), s"cc-$round")
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // converged edges form stars: children point at the component
+    // minimum; roots appear only on the v side
+    edges
+      .select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Near-duplicate clusters over the whole corpus: MinHash-LSH pairs
+    * → connected components → one row per document with its
+    * component id (the min doc_id in the cluster), the cluster size,
+    * and an is_canonical keep-flag. Documents with no near-dup form
+    * singleton clusters.
+    */
+  def clusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+  ): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val w = Window.partitionBy(col("component"))
+    docs
+      .select(col(idCol))
+      .join(cc, docs(idCol) === cc("id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+      )
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", (col(idCol) === col("component")).cast("int"))
+  }
+
   /** Per-doc simhash with exact-bucket duplicate grouping. */
   def simhashDocs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("simhash"))
