@@ -321,7 +321,9 @@ object SparkEntry {
       ).orderBy(col("symbol"), col("ts"))
     },
     "simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6)
+      Dedup
+        .simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
     },
     "dedup_simhash" -> { (s, dir) =>
       Dedup
@@ -369,18 +371,43 @@ object SparkEntry {
     },
     "multimodal_meta" -> { (s, dir) =>
       Multimodal
-        .decodeFeatures(Multimodal.attachPayload(s.read.parquet(s"$dir/documents.parquet")))
-        .toDF()
-        .select(
-          col("doc_id"),
-          col("mime"),
-          col("byte_len"),
-          col("magic"),
-          col("width"),
-          col("height"),
-          col("brightness"),
-        )
+        .metadata(Multimodal.attachPayload(s.read.parquet(s"$dir/documents.parquet")))
         .orderBy(col("doc_id"))
+    },
+    "multimodal_decode" -> { (s, dir) =>
+      // REAL pipeline: synthesize actual PNG bytes per doc, decode
+      // them with javax.imageio, report decoded dims + exact channel
+      // means; the oracle replays the closed-form pixel content
+      Multimodal
+        .decodeImages(Multimodal.synthesizeImages(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+    "multimodal_resize" -> { (s, dir) =>
+      // decode → Graphics2D scale-to-fit-24 → re-encode PNG →
+      // re-decode: the reported dims come from the re-decoded resized
+      // bytes, so the whole kernel chain is exercised
+      Multimodal
+        .decodeImages(
+          Multimodal.resizeImages(
+            Multimodal.synthesizeImages(s.read.parquet(s"$dir/documents.parquet")),
+            maxSide = 24,
+          )
+        )
+        .toDF()
+        .select(col("doc_id"), col("magic"), col("width"), col("height"), col("channels"))
+        .orderBy(col("doc_id"))
+    },
+    "multimodal_frames" -> { (s, dir) =>
+      // real animated-GIF payloads, multi-frame decode, stride-2
+      // sampling; frame grays replay exactly (per-frame palette)
+      Multimodal
+        .sampleFrames(
+          Multimodal.synthesizeVideos(s.read.parquet(s"$dir/documents.parquet")),
+          stride = 2,
+        )
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
     },
   )
 
@@ -1292,19 +1319,58 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_meta" ->
       s"""WITH m AS (
-         |  SELECT doc_id, 'image/fake-' || source AS mime, encode(text) AS content
-         |  FROM documents),
-         |h AS (
-         |  SELECT doc_id, mime,
-         |         CAST(octet_length(content) AS BIGINT) AS byte_len,
-         |         lower(hex(content)) AS fh
-         |  FROM m)
-         |SELECT doc_id, mime, byte_len,
-         |       substr(fh, 1, 8) AS magic,
-         |       CAST(64 + ('0x' || substr(fh, 1, 2))::BIGINT % 192 AS INTEGER) AS width,
-         |       CAST(64 + ('0x' || substr(fh, 3, 2))::BIGINT % 192 AS INTEGER) AS height,
-         |       (list_sum(list_transform(generate_series(1, byte_len), i -> ('0x' || substr(fh, 2*i - 1, 2))::BIGINT)) % 256) / 255.0 AS brightness
-         |FROM h
+         |  SELECT doc_id, 'application/octet-' || source AS mime, encode(text) AS content
+         |  FROM documents)
+         |SELECT doc_id, mime,
+         |       CAST(octet_length(content) AS BIGINT) AS byte_len,
+         |       substr(lower(hex(content)), 1, 8) AS magic
+         |FROM m
          |ORDER BY doc_id""".stripMargin,
+    // replays the synthetic PNG's closed-form pixel content: w×h
+    // two-tone image, left ⌊w/2⌋ columns color A, rest color B; the
+    // Spark side sums REAL decoded pixels, so equality proves the
+    // decode (all-integer sums, one double division on each side)
+    "multimodal_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h,
+         |         (doc_id * 31) % 256 AS ra, (doc_id * 57) % 256 AS ga, (doc_id * 91) % 256 AS ba,
+         |         (doc_id * 17) % 256 AS rb, (doc_id * 29) % 256 AS gb, (doc_id * 43) % 256 AS bb
+         |  FROM documents)
+         |SELECT doc_id, 'image/png' AS mime, '89504e47' AS magic,
+         |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, 3 AS channels,
+         |       CAST(ra * (w // 2) * h + rb * (w - w // 2) * h AS DOUBLE) / (w * h) AS mean_red,
+         |       CAST(ga * (w // 2) * h + gb * (w - w // 2) * h AS DOUBLE) / (w * h) AS mean_green,
+         |       CAST(ba * (w // 2) * h + bb * (w - w // 2) * h AS DOUBLE) / (w * h) AS mean_blue
+         |FROM d
+         |ORDER BY doc_id""".stripMargin,
+    // scale = min(1, 24/max(w,h)); round() is half-up on positives in
+    // both engines (Java Math.round == floor(x+.5); DuckDB rounds
+    // half away from zero), and both compute the same IEEE doubles
+    "multimodal_resize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h FROM documents),
+         |s AS (
+         |  SELECT doc_id, w, h, LEAST(1.0, 24.0 / GREATEST(w, h)) AS sc FROM d)
+         |SELECT doc_id, '89504e47' AS magic,
+         |       CAST(GREATEST(1, round(w * sc)) AS INTEGER) AS width,
+         |       CAST(GREATEST(1, round(h * sc)) AS INTEGER) AS height,
+         |       3 AS channels
+         |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    // nFrames = 3 + id%6 constant-gray frames, sampled at stride 2;
+    // per-frame palettes make GIF quantization lossless, so the
+    // decoded frame mean is exactly the synthesized gray
+    "multimodal_frames" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 3 + doc_id % 6 AS nf, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, nf, w, h, unnest(generate_series(0, nf - 1, 2)) AS fi FROM d)
+         |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, CAST(nf AS INTEGER) AS n_frames,
+         |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |       CAST((doc_id * 13 + fi * 37) % 256 AS DOUBLE) AS mean_gray
+         |FROM f
+         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -24,6 +24,11 @@ object Ewm {
 
   /** Appends `outCol` = EWM std of `valueCol` per `keyCols` group in
     * `orderCols` order.
+    *
+    * Column contract: by default the output carries every input
+    * column (full rows through the shuffle). Pass `keep` to project
+    * to `keep` ∪ key/order/value columns before the shuffle so the
+    * pruning reaches the scan — the wide-table scale path.
     */
   def stdOverKey(
       df: DataFrame,
@@ -32,12 +37,16 @@ object Ewm {
       valueCol: String,
       span: Int,
       outCol: String,
+      keep: Seq[String] = Nil,
   ): DataFrame = {
     require(span >= 1, "span must be >= 1")
     val alpha = 2.0 / (span + 1.0)
     val decay = 1.0 - alpha
 
-    val sorted = df
+    val pruned =
+      if (keep.isEmpty) df
+      else df.select((keyCols ++ orderCols ++ Seq(valueCol) ++ keep).distinct.map(col): _*)
+    val sorted = pruned
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
 
@@ -97,6 +106,11 @@ object Ewm {
     *
     * `chunkCol` must be ascending in `orderCols` order within each
     * key (e.g. the tick date) — bars of parallelism, not semantics.
+    *
+    * `keep`: same column contract as [[stdOverKey]] — non-empty
+    * projects to `keep` ∪ key/order/value columns before the
+    * checkpoint, so both scan passes and all three shuffles carry
+    * only the needed columns.
     */
   def stdOverKeyChunked(
       df: DataFrame,
@@ -106,13 +120,17 @@ object Ewm {
       valueCol: String,
       span: Int,
       outCol: String,
+      keep: Seq[String] = Nil,
   ): DataFrame = {
     require(span >= 1, "span must be >= 1")
     val alpha = 2.0 / (span + 1.0)
     val decay = 1.0 - alpha
 
+    val pruned =
+      if (keep.isEmpty) df
+      else df.select((keyCols ++ orderCols ++ Seq(valueCol) ++ keep).distinct.map(col): _*)
     val chunked = graft.sources.Checkpoint.table(
-      df.withColumn("__chunk", chunkCol),
+      pruned.withColumn("__chunk", chunkCol),
       "ewm-chunked",
     )
     val groupCols = keyCols :+ "__chunk"

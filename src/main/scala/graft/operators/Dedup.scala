@@ -288,7 +288,6 @@ object Dedup {
       )
       .distinct()
       .where(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Connected components over near-duplicate pairs, the step that
@@ -353,13 +352,22 @@ object Dedup {
     }
 
     var edges = graft.sources.Checkpoint.table(init, "cc-0")
+    // count() on a fresh parquet checkpoint is a footer read, not a
+    // data scan
+    var edgeCount = edges.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
       val next = graft.sources.Checkpoint.table(smallStar(largeStar(edges)), s"cc-$round")
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      val nextCount = next.count()
+      // both sides are distinct sets, so equal cardinality plus
+      // one-sided containment implies set equality — one except job
+      // per round (and only on rounds where the counts agree),
+      // instead of two unconditional full-edge-set anti-joins
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
     // converged edges form stars: children point at the component

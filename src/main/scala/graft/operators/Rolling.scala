@@ -39,15 +39,27 @@ object Rolling {
   /** Appends trailing-window features over the last `window`
     * (inclusive of the current tick):
     *  - rolling_vwap, rolling_mean_price, rolling_min/max, rolling_n
+    *
+    * Column contract: by default the output carries EVERY input
+    * column, so the shuffle moves full rows — the right default for
+    * the bench queries (they consume all columns), but real money on
+    * a wide table at 100 TB. Pass `keep` to project the input to
+    * `keep` ∪ the compute columns (symbol/ts/price/size) BEFORE the
+    * shuffle; the projection reaches the parquet scan (pinned in
+    * ExplainSpec), and the output then carries only those columns.
     */
   def features(
       df: DataFrame,
       window: String = "1 hour",
       c: TradingCols = TradingCols.default,
+      keep: Seq[String] = Nil,
   ): DataFrame = {
+    val base =
+      if (keep.isEmpty) df
+      else df.select((Seq(c.symbol, c.ts, c.price, c.size) ++ keep).distinct.map(col): _*)
     val m = windowMicros(window)
-    if (m > 86400000000L) featuresDeclarative(df, window, c)
-    else featuresScan(df, m, c)
+    if (m > 86400000000L) featuresDeclarative(base, window, c)
+    else featuresScan(base, m, c)
   }
 
   /** RANGE-frame formulation (also the shape the DuckDB oracle uses). */

@@ -90,6 +90,24 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("pair operators embed no range exchange: ordering is the caller's") {
+    // same contract the bar operators got in round 2 — a sort inside
+    // the operator costs a range exchange on every composed use
+    // (e.g. clusters built over pairs)
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plans = Seq(
+      "simhashPairs" -> Dedup.simhashPairs(docs, maxHamming = 3),
+      "minhashLsh" -> Dedup.minhashLsh(docs, threshold = 0.5),
+      "ngramJaccard" -> Dedup.ngramJaccard(docs, threshold = 0.3),
+    )
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      val ranges = "rangepartitioning".r.findAllIn(p.toLowerCase).length
+      assert(ranges == 0, s"$name embeds $ranges range exchanges:\n$p")
+    }
+  }
+
   test("rolling scan shuffles once on (symbol, day-chunk)") {
     // the halo-chunked deque scan: one hash exchange co-locating
     // (symbol, chunk), then a single mapPartitions pass; the only
@@ -100,6 +118,28 @@ class ExplainSpec extends SparkSpec {
     assert(hashes <= 2, s"expected a single (symbol, chunk) exchange (x2 plan occurrences), got $hashes:\n$p")
     assert(ranges <= 1, s"expected only the presentation sort, got $ranges range exchanges:\n$p")
     assert(!p.contains("Window"), "the <=1-day path must use the deque scan, not RANGE frames")
+  }
+
+  test("rolling/ewm keep= pushes column pruning to the parquet scan") {
+    // default contract carries full rows (callers consume them); the
+    // keep= projection is the wide-table path — the scan must then
+    // read only the compute + kept columns, not the passengers
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val wide = spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("symbol", col("event_type"))
+      .withColumn("price", col("value"))
+      .withColumn("size", col("event_id") % 97 + 1)
+    val rp = operators.Rolling
+      .features(wide, "1 hour", keep = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("props") && !rp.contains("user_id"), s"passenger columns not pruned:\n$rp")
+    val ep = graft.functions.Ewm
+      .stdOverKey(wide, Seq("symbol"), Seq("ts"), "price", span = 5, outCol = "es", keep = Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!ep.contains("props") && !ep.contains("user_id"), s"passenger columns not pruned:\n$ep")
   }
 
   test("ivf cell assignment is a partial aggregation, not a window sort") {

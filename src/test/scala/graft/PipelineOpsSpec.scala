@@ -318,22 +318,75 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.head.getAs[Int]("hamming") == 0)
   }
 
-  test("multimodal plumbing: deterministic stub features and frame sampling") {
+  test("multimodal metadata: byte length + magic of opaque payloads") {
     val d = docs("some fake image payload content")
-    val media = Multimodal.attachPayload(d)
-    val feats = Multimodal.decodeFeatures(media).collect()
-    assert(feats.length == 1)
-    val f = feats.head
-    assert(f.byte_len == 31L)
-    assert(f.magic == "736f6d65") // "some" in hex
-    assert(f.width >= 64 && f.width < 256 && f.height >= 64 && f.height < 256)
-    assert(f.brightness >= 0.0 && f.brightness <= 1.0)
-    // deterministic: run twice, same result
-    assert(Multimodal.decodeFeatures(media).collect().head == f)
-    val frames = Multimodal.sampleFrames(media, stride = 1).collect()
-    assert(frames.length == 31 / 16 + 1)
-    val resized = Multimodal.resize(media, maxSide = 100).collect().head
-    assert(math.max(resized.width, resized.height) <= 100)
-    assert(resized.width >= 1 && resized.height >= 1)
+    val m = Multimodal.metadata(Multimodal.attachPayload(d)).collect().head
+    assert(m.getAs[Long]("byte_len") == 31L)
+    assert(m.getAs[String]("magic") == "736f6d65") // "some" in hex
+  }
+
+  test("multimodal decode: ImageIO reads a known PNG exactly") {
+    import spark.implicits._
+    // hand-built 2x1 image: red pixel, blue pixel
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRow(7L, bos.toByteArray, "image/png")).toDS()
+    val f = Multimodal.decodeImages(media).collect().head
+    assert(f.magic == "89504e47") // real PNG signature
+    assert(f.width == 2 && f.height == 1 && f.channels == 3)
+    assert(f.mean_red == 127.5 && f.mean_green == 0.0 && f.mean_blue == 127.5)
+  }
+
+  test("multimodal synthesis round-trip: decoded features match the closed form") {
+    val d = docs("a", "b", "c") // ids 0,1,2 — content unused by synthesis
+    val feats = Multimodal
+      .decodeImages(Multimodal.synthesizeImages(d))
+      .collect()
+      .map(f => f.doc_id -> f)
+      .toMap
+    for (id <- 0L to 2L) {
+      val f = feats(id)
+      val (w, h) = Multimodal.pngDims(id)
+      val ((ra, _, _), (rb, _, _)) = Multimodal.pngColors(id)
+      assert(f.width == w && f.height == h && f.channels == 3)
+      val expRed = (ra.toLong * (w / 2) * h + rb.toLong * (w - w / 2) * h).toDouble / (w.toLong * h)
+      assert(f.mean_red == expRed, s"doc $id mean_red ${f.mean_red} != $expRed")
+    }
+  }
+
+  test("multimodal resize: real downscale preserves constant color and aspect") {
+    import spark.implicits._
+    // constant-color 20x10 → maxSide 10 → 10x5, every pixel unchanged
+    // (bilinear interpolation of a constant field is that constant)
+    val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, 0x6496c8) // (100,150,200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(Multimodal.MediaRow(1L, bos.toByteArray, "image/png")).toDS()
+    val f = Multimodal.decodeImages(Multimodal.resizeImages(media, maxSide = 10)).collect().head
+    assert(f.width == 10 && f.height == 5)
+    assert(f.mean_red == 100.0 && f.mean_green == 150.0 && f.mean_blue == 200.0)
+    // no upscale: already-small image passes through at original dims
+    val same = Multimodal.decodeImages(Multimodal.resizeImages(media, maxSide = 100)).collect().head
+    assert(same.width == 20 && same.height == 10)
+  }
+
+  test("multimodal frames: animated GIF multi-frame decode and stride sampling") {
+    val d = docs("a") // id 0: nFrames=3, 8x8
+    val all = Multimodal
+      .sampleFrames(Multimodal.synthesizeVideos(d), stride = 1)
+      .collect()
+      .sortBy(_.frame_idx)
+    val (nf, w, h) = Multimodal.gifParams(0L)
+    assert(all.length == nf)
+    for (f <- all) {
+      assert(f.n_frames == nf && f.width == w && f.height == h)
+      assert(f.mean_gray == Multimodal.gifFrameGray(0L, f.frame_idx).toDouble)
+    }
+    val strided = Multimodal.sampleFrames(Multimodal.synthesizeVideos(d), stride = 2).collect()
+    assert(strided.map(_.frame_idx).sorted.toSeq == (0 until nf by 2).toSeq)
   }
 }
