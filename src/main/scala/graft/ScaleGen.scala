@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local scale-up generator: synthesizes an ~N× corpus from a driver
+  * testdata directory, for scale-smoke benchmarking beyond sf0.1
+  * (VERDICT r4 gap #2 — every 100 TB claim was design-verified but
+  * never exercised past 17 MB).
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> [copies=10]
+  *
+  * Copy 0 is the original data; copies 1..N-1 are deterministic
+  * transforms that preserve each table's statistical shape without
+  * creating cross-copy artifacts:
+  *  - events: ids shifted by copy × (maxId+1); timestamps shifted by
+  *    copy × 64 days, so the (symbol, day) chunk structure gets MORE
+  *    chunks at the same per-chunk density (the scale axis the
+  *    partition strategies key on). Written as micros timestamps.
+  *  - documents: ids shifted; text deterministically word-shuffled
+  *    and ~30% token-mutated (seeded by the new id), so copies are
+  *    NOT near-duplicates of each other — dedup workloads scale in
+  *    corpus size, not in duplicate count.
+  *  - embeddings: ids shifted; fresh seeded Gaussian vectors, so ANN
+  *    candidate structure stays isotropic instead of gaining 10-way
+  *    exact-duplicate clusters.
+  *  - lineitem/orders: key-shifted copies (dimension joins unchanged).
+  *  - dimension tables (region/nation/customer/supplier/part): copied
+  *    as-is.
+  *
+  * Bench-only data: no DuckDB oracle runs against it (the recursive
+  * close-chain oracles are themselves O(hours) at this scale).
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // dimensions: verbatim
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      save(spark.read.parquet(s"$src/$t.parquet"), t)
+
+    // events: id + time shifts (micros timestamps on output)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read
+      .parquet(s"$src/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val maxEvId = ev.agg(max("event_id")).head().getLong(0) + 1
+    val dayMicros = 86400000000L
+    save(
+      union(copies) { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * maxEvId))
+          .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(i * 64L * dayMicros)))
+      },
+      "events",
+    )
+
+    // documents: shifted ids, shuffled+mutated text per copy
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDocId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    save(
+      union(copies) { i =>
+        if (i == 0) docs
+        else {
+          val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * maxDocId))
+          val schema = shifted.schema
+          val idIdx = schema.fieldIndex("doc_id")
+          val textIdx = schema.fieldIndex("text")
+          val ncIdx = schema.fieldNames.indexOf("n_chars")
+          shifted.mapPartitions(_.map { r =>
+            val id = r.getLong(idIdx)
+            val mutated = mutateText(r.getString(textIdx), id)
+            val vals = r.toSeq.toArray
+            vals(textIdx) = mutated
+            if (ncIdx >= 0) vals(ncIdx) = mutated.length.toLong
+            org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+          })(org.apache.spark.sql.Encoders.row(schema))
+        }
+      },
+      "documents",
+    )
+
+    // embeddings: shifted ids, fresh seeded Gaussian vectors off-copy
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVecId = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    save(
+      union(copies) { i =>
+        if (i == 0) emb
+        else {
+          val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * maxVecId))
+          val schema = shifted.schema
+          val idIdx = schema.fieldIndex("vec_id")
+          val vecIdx = schema.fieldIndex("embedding")
+          shifted.mapPartitions(_.map { r =>
+            val rnd = new scala.util.Random(r.getLong(idIdx) * 2654435761L + 17)
+            val vals = r.toSeq.toArray
+            vals(vecIdx) = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+            org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+          })(org.apache.spark.sql.Encoders.row(schema))
+        }
+      },
+      "embeddings",
+    )
+
+    // facts: key-shifted copies
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val maxOk = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    save(union(copies)(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk))), "lineitem")
+    save(union(copies)(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk))), "orders")
+
+    println(s"[scalegen] wrote ${copies}x of $src to $dst")
+    spark.stop()
+  }
+
+  private def union(n: Int)(mk: Int => DataFrame): DataFrame =
+    (0 until n).map(mk).reduce(_ unionByName _)
+
+  /** Deterministic text decorrelation: seeded word shuffle + ~30%
+    * token mutation. Preserves length/word statistics; destroys
+    * shingle overlap with the source doc.
+    */
+  private def mutateText(text: String, seed: Long): String = {
+    val rnd = new scala.util.Random(seed * 6364136223846793005L + 1442695040888963407L)
+    val words = text.split(" ")
+    // Fisher-Yates
+    var i = words.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = words(i); words(i) = words(j); words(j) = t
+      i -= 1
+    }
+    words.iterator
+      .map(w => if (rnd.nextDouble() < 0.3) w + "q" + rnd.nextInt(97) else w)
+      .mkString(" ")
+  }
+}

@@ -35,12 +35,19 @@ object TradeData {
     // 0-division; the reference's pandas oracle silently produces inf).
     // The oracle CTE below applies the identical predicate so both
     // engines see the same tick stream.
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // the driver's events carry TIMESTAMP(NANOS) (read as long via the
+    // conf above); ScaleGen-produced events carry micros timestamps —
+    // accept both
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    raw
       .where(col("value").isNotNull && col("value") =!= 0)
       .select(
         col("event_type").as(c.symbol),
-        timestamp_micros(expr("ts div 1000")).as(c.ts),
+        tsCol.as(c.ts),
         col("value").as(c.price),
         (col("event_id") % 97 + 1).as(c.size),
         col("event_id").as(c.tradeId),

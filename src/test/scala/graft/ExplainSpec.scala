@@ -142,6 +142,46 @@ class ExplainSpec extends SparkSpec {
     assert(!ep.contains("props") && !ep.contains("user_id"), s"passenger columns not pruned:\n$ep")
   }
 
+  test("AQE splits a pathological hot band bucket in the LSH candidate join") {
+    // §6 claims LSH bands hash-distribute docs with AQE skew-join as
+    // the backstop. Plant the worst case — 30% of the corpus exactly
+    // identical, so ONE band value holds 30% of all docs in every
+    // band — and pin that (a) the candidate join completes and finds
+    // every hot pair, and (b) AQE's skew handling actually engages on
+    // this plan shape (thresholds lowered to make toy data look big;
+    // broadcast disabled to force the sort-merge path a 100 TB corpus
+    // would take).
+    import spark.implicits._
+    import graft.operators.Dedup
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      val nHot = 120
+      val docs = (0 until 400).map { i =>
+        val text =
+          if (i < nHot) "identical hot duplicate document text shared by many many rows here"
+          else s"unique document number $i with its own distinct words ${i * 7} ${i * 13} ${i * 29}"
+        (i.toLong, text)
+      }.toDF("doc_id", "text")
+      val pairs = Dedup.minhashLsh(docs, threshold = 0.9)
+      val got = pairs.collect()
+      assert(got.length >= nHot * (nHot - 1) / 2, s"expected all hot pairs, got ${got.length}")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew handling did not engage:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ivf cell assignment is a partial aggregation, not a window sort") {
     val p = plan("ann_ivf_topk")
     // nearest-centroid via max_by gets map-side combine: one row per

@@ -374,6 +374,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(same.width == 20 && same.height == 10)
   }
 
+  test("multimodal decode: JPEG payloads decode too (lossy, so dims + near means)") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq(Multimodal.MediaRow(9L, bos.toByteArray, "image/jpeg")).toDS()
+    val f = Multimodal.decodeImages(media).collect().head
+    assert(f.magic.startsWith("ffd8")) // JPEG SOI marker
+    assert(f.width == 32 && f.height == 16)
+    // JPEG is lossy: constant gray survives within quantization noise
+    assert(math.abs(f.mean_red - 128.0) < 3.0 && math.abs(f.mean_blue - 128.0) < 3.0)
+  }
+
   test("multimodal frames: animated GIF multi-frame decode and stride sampling") {
     val d = docs("a") // id 0: nFrames=3, 8x8
     val all = Multimodal
