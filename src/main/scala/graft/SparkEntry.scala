@@ -409,7 +409,50 @@ object SparkEntry {
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
     },
+    "text_clean" -> { (s, dir) =>
+      operators.TextCleaning
+        .clean(piiAugmented(s.read.parquet(s"$dir/documents.parquet")))
+        .select(
+          col("doc_id"),
+          col("n_urls"),
+          col("n_emails"),
+          col("n_phones"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).as("clean_len"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    "pii_mask" -> { (s, dir) =>
+      operators.TextCleaning
+        .maskPii(piiAugmented(s.read.parquet(s"$dir/documents.parquet")))
+        .select(
+          col("doc_id"),
+          md5(col("masked_text")).as("masked_md5"),
+          length(col("masked_text")).as("masked_len"),
+        )
+        .orderBy(col("doc_id"))
+    },
   )
+
+  /** The driver's synthetic documents carry no URLs/emails/phones, so
+    * the cleaning queries inject deterministic spans (replayed
+    * verbatim by the oracle; one URL/email/phone per doc plus an
+    * extra URL every third doc, so the counts vary).
+    */
+  private def piiAugmented(docs: DataFrame): DataFrame =
+    docs.withColumn(
+      "text",
+      concat(
+        col("text"),
+        lit(" visit https://example.com/d"),
+        col("doc_id").cast("string"),
+        lit(" or mail user"),
+        col("doc_id").cast("string"),
+        lit("@example.com call +1 555 01"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" see http://b.io/x")).otherwise(lit("")),
+      ),
+    )
 
   private val T = TradeData.oracleTradesCte
 

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text cleaning: URL/email/phone detection, removal,
+  * and PII masking — the standard pre-training cleanup pass between
+  * ingest and dedup at 100 TB. Pure map-side regexp work (codegen'd
+  * string expressions, no shuffle, scan speed); the patterns are
+  * RE2-compatible (no backrefs/lookaround) so the DuckDB oracle runs
+  * the identical regexes.
+  */
+object TextCleaning {
+
+  /** Shared with the DuckDB oracle — keep RE2-safe. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+  val AnyRe = s"$UrlRe|$EmailRe|$PhoneRe"
+
+  private def collapse(c: Column): Column =
+    trim(regexp_replace(c, lit("\\s+"), lit(" ")))
+
+  /** Appends match counts and `clean_text` (all URL/email/phone spans
+    * removed, whitespace collapsed).
+    */
+  def clean(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_urls", regexp_count(col(textCol), lit(UrlRe)))
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
+      .withColumn(
+        "clean_text",
+        collapse(regexp_replace(col(textCol), lit(AnyRe), lit(" "))),
+      )
+
+  /** Appends `masked_text`: URLs/emails/phones replaced by typed
+    * placeholder tokens (document structure preserved — the masking
+    * form a pipeline keeps when it wants the text, not the span).
+    * Replacement order (email, url, phone) is part of the contract —
+    * the oracle applies the same sequence.
+    */
+  def maskPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(
+      "masked_text",
+      collapse(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
+            lit(UrlRe),
+            lit("<URL>"),
+          ),
+          lit(PhoneRe),
+          lit("<PHONE>"),
+        )
+      ),
+    )
+}
