@@ -653,7 +653,7 @@ object SparkEntry {
        |  SELECT symbol, bar,
        |         epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
        |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
-       |         CAST(sum(size) AS BIGINT) AS volume, sum(price * size) / sum(size) AS vwap,
+       |         CAST(sum(size) AS BIGINT) AS volume, CAST(sum(CAST(round(price * 100) AS BIGINT) * size) AS DOUBLE) / 100.0 / CAST(sum(size) AS DOUBLE) AS vwap,
        |         CAST(count(*) AS BIGINT) AS n_trades
        |  FROM assigned WHERE bar < nbars
        |  GROUP BY symbol, bar)
@@ -720,7 +720,7 @@ object SparkEntry {
        |  SELECT symbol, bar,
        |         epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
        |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
-       |         CAST(sum(size) AS BIGINT) AS volume, sum(price * size) / sum(size) AS vwap,
+       |         CAST(sum(size) AS BIGINT) AS volume, CAST(sum(CAST(round(price * 100) AS BIGINT) * size) AS DOUBLE) / 100.0 / CAST(sum(size) AS DOUBLE) AS vwap,
        |         CAST(count(*) AS BIGINT) AS n_trades
        |  FROM assigned WHERE bar < nbars
        |  GROUP BY symbol, bar)
@@ -779,7 +779,7 @@ object SparkEntry {
          |       epoch_us(date_trunc('hour', ts)) AS bar_ts,
          |       $ohlcvSql,
          |       CAST(sum(size) AS BIGINT) AS volume,
-         |       sum(price * size) / sum(size) AS vwap,
+         |       CAST(sum(CAST(round(price * 100) AS BIGINT) * size) AS DOUBLE) / 100.0 / CAST(sum(size) AS DOUBLE) AS vwap,
          |       CAST(count(*) AS BIGINT) AS n_trades
          |FROM trades
          |GROUP BY symbol, date_trunc('hour', ts)
@@ -794,7 +794,7 @@ object SparkEntry {
          |SELECT symbol,
          |       $ohlcvSql,
          |       CAST(sum(size) AS BIGINT) AS volume,
-         |       sum(price * size) / sum(size) AS vwap,
+         |       CAST(sum(CAST(round(price * 100) AS BIGINT) * size) AS DOUBLE) / 100.0 / CAST(sum(size) AS DOUBLE) AS vwap,
          |       CAST(count(*) AS BIGINT) AS n_trades
          |FROM numbered
          |GROUP BY symbol, d, g
@@ -818,7 +818,7 @@ object SparkEntry {
          |SELECT symbol,
          |       $ohlcvSql,
          |       CAST(sum(amount) AS BIGINT) AS volume,
-         |       sum(price * amount) / sum(amount) AS vwap,
+         |       CAST(sum(CAST(round(price * 100) AS BIGINT) * amount) AS DOUBLE) / 100.0 / CAST(sum(amount) AS DOUBLE) AS vwap,
          |       CAST(count(*) AS BIGINT) AS n_trades
          |FROM amounts
          |GROUP BY symbol, d, g
@@ -839,7 +839,7 @@ object SparkEntry {
          |         unnest(generate_series(1, CAST(size AS BIGINT))) AS ui
          |  FROM trades),
          |cum AS (
-         |  SELECT symbol, d, ts, trade_id, price,
+         |  SELECT symbol, d, ts, trade_id, price, pc,
          |         CAST(sum(pc) OVER (PARTITION BY symbol, d ORDER BY ts, trade_id, ui
          |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
          |  FROM units),
@@ -859,7 +859,7 @@ object SparkEntry {
          |       epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
          |       arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
          |       CAST(count(*) AS BIGINT) AS volume,
-         |       sum(price) / count(*) AS vwap,
+         |       CAST(sum(pc) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS vwap,
          |       CAST(count(DISTINCT trade_id) AS BIGINT) AS n_trades
          |FROM assigned
          |GROUP BY symbol, d, bar
@@ -891,7 +891,7 @@ object SparkEntry {
          |SELECT symbol,
          |       $ohlcvSql,
          |       CAST(sum(size) AS BIGINT) AS volume,
-         |       sum(price * size) / sum(size) AS vwap,
+         |       CAST(sum(CAST(round(price * 100) AS BIGINT) * size) AS DOUBLE) / 100.0 / CAST(sum(size) AS DOUBLE) AS vwap,
          |       CAST(count(*) AS BIGINT) AS n_trades
          |FROM assigned
          |GROUP BY symbol, d, bar
@@ -920,7 +920,7 @@ object SparkEntry {
          |SELECT symbol,
          |       $ohlcvSql,
          |       sum(amount) / 100.0 AS dollar_volume,
-         |       sum(price * amount) / sum(amount) AS vwap,
+         |       CAST(sum(CAST(round(price * 100) AS BIGINT) * amount) AS DOUBLE) / 100.0 / CAST(sum(amount) AS DOUBLE) AS vwap,
          |       CAST(count(*) AS BIGINT) AS n_trades
          |FROM amounts
          |WHERE amount > 0
@@ -986,7 +986,7 @@ object SparkEntry {
          |  SELECT symbol, bar,
          |         epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
          |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
-         |         CAST(sum(size) AS BIGINT) AS volume, sum(price * size) / sum(size) AS vwap,
+         |         CAST(sum(size) AS BIGINT) AS volume, CAST(sum(CAST(round(price * 100) AS BIGINT) * size) AS DOUBLE) / 100.0 / CAST(sum(size) AS DOUBLE) AS vwap,
          |         CAST(count(*) AS BIGINT) AS n_trades
          |  FROM assigned WHERE bar < nbars
          |  GROUP BY symbol, bar)

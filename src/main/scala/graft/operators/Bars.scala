@@ -43,7 +43,14 @@ object Bars {
       min(col(c.price)).as(c.low),
       max_by(col(c.price), ord).as(c.close),
       sum(sizeCol).cast("long").as("volume"),
-      (sum(col(c.price) * sizeCol) / sum(sizeCol)).as("vwap"),
+      // vwap in exact integer cents: Σ cents·size is associative, so
+      // Spark's partial-agg order and the oracle's parallel sum order
+      // produce the identical Long — the final two double divisions
+      // are then bit-equal across engines. A double Σ price·size is
+      // order-sensitive in the last ulps and made the oracle compare
+      // flaky (DuckDB's parallel agg chunk order varies run to run).
+      (sum(round(col(c.price) * 100).cast("long") * sizeCol).cast("double")
+        / lit(100.0) / sum(sizeCol).cast("double")).as("vwap"),
       count(lit(1)).as("n_trades"),
     )
   }
@@ -278,7 +285,10 @@ object Bars {
         min(col(c.price)).as("low"),
         max_by(col(c.price), ord).as("close"),
         (sum(col("__amount")) / 100.0).as("dollar_volume"),
-        (sum(col(c.price) * col("__amount")) / sum(col("__amount"))).as("vwap"),
+        // exact-cents vwap (see ohlcvAggs): Σ pc·amount is an
+        // associative Long sum; bounded by maxCents·barCents ≪ 2^63
+        (sum(round(col(c.price) * 100).cast("long") * col("__amount")).cast("double")
+          / lit(100.0) / sum(col("__amount")).cast("double")).as("vwap"),
         count(lit(1)).as("n_trades"),
       )
       .select(

@@ -88,8 +88,8 @@ object ImbalanceBars {
         var n = 0L; var theta = 0L
         var tsS: java.sql.Timestamp = null; var tsE: java.sql.Timestamp = null
         var o, h, l, cl = 0.0
-        var vol = 0L; var pv = 0.0
-        def resetBar(): Unit = { n = 0L; theta = 0L; tsS = null; vol = 0L; pv = 0.0 }
+        var vol = 0L; var pv = 0L // pv: exact price·size cents (associative; oracle-bit-stable)
+        def resetBar(): Unit = { n = 0L; theta = 0L; tsS = null; vol = 0L; pv = 0L }
         new Iterator[BarRow] {
           private var pending: BarRow = null
           override def hasNext: Boolean = {
@@ -109,10 +109,10 @@ object ImbalanceBars {
               val cents = math.round(price * 100) * size
               n += 1; theta += sign * cents; tsE = ts
               h = math.max(h, price); l = math.min(l, price); cl = price
-              vol += size; pv += price * size
+              vol += size; pv += math.round(price * 100) * size
               val threshold = expT * math.max(math.abs(expB), minB)
               if (math.abs(theta.toDouble) >= threshold) {
-                pending = BarRow(sym, tsS, tsE, o, h, l, cl, vol, pv / vol, n, theta)
+                pending = BarRow(sym, tsS, tsE, o, h, l, cl, vol, pv.toDouble / 100.0 / vol.toDouble, n, theta)
                 if (alpha > 0) {
                   expT = (1 - alpha) * expT + alpha * n
                   expB = (1 - alpha) * expB + alpha * (theta.toDouble / n)
@@ -155,8 +155,8 @@ object ImbalanceBars {
         var n = 0L; var theta = 0L
         var tsS: java.sql.Timestamp = null; var tsE: java.sql.Timestamp = null
         var o, h, l, cl = 0.0
-        var vol = 0L; var pv = 0.0
-        def resetBar(): Unit = { n = 0L; theta = 0L; tsS = null; vol = 0L; pv = 0.0 }
+        var vol = 0L; var pv = 0L // pv: exact price·size cents (associative; oracle-bit-stable)
+        def resetBar(): Unit = { n = 0L; theta = 0L; tsS = null; vol = 0L; pv = 0L }
         new Iterator[BarRow] {
           private var pending: BarRow = null
           override def hasNext: Boolean = {
@@ -175,10 +175,10 @@ object ImbalanceBars {
               if (n == 0L) { tsS = ts; o = price; h = price; l = price }
               n += 1; theta += sign * size; tsE = ts
               h = math.max(h, price); l = math.min(l, price); cl = price
-              vol += size; pv += price * size
+              vol += size; pv += math.round(price * 100) * size
               val threshold = expT * math.max(math.abs(expB), minVolumeImbalance)
               if (math.abs(theta.toDouble) >= threshold) {
-                pending = BarRow(sym, tsS, tsE, o, h, l, cl, vol, pv / vol, n, theta)
+                pending = BarRow(sym, tsS, tsE, o, h, l, cl, vol, pv.toDouble / 100.0 / vol.toDouble, n, theta)
                 if (alpha > 0) {
                   expT = (1 - alpha) * expT + alpha * n
                   expB = (1 - alpha) * expB + alpha * (theta.toDouble / n)
@@ -221,8 +221,8 @@ object ImbalanceBars {
         var n = 0L; var up = 0L; var down = 0L
         var tsS: java.sql.Timestamp = null; var tsE: java.sql.Timestamp = null
         var o, h, l, cl = 0.0
-        var vol = 0L; var pv = 0.0
-        def resetBar(): Unit = { n = 0L; up = 0L; down = 0L; tsS = null; vol = 0L; pv = 0.0 }
+        var vol = 0L; var pv = 0L // pv: exact price·size cents (associative; oracle-bit-stable)
+        def resetBar(): Unit = { n = 0L; up = 0L; down = 0L; tsS = null; vol = 0L; pv = 0L }
         new Iterator[RunBarRow] {
           private var pending: RunBarRow = null
           override def hasNext: Boolean = {
@@ -242,10 +242,10 @@ object ImbalanceBars {
               n += 1; if (sign > 0) up += 1 else down += 1
               tsE = ts
               h = math.max(h, price); l = math.min(l, price); cl = price
-              vol += size; pv += price * size
+              vol += size; pv += math.round(price * 100) * size
               val threshold = expT * pMax
               if (math.max(up, down).toDouble >= threshold) {
-                pending = RunBarRow(sym, tsS, tsE, o, h, l, cl, vol, pv / vol, n, up, down)
+                pending = RunBarRow(sym, tsS, tsE, o, h, l, cl, vol, pv.toDouble / 100.0 / vol.toDouble, n, up, down)
                 if (alpha > 0) {
                   expT = (1 - alpha) * expT + alpha * n
                   pMax = (1 - alpha) * pMax + alpha * (math.max(up, down).toDouble / n)
@@ -303,9 +303,9 @@ object ImbalanceBars {
         var n = 0L; var theta = 0L
         var tsS: java.sql.Timestamp = null; var tsE: java.sql.Timestamp = null
         var o, h, l, cl = 0.0
-        var vol = 0L; var pv = 0.0
+        var vol = 0L; var pv = 0L // pv: exact price·size cents (associative; oracle-bit-stable)
 
-        def resetBar(): Unit = { n = 0L; theta = 0L; tsS = null; vol = 0L; pv = 0.0 }
+        def resetBar(): Unit = { n = 0L; theta = 0L; tsS = null; vol = 0L; pv = 0L }
 
         new Iterator[BarRow] {
           private var pending: BarRow = null
@@ -325,10 +325,10 @@ object ImbalanceBars {
               if (n == 0L) { tsS = ts; o = price; h = price; l = price }
               n += 1; theta += sign; tsE = ts
               h = math.max(h, price); l = math.min(l, price); cl = price
-              vol += size; pv += price * size
+              vol += size; pv += math.round(price * 100) * size
               val threshold = expT * math.max(math.abs(expB), minImbalance)
               if (math.abs(theta.toDouble) >= threshold) {
-                pending = BarRow(sym, tsS, tsE, o, h, l, cl, vol, pv / vol, n, theta)
+                pending = BarRow(sym, tsS, tsE, o, h, l, cl, vol, pv.toDouble / 100.0 / vol.toDouble, n, theta)
                 expT = (1 - alpha) * expT + alpha * n
                 expB = (1 - alpha) * expB + alpha * (theta.toDouble / n)
                 resetBar()
