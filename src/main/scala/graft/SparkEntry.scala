@@ -1415,5 +1415,44 @@ object SparkEntry {
          |       CAST((doc_id * 13 + fi * 37) % 256 AS DOUBLE) AS mean_gray
          |FROM f
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Replays piiAugmented verbatim, then runs the IDENTICAL regexes
+    // (interpolated from TextCleaning — single source of truth; they
+    // are RE2-safe so Java and DuckDB match byte-for-byte, verified
+    // md5-exact on all 500 docs). DuckDB needs the 'g' flag (its
+    // regexp_replace is first-match by default, Spark's is global)
+    // and counts via len(regexp_extract_all).
+    "text_clean" ->
+      s"""WITH aug AS (SELECT doc_id, $piiAugSql AS t FROM documents),
+         |clean AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(t, '${operators.TextCleaning.UrlRe}')) AS n_urls,
+         |         len(regexp_extract_all(t, '${operators.TextCleaning.EmailRe}')) AS n_emails,
+         |         len(regexp_extract_all(t, '${operators.TextCleaning.PhoneRe}')) AS n_phones,
+         |         trim(regexp_replace(regexp_replace(t, '${operators.TextCleaning.AnyRe}', ' ', 'g'), '\\s+', ' ', 'g')) AS ct
+         |  FROM aug)
+         |SELECT doc_id, n_urls, n_emails, n_phones,
+         |       md5(ct) AS clean_md5, CAST(length(ct) AS INT) AS clean_len
+         |FROM clean
+         |ORDER BY doc_id""".stripMargin,
+    "pii_mask" ->
+      s"""WITH aug AS (SELECT doc_id, $piiAugSql AS t FROM documents),
+         |masked AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |           '${operators.TextCleaning.EmailRe}', '<EMAIL>', 'g'),
+         |           '${operators.TextCleaning.UrlRe}', '<URL>', 'g'),
+         |           '${operators.TextCleaning.PhoneRe}', '<PHONE>', 'g'),
+         |           '\\s+', ' ', 'g')) AS mt
+         |  FROM aug)
+         |SELECT doc_id, md5(mt) AS masked_md5, CAST(length(mt) AS INT) AS masked_len
+         |FROM masked
+         |ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB replay of [[piiAugmented]] — keep the two in lockstep. */
+  private val piiAugSql: String =
+    "text || ' visit https://example.com/d' || CAST(doc_id AS VARCHAR)" +
+      " || ' or mail user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com call +1 555 01' || CAST(doc_id AS VARCHAR)" +
+      " || CASE WHEN doc_id % 3 = 0 THEN ' see http://b.io/x' ELSE '' END"
 }

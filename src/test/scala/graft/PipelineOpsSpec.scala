@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextCleaning}
 
 /** Specs for the LLM-data-pipeline operators (dedup, similarity,
   * text analysis, multimodal plumbing).
@@ -402,5 +402,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
     val strided = Multimodal.sampleFrames(Multimodal.synthesizeVideos(d), stride = 2).collect()
     assert(strided.map(_.frame_idx).sorted.toSeq == (0 until nf by 2).toSeq)
+  }
+
+  test("text cleaning: URL/email/phone counts, removal, whitespace collapse") {
+    val d = docs(
+      "see https://a.io/x?q=1 and http://b.co  mail me at bob@corp.example.org or +1 555 123 4567 now",
+      "no pii here, just words",
+    )
+    val rows = TextCleaning.clean(d).select("doc_id", "n_urls", "n_emails", "n_phones", "clean_text")
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getInt(1) == 2 && rows(0).getInt(2) == 1 && rows(0).getInt(3) == 1)
+    assert(rows(0).getString(4) == "see and mail me at or now")
+    assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0 && rows(1).getInt(3) == 0)
+    assert(rows(1).getString(4) == "no pii here, just words")
+  }
+
+  test("pii masking: typed placeholders, email-before-url order") {
+    val d = docs("ping alice@x.example.com or https://x.example.com/a call 555-123-9876 done")
+    val out = TextCleaning.maskPii(d).select("masked_text").collect().head.getString(0)
+    // the email must become <EMAIL>, not have its domain eaten by the URL pass
+    assert(out == "ping <EMAIL> or <URL> call <PHONE> done")
   }
 }
