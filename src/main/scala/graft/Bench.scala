@@ -41,22 +41,32 @@ object Bench {
         }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val nFail = results.count { case (_, (_, ok)) => !ok }
+    val failedNames = results.collect { case (k, (_, false)) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map { case (_, (v, _)) => v }.sum
+    // stdout line: ms-rounded timings, failures as a (normally empty)
+    // name list — the driver keeps only the LAST ~2000 chars of stdout,
+    // and rounds 1-5 proved a full-precision line with a per-query ok
+    // map (~3 KB) gets its head truncated → "parsed": null every round.
+    // This form is ~1.2 KB at 47 queries; full precision + the ok map
+    // live in bench_out.json.
+    val qsShort = results.map { case (k, (v, _)) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$nFail,"failed_queries":$failedNames,"sf":"$sfDir"}"""
+    println(line)
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, (_, ok)) => s"\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
-    val nFail = results.count { case (_, (_, ok)) => !ok }
-    val total = results.map { case (_, (v, _)) => v }.sum
-    val line =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFail,"sf":"$sfDir"}"""
-    println(line)
-    // the stdout capture has truncated the line's head in past rounds
-    // (losing the first ~7 queries' timings); the file copy is the
-    // recoverable record
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
     )
     catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
     spark.stop()
