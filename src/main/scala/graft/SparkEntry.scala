@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.FracDiff
-import graft.operators.{Bars, Dedup, Labels, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bars, Dedup, Labels, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.TradeData
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan).
@@ -286,6 +286,27 @@ object SparkEntry {
       s.read
         .parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    "train_split" -> { (s, dir) =>
+      Sampling
+        .hashSplit(
+          s.read.parquet(s"$dir/documents.parquet"),
+          keyCol = "doc_id",
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        )
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    "stratified_sample" -> { (s, dir) =>
+      Sampling
+        .stratifiedSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          strata = Seq("lang"),
+          frac = 0.2,
+          keyCol = "doc_id",
+        )
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
     "dedup_exact" -> { (s, dir) =>
@@ -1415,6 +1436,30 @@ object SparkEntry {
          |       CAST((doc_id * 13 + fi * 37) % 256 AS DOUBLE) AS mean_gray
          |FROM f
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // The split/sample oracles recompute Sampling.hashBucket — first
+    // 8 md5 hex chars of "key:graft" — with DuckDB's hex cast (same
+    // construction the doc_fingerprint oracle already uses).
+    "train_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT % 10000 AS b
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+         |FROM b
+         |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT % 10000,
+         |                    doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang
+         |FROM r
+         |WHERE rk <= ceil(n * 0.2)
+         |ORDER BY doc_id""".stripMargin,
     // Replays piiAugmented verbatim, then runs the IDENTICAL regexes
     // (interpolated from TextCleaning — single source of truth; they
     // are RE2-safe so Java and DuckDB match byte-for-byte, verified

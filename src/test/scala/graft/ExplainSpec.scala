@@ -190,4 +190,22 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial_max_by") || p.contains("partial_maxby"), p)
   }
 
+  test("hash split/sample are map-side: zero exchanges") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val split = graft.operators.Sampling
+      .hashSplit(d, "doc_id", Seq("train" -> 0.8, "val" -> 0.2))
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
+    val sample = graft.operators.Sampling.hashSample(d, "doc_id", 0.3)
+    assert(!sample.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("stratified sample shuffles exactly once, on the stratum key") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Sampling
+      .stratifiedSample(d, Seq("lang"), 0.2, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"), "stratum window must not global-sort")
+  }
+
 }
