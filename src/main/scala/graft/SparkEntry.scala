@@ -288,6 +288,20 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
+    "sessionize" -> { (s, dir) =>
+      usTs("ts_start", "ts_end")(
+        operators.Sessionize.sessions(TradeData.rawEvents(s, dir))
+      ).orderBy(col("user_id"), col("session_idx"))
+    },
+    "pack_sequences" -> { (s, dir) =>
+      val docs = s.read
+        .parquet(s"$dir/documents.parquet")
+        .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")))
+      operators.Packing
+        .packSequences(docs, maxTokens = 500L, nShards = 8)
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
     "train_split" -> { (s, dir) =>
       Sampling
         .hashSplit(
@@ -1436,6 +1450,54 @@ object SparkEntry {
          |       CAST((doc_id * 13 + fi * 37) % 256 AS DOUBLE) AS mean_gray
          |FROM f
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Gap sessionization replay: identical lag/flag/running-sum
+    // construction. Tie-safe (same-ts events always share a session,
+    // and the cumulative flag sum after a tie group is order-
+    // independent); all aggregates integer-exact (floor-cents sum).
+    "sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+         |m AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+         |f AS (
+         |  SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nw FROM m),
+         |s AS (
+         |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx FROM f)
+         |SELECT user_id, session_idx,
+         |       epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM s
+         |GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+    // Sequence packing replay: the close-before-overflow boundary
+    // chain is recursive over SEQUENCES (like the bar close chains):
+    // next boundary = the largest in-budget cumsum, or the lone
+    // oversize doc's cumsum; a doc's seq_idx = closes before its cum.
+    "pack_sequences" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS t,
+         |         CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT % 10000) % 8 AS INT) AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, t, shard,
+         |         CAST(sum(t) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+         |  FROM d),
+         |closes AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS b, 0 AS j FROM (SELECT DISTINCT shard FROM c)
+         |  UNION ALL
+         |  SELECT shard,
+         |         coalesce(
+         |           (SELECT max(s) FROM c u WHERE u.shard = cl.shard AND u.s > cl.b AND u.s <= cl.b + 500),
+         |           (SELECT min(s) FROM c u WHERE u.shard = cl.shard AND u.s > cl.b)),
+         |         j + 1
+         |  FROM closes cl
+         |  WHERE EXISTS (SELECT 1 FROM c u WHERE u.shard = cl.shard AND u.s > cl.b))
+         |SELECT doc_id, t AS n_tokens, shard,
+         |       (SELECT count(*) FROM closes cl WHERE cl.shard = c.shard AND cl.j > 0 AND cl.b < c.s) AS seq_idx
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
     // The split/sample oracles recompute Sampling.hashBucket — first
     // 8 md5 hex chars of "key:graft" — with DuckDB's hex cast (same
     // construction the doc_fingerprint oracle already uses).

@@ -54,6 +54,21 @@ object TradeData {
       )
   }
 
+  /** `events.parquet` with `ts` normalized to micro-precision
+    * timestamps (nanos parquet → truncated, like DuckDB's
+    * `ts::TIMESTAMP`), no row filter — the raw clickstream for
+    * sessionization and other event-level operators.
+    */
+  def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", tsCol)
+  }
+
   /** DuckDB-side definition of the identical trades view (CTE body). */
   val oracleTradesCte: String =
     """trades AS (

@@ -199,6 +199,23 @@ class ExplainSpec extends SparkSpec {
     assert(!sample.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("sessionize shuffles once on the user key; both windows share one sort") {
+    val e = graft.sources.TradeData.rawEvents(spark, dir)
+    val p = graft.operators.Sessionize.assign(e).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"))
+    assert("\\bSort\\b".r.findAllIn(p).length <= 1, s"lag + running sum must share one sort:\n$p")
+  }
+
+  test("packing shuffles once on the shard key") {
+    import spark.implicits._
+    val d = (0 until 100).map(i => (i.toLong, i.toLong % 50 + 1)).toDF("doc_id", "n_tokens")
+    val p = graft.operators.Packing.packSequences(d, 100L, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"))
+  }
+
   test("stratified sample shuffles exactly once, on the stratum key") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.operators.Sampling
