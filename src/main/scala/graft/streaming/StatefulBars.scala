@@ -36,7 +36,7 @@ object StatefulBars {
       low: Double,
       close: Double,
       volume: Long,
-      pv: Double,
+      pv: Long, // exact price*size cents (matches batch ohlcvAggs)
   )
 
   final case class Bar(
@@ -96,7 +96,7 @@ object StatefulBars {
       val tsUs = tsMicros(t.ts) // full microsecond precision
       bar =
         if (bar == null)
-          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, t.price * t.size)
+          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, math.round(t.price * 100) * t.size)
         else
           OpenBar(
             bar.n + 1,
@@ -107,7 +107,7 @@ object StatefulBars {
             math.min(bar.low, t.price),
             t.price,
             bar.volume + t.size,
-            bar.pv + t.price * t.size,
+            bar.pv + math.round(t.price * 100) * t.size,
           )
       if (bar.n >= barSize) {
         out += Bar(
@@ -119,7 +119,7 @@ object StatefulBars {
           bar.low,
           bar.close,
           bar.volume,
-          bar.pv / bar.volume,
+          bar.pv.toDouble / 100.0 / bar.volume.toDouble,
           bar.n,
         )
         bar = null
@@ -211,12 +211,12 @@ object StatefulBars {
         else -1
       val bar =
         if (st.bar == null)
-          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, t.price * t.size)
+          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, math.round(t.price * 100) * t.size)
         else
           OpenBar(
             st.bar.n + 1, st.bar.tsStart, tsUs, st.bar.open,
             math.max(st.bar.high, t.price), math.min(st.bar.low, t.price), t.price,
-            st.bar.volume + t.size, st.bar.pv + t.price * t.size,
+            st.bar.volume + t.size, st.bar.pv + math.round(t.price * 100) * t.size,
           )
       val theta = st.theta + sign
       val threshold = st.expT * math.max(math.abs(st.expB), minImbalance)
@@ -224,7 +224,7 @@ object StatefulBars {
         out += ImbBar(
           symbol, microsTs(bar.tsStart), microsTs(bar.tsEnd),
           bar.open, bar.high, bar.low, bar.close,
-          bar.volume, bar.pv / bar.volume, bar.n, theta,
+          bar.volume, bar.pv.toDouble / 100.0 / bar.volume.toDouble, bar.n, theta,
         )
         val (expT, expB) =
           if (alpha > 0)

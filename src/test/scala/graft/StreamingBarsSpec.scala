@@ -46,7 +46,7 @@ class StreamingBarsSpec extends SparkSpec {
     assert(
       joined.where(
         col("s.volume") =!= col("b.volume") ||
-          abs(col("s.vwap") - col("b.vwap")) > lit(1e-9) ||
+          col("s.vwap") =!= col("b.vwap") || // vwap cents-exact both sides: bit-equal
           col("s.open") =!= col("b.open") || col("s.close") =!= col("b.close")
       ).count() == 0
     )
@@ -81,7 +81,7 @@ class StreamingBarsSpec extends SparkSpec {
         col("s.theta") =!= col("b.theta") ||
           col("s.volume") =!= col("b.volume") ||
           col("s.n_trades") =!= col("b.n_trades") ||
-          abs(col("s.vwap") - col("b.vwap")) > lit(1e-9)
+          col("s.vwap") =!= col("b.vwap") // vwap cents-exact both sides: bit-equal
       ).count() == 0
     )
   }
@@ -182,7 +182,7 @@ class StreamingBarsSpec extends SparkSpec {
       .where(
         col("s.volume") =!= col("b.volume") ||
           col("s.n_trades") =!= col("b.n_trades") ||
-          abs(col("s.vwap") - col("b.vwap")) > lit(1e-9) ||
+          col("s.vwap") =!= col("b.vwap") || // vwap cents-exact both sides: bit-equal
           col("s.open") =!= col("b.open") || col("s.close") =!= col("b.close")
       )
     assert(joined.count() == 0)
