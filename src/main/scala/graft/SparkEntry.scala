@@ -288,6 +288,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
+    "profile" -> { (s, dir) =>
+      operators.Profile
+        .profile(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"),
+        )
+        .orderBy(col("col_name"))
+    },
     "sessionize" -> { (s, dir) =>
       usTs("ts_start", "ts_end")(
         operators.Sessionize.sessions(TradeData.rawEvents(s, dir))
@@ -1450,6 +1458,22 @@ object SparkEntry {
          |       CAST((doc_id * 13 + fi * 37) % 256 AS DOUBLE) AS mean_gray
          |FROM f
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Per-column stats replay: one SELECT per profiled column,
+    // UNION ALL'd. avg_len divides two exact longs — bit-stable.
+    "profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       min(CAST($c AS VARCHAR)) AS min_str,
+           |       max(CAST($c AS VARCHAR)) AS max_str,
+           |       CAST(sum(length(CAST($c AS VARCHAR))) AS DOUBLE) / CAST(count($c) AS DOUBLE) AS avg_len
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // Gap sessionization replay: identical lag/flag/running-sum
     // construction. Tie-safe (same-ts events always share a session,
     // and the cumulative flag sum after a tie group is order-

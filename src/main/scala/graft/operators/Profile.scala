@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling: per-column statistics a pipeline inspects
+  * before training on a new corpus drop — row/null/distinct counts,
+  * lexicographic bounds, and mean byte length.
+  *
+  * One aggregation over the whole table produces every column's
+  * stats, then a `stack` unpivot reshapes to one row per column — a
+  * single scan regardless of how many columns are profiled. Exact
+  * distinct counts use Spark's expand-based multi-distinct (k-way row
+  * multiplication through ONE shuffle); at 100 TB-wide profiles swap
+  * in `approxProfile`, which keeps the single pass with
+  * approx_count_distinct (HLL) at bounded error instead — same output
+  * shape, error bound pinned in ScalaTest.
+  */
+object Profile {
+
+  private def statCols(c: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"__${c}__n"),
+    count(col(c)).as(s"__${c}__nn"),
+    countDistinct(col(c)).as(s"__${c}__nd"),
+    min(col(c).cast("string")).as(s"__${c}__min"),
+    max(col(c).cast("string")).as(s"__${c}__max"),
+    sum(length(col(c).cast("string")).cast("long")).as(s"__${c}__len"),
+  )
+
+  private def approxStatCols(c: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"__${c}__n"),
+    count(col(c)).as(s"__${c}__nn"),
+    approx_count_distinct(col(c)).as(s"__${c}__nd"),
+    min(col(c).cast("string")).as(s"__${c}__min"),
+    max(col(c).cast("string")).as(s"__${c}__max"),
+    sum(length(col(c).cast("string")).cast("long")).as(s"__${c}__len"),
+  )
+
+  private def unpivot(agg: DataFrame, cols: Seq[String]): DataFrame = {
+    val fields = cols
+      .map(c =>
+        s"'$c', __${c}__n, __${c}__nn, __${c}__nd, __${c}__min, __${c}__max, __${c}__len"
+      )
+      .mkString(", ")
+    agg
+      .select(expr(
+        s"stack(${cols.size}, $fields) AS (col_name, n_rows, n_nonnull, n_distinct, min_str, max_str, total_len)"
+      ))
+      .withColumn("n_null", col("n_rows") - col("n_nonnull"))
+      .withColumn(
+        "avg_len",
+        // single division of two exact longs — engine-bit-stable
+        col("total_len").cast("double") / col("n_nonnull").cast("double"),
+      )
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str", "avg_len")
+  }
+
+  /** Exact profile: one row per requested column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(statCols)
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+
+  /** Single-pass profile with HLL distinct estimates (default rsd
+    * 5%): the 100 TB shape — no expand multiplication, one partial
+    * agg per partition.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(approxStatCols)
+    unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
+  }
+}

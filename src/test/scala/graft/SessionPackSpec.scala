@@ -45,6 +45,24 @@ class SessionPackSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("profile: exact stats per column in one pass; approx distinct within rsd") {
+    import graft.operators.Profile
+    val d = (0 until 1000)
+      .map(i => (i.toLong, if (i % 10 == 0) null else s"v${i % 123}", i % 7))
+      .toDF("id", "s", "m")
+    val p = Profile.profile(d, Seq("id", "s", "m")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getAs[Long]("n_rows") == 1000L && p("id").getAs[Long]("n_null") == 0L)
+    assert(p("id").getAs[Long]("n_distinct") == 1000L)
+    assert(p("s").getAs[Long]("n_null") == 100L && p("s").getAs[Long]("n_distinct") == 123L)
+    assert(p("m").getAs[Long]("n_distinct") == 7L)
+    assert(p("m").getAs[String]("min_str") == "0" && p("m").getAs[String]("max_str") == "6")
+    val a = Profile.approxProfile(d, Seq("id", "s", "m")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(math.abs(a("id") - 1000L) <= 100L) // default rsd 5%, allow 2 sigma
+    assert(a("m") == 7L) // HLL is exact at tiny cardinality
+  }
+
   private def docs(toks: Long*) =
     toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "n_tokens")
 
