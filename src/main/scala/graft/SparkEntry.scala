@@ -288,6 +288,16 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
+    "group_quantiles" -> { (s, dir) =>
+      operators.Profile
+        .quantiles(
+          TradeData.rawEvents(s, dir),
+          groupCols = Seq("event_type"),
+          valCol = "value",
+          qs = Seq(0.25, 0.5, 0.75, 0.9),
+        )
+        .orderBy(col("event_type"))
+    },
     "profile" -> { (s, dir) =>
       operators.Profile
         .profile(
@@ -1458,6 +1468,19 @@ object SparkEntry {
          |       CAST((doc_id * 13 + fi * 37) % 256 AS DOUBLE) AS mean_gray
          |FROM f
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    // interpolation definition and produce bit-identical doubles
+    // (verified on interpolated points, e.g. ...000000000003 tails).
+    "group_quantiles" ->
+      s"""SELECT event_type,
+         |       quantile_cont(value, 0.25) AS p25,
+         |       quantile_cont(value, 0.5) AS p50,
+         |       quantile_cont(value, 0.75) AS p75,
+         |       quantile_cont(value, 0.9) AS p90,
+         |       CAST(count(value) AS BIGINT) AS n
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
     // Per-column stats replay: one SELECT per profiled column,
     // UNION ALL'd. avg_len divides two exact longs — bit-stable.
     "profile" -> {

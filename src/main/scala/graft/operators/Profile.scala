@@ -69,4 +69,41 @@ object Profile {
     val aggs = cols.flatMap(approxStatCols)
     unpivot(df.agg(aggs.head, aggs.tail: _*), cols)
   }
+
+  /** Exact grouped quantiles (linear interpolation — the
+    * quantile_cont definition; Spark's `percentile` and DuckDB's
+    * `quantile_cont` produce bit-identical doubles, verified on
+    * interpolated points). Exact percentile buffers each group's
+    * values, so this is for bounded-cardinality groupings (per
+    * symbol/type/label); for 100 TB-wide groups use
+    * [[approxQuantiles]], whose KLL-style sketch is mergeable
+    * map-side and O(1/accuracy) per group.
+    */
+  def quantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      qs: Seq[Double],
+  ): DataFrame = {
+    val aggs = qs.map(q => expr(s"percentile($valCol, $q)").as(qName(q))) :+
+      count(col(valCol)).as("n")
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** approx_percentile twin: same output shape, sketch-based. */
+  def approxQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      qs: Seq[Double],
+      accuracy: Int = 10000,
+  ): DataFrame = {
+    val aggs = qs.map(q =>
+      expr(s"approx_percentile($valCol, $q, $accuracy)").as(qName(q))
+    ) :+ count(col(valCol)).as("n")
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def qName(q: Double): String =
+    "p" + BigDecimal(q * 100).underlying.stripTrailingZeros.toPlainString.replace(".", "_")
 }

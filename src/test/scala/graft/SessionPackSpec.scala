@@ -63,6 +63,17 @@ class SessionPackSpec extends SparkSpec {
     assert(a("m") == 7L) // HLL is exact at tiny cardinality
   }
 
+  test("grouped quantiles: exact interpolation; sketch within accuracy") {
+    import graft.operators.Profile
+    val d = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val r = Profile.quantiles(d, Seq("k"), "v", Seq(0.5, 0.9)).collect().head
+    assert(r.getAs[Double]("p50") == 50.5) // (50+51)/2 linear interpolation
+    assert(math.abs(r.getAs[Double]("p90") - 90.1) < 1e-12) // 90 + frac*(91-90), frac carries 0.9*99 FP residue
+    assert(r.getAs[Long]("n") == 100L)
+    val a = Profile.approxQuantiles(d, Seq("k"), "v", Seq(0.5)).collect().head
+    assert(math.abs(a.getAs[Double]("p50") - 50.5) <= 1.0)
+  }
+
   private def docs(toks: Long*) =
     toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "n_tokens")
 
