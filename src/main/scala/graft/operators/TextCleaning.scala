@@ -21,6 +21,29 @@ object TextCleaning {
   private def collapse(c: Column): Column =
     trim(regexp_replace(c, lit("\\s+"), lit(" ")))
 
+  /** `clean_text` as a single-column expression (also the SQL surface
+    * `graft_clean_text`): URL/email/phone spans removed, whitespace
+    * collapsed.
+    */
+  def cleanText(c: Column): Column =
+    collapse(regexp_replace(c, lit(AnyRe), lit(" ")))
+
+  /** `masked_text` as a single-column expression (SQL surface
+    * `graft_mask_pii`): email → url → phone placeholder substitution.
+    */
+  def maskText(c: Column): Column =
+    collapse(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+          lit(UrlRe),
+          lit("<URL>"),
+        ),
+        lit(PhoneRe),
+        lit("<PHONE>"),
+      )
+    )
+
   /** Appends match counts and `clean_text` (all URL/email/phone spans
     * removed, whitespace collapsed).
     */
@@ -29,10 +52,7 @@ object TextCleaning {
       .withColumn("n_urls", regexp_count(col(textCol), lit(UrlRe)))
       .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
       .withColumn("n_phones", regexp_count(col(textCol), lit(PhoneRe)))
-      .withColumn(
-        "clean_text",
-        collapse(regexp_replace(col(textCol), lit(AnyRe), lit(" "))),
-      )
+      .withColumn("clean_text", cleanText(col(textCol)))
 
   /** Appends `masked_text`: URLs/emails/phones replaced by typed
     * placeholder tokens (document structure preserved — the masking
@@ -41,18 +61,5 @@ object TextCleaning {
     * the oracle applies the same sequence.
     */
   def maskPii(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn(
-      "masked_text",
-      collapse(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
-            lit(UrlRe),
-            lit("<URL>"),
-          ),
-          lit(PhoneRe),
-          lit("<PHONE>"),
-        )
-      ),
-    )
+    docs.withColumn("masked_text", maskText(col(textCol)))
 }

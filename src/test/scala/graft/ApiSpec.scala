@@ -68,6 +68,22 @@ class ApiSpec extends SparkSpec {
         .getLong(0)
     }
     assert(sh == viaCol && sh >= 0)
+    val cleaned = spark
+      .sql("SELECT graft_clean_text('go to https://x.io/a now') AS c").head().getString(0)
+    assert(cleaned == "go to now")
+    val masked = spark
+      .sql("SELECT graft_mask_pii('mail a@b.example.net or call 555-123-9876') AS m")
+      .head().getString(0)
+    assert(masked == "mail <EMAIL> or call <PHONE>")
+    val bucket = spark
+      .sql("SELECT graft_hash_bucket('42', 'graft') AS b").head().getLong(0)
+    val viaApi = {
+      import spark.implicits._
+      Seq(Tuple1(42L)).toDF("k")
+        .select(graft.operators.Sampling.hashBucket(org.apache.spark.sql.functions.col("k"), "graft").as("b"))
+        .head().getLong(0)
+    }
+    assert(bucket == viaApi && bucket >= 0 && bucket < 10000)
   }
 
   test("entry() returns rows (driver smoke contract)") {
