@@ -7,7 +7,8 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (q <- Seq("q1_agg", "q5_join", "time_bars", "volume_bars", "returns_24h", "triple_barrier", "ann_topk")) {
+    val qs = if (args.nonEmpty) args.toSeq else Seq("q1_agg", "q5_join", "time_bars", "volume_bars", "returns_24h", "triple_barrier", "ann_topk", "sessionize", "pack_sequences", "train_split", "stratified_sample", "profile", "group_quantiles")
+    for (q <- qs) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
