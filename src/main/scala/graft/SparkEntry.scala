@@ -288,6 +288,11 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
+    "ann_pq_topk" -> { (s, dir) =>
+      operators.Pq
+        .topK(s.read.parquet(s"$dir/embeddings.parquet"), m = 8, k = 16, iters = 0)
+        .orderBy(col("query_id"), col("rnk"))
+    },
     "group_quantiles" -> { (s, dir) =>
       operators.Profile
         .quantiles(
@@ -1468,6 +1473,46 @@ object SparkEntry {
          |       CAST((doc_id * 13 + fi * 37) % 256 AS DOUBLE) AS mean_gray
          |FROM f
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // PQ replay (iters=0 codebooks = first-16 subvectors): slicing,
+    // per-subspace nearest-code assignment, and the ADC lookup sum all
+    // use the left-to-right f64 list_reduce arithmetic (L2SqExpr /
+    // PqAdcExpr mirror it); the per-candidate score sums its 8
+    // partials in sub order via an ORDER BY list aggregate, never a
+    // parallel double SUM.
+    "ann_pq_topk" -> {
+      def l2sq(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 8), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+      s"""WITH sv AS (
+         |  SELECT vec_id AS id, s.sub,
+         |         list_transform(generate_series(s.sub * 8 + 1, s.sub * 8 + 8),
+         |                        i -> CAST(embedding[i] AS DOUBLE)) AS sv
+         |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |cb AS (SELECT sub, CAST(id AS INT) AS code, sv AS cv FROM sv WHERE id < 16),
+         |codes AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT sv.id, sv.sub, cb.code,
+         |           row_number() OVER (PARTITION BY sv.id, sv.sub
+         |                              ORDER BY ${l2sq("sv.sv", "cb.cv")} ASC, cb.code) AS r
+         |    FROM sv JOIN cb ON sv.sub = cb.sub)
+         |  WHERE r = 1),
+         |tbl AS (
+         |  SELECT sv.id AS query_id, sv.sub, cb.code, ${l2sq("sv.sv", "cb.cv")} AS partial
+         |  FROM sv JOIN cb ON sv.sub = cb.sub
+         |  WHERE sv.id < 10),
+         |scored AS (
+         |  SELECT t.query_id, c.id AS neighbor_id,
+         |         list_reduce(list(t.partial ORDER BY t.sub), (x, y) -> x + y) AS score
+         |  FROM codes c
+         |  JOIN tbl t ON t.sub = c.sub AND t.code = c.code
+         |  WHERE c.id != t.query_id
+         |  GROUP BY t.query_id, c.id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score
+         |FROM r
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    },
     // Spark `percentile` and DuckDB `quantile_cont` share the linear-
     // interpolation definition and produce bit-identical doubles
     // (verified on interpolated points, e.g. ...000000000003 tails).
