@@ -194,6 +194,93 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
   }
 
+  /** IVF-PQ: the composition a 100 TB ANN deployment actually runs.
+    * IVF cells prune the candidate set to nProbe/nCells of the corpus
+    * WITHOUT touching raw vectors (cell ids ride with the codes); PQ
+    * ADC scores the survivors from compressed codes; only the final
+    * shortlist reads true embeddings for exact ordering. Memory per
+    * candidate during the scan: m bytes of codes + a cell id — the
+    * raw vectors are read exactly shortlist·nQueries times.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 1,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      nQueries: Int = 10,
+      topKn: Int = 10,
+      shortlist: Int = 100,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val subDim = dim / m
+    // coarse quantizer: full-vector centroids (seeded, L2 assignment)
+    val full = emb.select(
+      col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"),
+    )
+    val cents = full.where(col("id") < nCells).select(col("id").cast("int").as("cent_id"), col("v").as("cv"))
+    val assigned = full
+      .join(broadcast(cents), lit(true))
+      .withColumn("d", VectorExprs.l2sqNative(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(min_by(col("cent_id"), struct(col("d"), col("cent_id"))).as("cell"))
+    // fine quantizer: PQ codes
+    val cb = train(emb, m, k, iters, idCol, vecCol)
+    val codes = encode(emb, cb, m, idCol, vecCol).join(assigned, "id")
+    // queries probe their nProbe nearest cells
+    val qProbe = full
+      .where(col("id") < nQueries)
+      .join(broadcast(cents), lit(true))
+      .withColumn("d", VectorExprs.l2sqNative(col("v"), col("cv")))
+      .withColumn(
+        "r",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("d").asc, col("cent_id"))),
+      )
+      .where(col("r") <= nProbe)
+      .select(col("id").as("query_id"), col("cent_id").as("cell"))
+    val tables = subvectors(emb.where(col(idCol) < nQueries), m, subDim, idCol, vecCol)
+      .join(broadcast(cb), "sub")
+      .withColumn("partial", VectorExprs.l2sqNative(col("sv"), col("cv")))
+      .groupBy(col("id").as("query_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("code"), col("partial")))),
+          s => s.getField("partial"),
+        ).as("tbl")
+      )
+    val wSl = Window.partitionBy(col("query_id")).orderBy(col("score").asc, col("neighbor_id"))
+    val cand = codes
+      .join(broadcast(qProbe), Seq("cell")) // cell-pruned candidates
+      .join(broadcast(tables), "query_id")
+      .where(col("id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        VectorExprs.pqAdcNative(col("codes"), col("tbl"), k).as("score"),
+      )
+      .withColumn("rnk", row_number().over(wSl))
+      .where(col("rnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank of the shortlist
+    val v = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val q = emb.where(col(idCol) < nQueries).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    cand
+      .join(v, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        VectorExprs.l2sqNative(col("qv"), col("nv")).as("score"),
+      )
+      .withColumn("rnk", row_number().over(wSl))
+      .where(col("rnk") <= topKn)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+  }
+
   /** train + encode + search in one call (iters=0 = oracle form). */
   def topK(
       emb: DataFrame,

@@ -116,5 +116,15 @@ class PqSpec extends SparkSpec {
     )
     info(f"isotropic ADC recall@10 = $isotropic%.3f (distance concentration)")
     assert(isotropic >= 0.1)
+
+    // IVF-PQ: cell pruning + ADC + rerank — the full composition.
+    // On clustered data the probed cells contain the true cluster.
+    val ivfpq = recallOf(
+      Pq.ivfPqTopK(cemb, m = 8, k = 16, iters = 2, nCells = 16, nProbe = 4, shortlist = 50)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect(),
+      truth,
+    )
+    info(f"IVF-PQ reranked recall@10 = $ivfpq%.3f")
+    assert(ivfpq >= 0.85, f"IVF-PQ recall $ivfpq%.3f")
   }
 }
