@@ -190,6 +190,17 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial_max_by") || p.contains("partial_maxby"), p)
   }
 
+  test("pq encode and search broadcast the small sides: no sort-merge join") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = graft.operators.Pq.train(emb, m = 8, k = 16, iters = 0)
+    val enc = graft.operators.Pq.encode(emb, cb, m = 8)
+    assert(!enc.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val p = graft.operators.Pq.adcTopK(emb, cb, enc, m = 8, k = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), "codebooks/tables must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
   test("hash split/sample are map-side: zero exchanges") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val split = graft.operators.Sampling
