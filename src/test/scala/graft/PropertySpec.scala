@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.operators.{AsofJoin, Packing, Sampling, Sessionize}
+
+/** Property-style checks: operator invariants over randomized inputs
+  * (fixed seeds — deterministic CI), cross-checked against
+  * straight-line Scala reference implementations.
+  */
+class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private val seeds = Table("seed", 1L, 7L, 42L)
+
+  test("packing invariants on random token lists (vs sequential reference)") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val toks = (0 until 300).map(i => (i.toLong, rng.nextInt(400).toLong + 1))
+      val budget = 512L
+      val got = Packing
+        .packSequences(toks.toDF("doc_id", "n_tokens"), budget, nShards = 3)
+        .collect()
+        .sortBy(_.doc_id)
+      // reference: per shard, sequential first-fit in doc_id order
+      val byShard = got.groupBy(_.shard)
+      for ((_, docs) <- byShard) {
+        var fill = 0L
+        var seq = 0L
+        for (d <- docs.sortBy(_.doc_id)) {
+          if (fill > 0L && fill + d.n_tokens > budget) { seq += 1L; fill = 0L }
+          fill += d.n_tokens
+          assert(d.seq_idx == seq, s"doc ${d.doc_id}")
+        }
+        // sequences are dense 0..max with no gaps
+        val idxs = docs.map(_.seq_idx).distinct.sorted
+        assert(idxs.sameElements(idxs.indices.map(_.toLong)))
+      }
+    }
+  }
+
+  test("hashSplit partitions exactly (every row labeled once) at random weights") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val w = Seq("a" -> (rng.nextDouble() + 0.01), "b" -> (rng.nextDouble() + 0.01), "c" -> (rng.nextDouble() + 0.01))
+      val d = (0 until 1000).map(i => Tuple1(i.toLong + seed * 1000)).toDF("id")
+      val out = Sampling.hashSplit(d, "id", w)
+      assert(out.count() == 1000)
+      assert(out.where(col("split").isin("a", "b", "c")).count() == 1000)
+      // weights respected within a loose statistical bound
+      val total = w.map(_._2).sum
+      val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+      for ((name, weight) <- w)
+        assert(math.abs(counts.getOrElse(name, 0L) - 1000 * weight / total) < 150,
+          s"$name got ${counts.getOrElse(name, 0L)} for weight ${weight / total}")
+    }
+  }
+
+  test("asof backward equals brute-force reference on random series") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val left = (0 until 150).map(i => ("k" + i % 3, rng.nextInt(10000).toLong, i.toLong))
+      val right = (0 until 80).map(i => ("k" + i % 3, rng.nextInt(10000).toLong, rng.nextDouble()))
+      val l = left.toDF("sym", "t", "lid")
+      val r = right.toDF("sym", "t", "refv")
+      val got = AsofJoin
+        .asof(l, r, leftOn = "t", rightOn = "t", by = Seq("sym"))
+        .select("sym", "t", "lid", "refv")
+        .as[(String, Long, Long, Option[Double])]
+        .collect()
+        .map(x => (x._1, x._2, x._3) -> x._4)
+        .toMap
+      for ((sym, t, lid) <- left) {
+        // reference: among rights with t' <= t, the LAST in (t', insertion) order
+        val cands = right.filter(rr => rr._1 == sym && rr._2 <= t)
+        val want = if (cands.isEmpty) None else Some(cands.maxBy(c => (c._2, right.indexOf(c)))._3)
+        val g = got((sym, t, lid))
+        if (cands.isEmpty) assert(g.isEmpty)
+        else {
+          // ties on t' make the matched VALUE order-defined; compare the
+          // matched timestamp instead (unique), then value when unique
+          val maxT = cands.map(_._2).max
+          val tied = cands.filter(_._2 == maxT)
+          if (tied.size == 1) assert(g.contains(tied.head._3), s"($sym,$t)")
+          else assert(g.isDefined && tied.map(_._3).contains(g.get))
+        }
+        want.foreach(_ => ()) // silence unused warning path
+      }
+    }
+  }
+
+  test("sessionize session count equals reference gap count on random streams") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val ev = (0 until 400).map { i =>
+        (rng.nextInt(5).toLong, new java.sql.Timestamp(86400000L + rng.nextInt(500) * 60000L), "e", 1.0)
+      }
+      val out = Sessionize
+        .sessions(ev.toDF("user_id", "ts", "event_type", "value"))
+        .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      val want = ev.groupBy(_._1).map { case (u, rows) =>
+        val ts = rows.map(_._2.getTime).sorted
+        u -> (1L + ts.zip(ts.tail).count { case (a, b) => b - a > 30 * 60000L })
+      }
+      assert(out == want)
+    }
+  }
+
+  test("stratifiedSample exact counts at random fractions") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val frac = rng.nextDouble() * 0.9 + 0.05
+      val d = (0 until 600).map(i => (i.toLong, "s" + i % 4)).toDF("id", "grp")
+      val got = Sampling.stratifiedSample(d, Seq("grp"), frac, "id")
+        .groupBy("grp").count().as[(String, Long)].collect().toMap
+      for (g <- 0 until 4)
+        assert(got("s" + g) == math.ceil(150 * frac).toLong, s"frac=$frac grp=$g")
+    }
+  }
+
+  // Gen is used for value-level generators where Spark isn't needed
+  test("hashBucket distributes uniformly enough (chi-square sanity)") {
+    val keys = Gen.listOfN(4000, Gen.choose(0L, Long.MaxValue)).sample.get
+    val buckets = keys.map { k =>
+      // mirror of Sampling.hashBucket for a driver-side check
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:graft".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val perDecile = buckets.groupBy(_ / 1000).view.mapValues(_.size).toMap
+    assert(perDecile.size == 10)
+    assert(perDecile.values.forall(c => c > 300 && c < 500), perDecile.toString)
+  }
+}
