@@ -161,6 +161,22 @@ object SparkEntry {
           .tickImbalanceBars(TradeData.fromEvents(s, dir), initTicks = 50.0)
       ).orderBy(col("symbol"), col("ts_start"))
     },
+    "dollar_imbalance_adaptive" -> { (s, dir) =>
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars.dollarImbalanceBars(
+          TradeData.fromEvents(s, dir),
+          initTicks = 50.0, initDollarImbalance = 500.0, alpha = 0.1,
+        )
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
+    "volume_imbalance_adaptive" -> { (s, dir) =>
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars.volumeImbalanceBars(
+          TradeData.fromEvents(s, dir),
+          initTicks = 50.0, initVolumeImbalance = 10.0, alpha = 0.1,
+        )
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
     "fixed_time_return" -> { (s, dir) =>
       usTs("ts")(
         Labels.fixedTimeReturn(TradeData.fromEvents(s, dir), window = 5)
@@ -734,9 +750,25 @@ object SparkEntry {
       initImbalance: Double,
       minImbalance: Double,
       alpha: Double,
+  ): String =
+    adaptiveImbalanceOracleSqlG("sign", initTicks.toDouble, initImbalance, minImbalance, alpha)
+
+  /** Generalized EWMA-adaptive imbalance close-chain oracle: `term` is
+    * the per-tick signed accumulation (sign / sign·size / sign·cents —
+    * always an exact integer, so the cumulative `s` is engine-exact);
+    * `ebSeed`/`minB` are the ALREADY-SCALED double seeds (the Scala
+    * Double interpolates via its round-trip-exact toString, so DuckDB
+    * parses the identical bits Spark's scan starts from).
+    */
+  private def adaptiveImbalanceOracleSqlG(
+      term: String,
+      initTicks: Double,
+      ebSeed: Double,
+      minB: Double,
+      alpha: Double,
   ): String = {
     val a = s"CAST($alpha AS DOUBLE)"
-    val thr = s"c.et * greatest(abs(c.eb), CAST($minImbalance AS DOUBLE))"
+    val thr = s"c.et * greatest(abs(c.eb), CAST($minB AS DOUBLE))"
     val cond = s"u.symbol = c.symbol AND u.rn > c.crn AND abs(u.s - c.cs) >= $thr"
     val minRn = s"(SELECT min(u.rn) FROM cs u WHERE $cond)"
     val minS = s"(SELECT arg_min(u.s, u.rn) FROM cs u WHERE $cond)"
@@ -753,11 +785,11 @@ object SparkEntry {
        |                     OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING), 1) AS sign
        |  FROM sgn),
        |cs AS (
-       |  SELECT *, CAST(sum(sign) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+       |  SELECT *, CAST(sum($term) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
        |  FROM ticks),
        |closes AS (
        |  SELECT symbol, CAST(0 AS BIGINT) AS crn, CAST(0 AS BIGINT) AS cs, 0 AS j,
-       |         CAST($initTicks AS DOUBLE) AS et, CAST($initImbalance AS DOUBLE) AS eb
+       |         CAST($initTicks AS DOUBLE) AS et, CAST($ebSeed AS DOUBLE) AS eb
        |  FROM (SELECT DISTINCT symbol FROM cs)
        |  UNION ALL
        |  SELECT symbol, $minRn, $minS, j + 1,
@@ -996,6 +1028,14 @@ object SparkEntry {
       // theta accumulates sign * exact cents; close at
       // |delta| >= 50 * 500 * 100 cents
       imbalanceOracleSql("sign * CAST(round(price * 100) AS BIGINT) * size", "2500000"),
+    "dollar_imbalance_adaptive" ->
+      // EWMA state in cents (eb seed = 500 dollars * 100, minB = 1 * 100)
+      adaptiveImbalanceOracleSqlG(
+        "sign * CAST(round(price * 100) AS BIGINT) * size",
+        50.0, 500.0 * 100.0, 1.0 * 100.0, 0.1,
+      ),
+    "volume_imbalance_adaptive" ->
+      adaptiveImbalanceOracleSqlG("sign * size", 50.0, 10.0, 1.0, 0.1),
     "volume_imbalance_bars" ->
       // theta accumulates sign * size; close at |delta| >= 50*10
       imbalanceOracleSql("sign * size", "500"),
