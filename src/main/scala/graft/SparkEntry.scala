@@ -153,6 +153,14 @@ object SparkEntry {
         )
       ).orderBy(col("symbol"), col("ts_start"))
     },
+    "tick_run_adaptive" -> { (s, dir) =>
+      usTs("ts_start", "ts_end")(
+        operators.ImbalanceBars.tickRunBars(
+          TradeData.fromEvents(s, dir),
+          initTicks = 50.0, initPmax = 0.55, alpha = 0.1,
+        )
+      ).orderBy(col("symbol"), col("ts_start"))
+    },
     "imbalance_bars_adaptive" -> { (s, dir) =>
       // alpha=0.1 (default): the recursive close-chain oracle carries
       // the EWMA (expT, expB) threshold state across bars
@@ -1091,6 +1099,65 @@ object SparkEntry {
          |SELECT a.symbol AS symbol, ts_start, ts_end, open, high, low, close, volume, vwap, n_trades, up_ticks, down_ticks
          |FROM agg a JOIN runs t ON a.symbol = t.symbol AND a.bar = t.bar
          |ORDER BY symbol, ts_start""".stripMargin,
+    // adaptive run bars: the recursion also carries (et, pm); the
+    // threshold et*pm and both EWMA updates replicate the scan's
+    // double expression trees ((1-a)*x + a*y, int/int double division)
+    "tick_run_adaptive" -> {
+      val a = "CAST(0.1 AS DOUBLE)"
+      val cond =
+        "u.symbol = c.symbol AND u.rn > c.crn AND greatest(u.cu - c.ccu, u.cd - c.ccd) >= c.et * c.pm"
+      val minRn = s"(SELECT min(u.rn) FROM cs u WHERE $cond)"
+      val nccu = s"(SELECT arg_min(u.cu, u.rn) FROM cs u WHERE $cond)"
+      val nccd = s"(SELECT arg_min(u.cd, u.rn) FROM cs u WHERE $cond)"
+      s"""WITH RECURSIVE $T,
+         |sgn AS (
+         |  SELECT symbol, ts, price, size, trade_id,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS rn,
+         |         CASE WHEN price > lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN 1
+         |              WHEN price < lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id) THEN -1
+         |         END AS raw
+         |  FROM trades),
+         |ticks AS (
+         |  SELECT *, coalesce(last_value(raw IGNORE NULLS)
+         |                     OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING), 1) AS sign
+         |  FROM sgn),
+         |cs AS (
+         |  SELECT *,
+         |         CAST(sum(CASE WHEN sign > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cu,
+         |         CAST(sum(CASE WHEN sign < 0 THEN 1 ELSE 0 END) OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd
+         |  FROM ticks),
+         |closes AS (
+         |  SELECT symbol, CAST(0 AS BIGINT) AS crn, CAST(0 AS BIGINT) AS ccu, CAST(0 AS BIGINT) AS ccd, 0 AS j,
+         |         CAST(50.0 AS DOUBLE) AS et, CAST(0.55 AS DOUBLE) AS pm
+         |  FROM (SELECT DISTINCT symbol FROM cs)
+         |  UNION ALL
+         |  SELECT symbol, $minRn, $nccu, $nccd, j + 1,
+         |         (1 - $a) * c.et + $a * ($minRn - c.crn),
+         |         (1 - $a) * c.pm + $a * (greatest($nccu - c.ccu, $nccd - c.ccd) / ($minRn - c.crn))
+         |  FROM closes c
+         |  WHERE $minRn IS NOT NULL),
+         |runs AS (
+         |  SELECT symbol, j - 1 AS bar,
+         |         CAST(ccu - lag(ccu, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS up_ticks,
+         |         CAST(ccd - lag(ccd, 1, 0) OVER (PARTITION BY symbol ORDER BY j) AS BIGINT) AS down_ticks
+         |  FROM closes QUALIFY j > 0),
+         |assigned AS (
+         |  SELECT u.*,
+         |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0 AND c.crn < u.rn) AS bar,
+         |         (SELECT count(*) FROM closes c WHERE c.symbol = u.symbol AND c.j > 0) AS nbars
+         |  FROM cs u),
+         |agg AS (
+         |  SELECT symbol, bar,
+         |         epoch_us(min(ts)) AS ts_start, epoch_us(max(ts)) AS ts_end,
+         |         arg_min(price, ts) AS open, max(price) AS high, min(price) AS low, arg_max(price, ts) AS close,
+         |         CAST(sum(size) AS BIGINT) AS volume, CAST(sum(CAST(round(price * 100) AS BIGINT) * size) AS DOUBLE) / 100.0 / CAST(sum(size) AS DOUBLE) AS vwap,
+         |         CAST(count(*) AS BIGINT) AS n_trades
+         |  FROM assigned WHERE bar < nbars
+         |  GROUP BY symbol, bar)
+         |SELECT a.symbol AS symbol, ts_start, ts_end, open, high, low, close, volume, vwap, n_trades, up_ticks, down_ticks
+         |FROM agg a JOIN runs t ON a.symbol = t.symbol AND a.bar = t.bar
+         |ORDER BY symbol, ts_start""".stripMargin
+    },
     "daily_vol" ->
       s"""WITH $T,
          |${ewmVolCtes(100)}
