@@ -185,6 +185,20 @@ object SparkEntry {
         )
       ).orderBy(col("symbol"), col("ts_start"))
     },
+    "uniqueness_weights" -> { (s, dir) =>
+      val t = TradeData.fromEvents(s, dir)
+      val ev = t
+        .where(col("trade_id") % 50 === 0)
+        .select(
+          col("symbol"),
+          col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"),
+          col("trade_id").as("event_id"),
+        )
+      Labels
+        .uniquenessWeights(t, ev)
+        .orderBy(col("symbol"), col("event_id"))
+    },
     "fixed_time_return" -> { (s, dir) =>
       usTs("ts")(
         Labels.fixedTimeReturn(TradeData.fromEvents(s, dir), window = 5)
@@ -1158,6 +1172,31 @@ object SparkEntry {
          |FROM agg a JOIN runs t ON a.symbol = t.symbol AND a.bar = t.bar
          |ORDER BY symbol, ts_start""".stripMargin
     },
+    // uniqueness weights: 1/concurrency folded in (ts, trade_id)
+    // order on BOTH sides (ordered list aggregate, never a parallel
+    // double SUM) — engine-exact like the vwap/ADC sums
+    "uniqueness_weights" ->
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT symbol, ts AS t0, ts + INTERVAL 1 HOUR AS t1, trade_id AS event_id
+         |  FROM trades WHERE trade_id % 50 = 0),
+         |pairs AS (
+         |  SELECT e.symbol, e.event_id, t.ts, t.trade_id
+         |  FROM ev e JOIN trades t
+         |    ON t.symbol = e.symbol AND t.ts >= e.t0 AND t.ts <= e.t1),
+         |conc AS (
+         |  SELECT symbol, ts, trade_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM pairs GROUP BY symbol, ts, trade_id),
+         |w AS (
+         |  SELECT p.symbol, p.event_id,
+         |         list_reduce(list(1.0 / c.c ORDER BY p.ts, p.trade_id), (x, y) -> x + y) AS sinv,
+         |         CAST(count(*) AS BIGINT) AS n_ticks
+         |  FROM pairs p
+         |  JOIN conc c ON c.symbol = p.symbol AND c.ts = p.ts AND c.trade_id = p.trade_id
+         |  GROUP BY p.symbol, p.event_id)
+         |SELECT symbol, event_id, sinv / CAST(n_ticks AS DOUBLE) AS avg_uniqueness, n_ticks
+         |FROM w
+         |ORDER BY symbol, event_id""".stripMargin,
     "daily_vol" ->
       s"""WITH $T,
          |${ewmVolCtes(100)}

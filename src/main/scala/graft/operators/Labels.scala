@@ -314,4 +314,76 @@ object Labels {
         max_by(col("__ret"), col("__u")).as("__v_ret"),
       )
   }
+
+  /** AFML ch.4.2 average-uniqueness sample weights: overlapping
+    * labels share their ticks, so each event is weighted by the mean
+    * of 1/concurrency over the ticks its label spans — de-biasing a
+    * training set built from overlapping horizons.
+    *
+    * Plan shape: the event×tick pairing is the bucketed interval join
+    * (fan-out bounded by horizon/bucket, the same machinery as the
+    * barrier operators); concurrency is one count per covered tick;
+    * the per-event mean folds 1/c in (ts, trade_id) order via a
+    * sorted-array aggregate — sequential fold, so the double sum is
+    * order-pinned and engine-exact (a plain SUM would drift with
+    * aggregation order). Memory per event = its interval's tick
+    * count; at 100 TB keep horizons bounded (they are label
+    * horizons) or pre-aggregate per (event, day).
+    *
+    * @param events (symbol, t0, t1, event_id)
+    */
+  def uniquenessWeights(
+      trades: DataFrame,
+      events: DataFrame,
+      bucket: String = "10 minutes",
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val bucketUs = java.util.concurrent.TimeUnit.MINUTES.toMicros(
+      bucket match {
+        case s if s.endsWith("minutes") => s.stripSuffix("minutes").trim.toLong
+        case other => throw new IllegalArgumentException(s"bucket: $other")
+      }
+    )
+    val ticks = trades.select(
+      col(c.symbol).as("symbol"),
+      col(c.ts).as("ts"),
+      col(c.tradeId).as("trade_id"),
+    )
+    val pairs = RangeJoin
+      .intervalJoin(
+        events.select(col("symbol"), col("t0"), col("t1"), col("event_id")),
+        ticks,
+        by = Seq("symbol"),
+        startCol = "t0",
+        endCol = "t1",
+        pointCol = "ts",
+        bucketMicros = bucketUs,
+        inclusiveStart = true,
+      )
+      .select(col("symbol"), col("event_id"), col("ts"), col("trade_id"))
+    val conc = pairs
+      .groupBy(col("symbol"), col("ts"), col("trade_id"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(conc, Seq("symbol", "ts", "trade_id"))
+      .groupBy(col("symbol"), col("event_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"),
+            col("trade_id").as("tid"),
+            (lit(1.0) / col("c")).as("inv"),
+          ))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("inv"),
+        ).as("__sinv"),
+        count(lit(1)).as("n_ticks"),
+      )
+      .select(
+        col("symbol"),
+        col("event_id"),
+        (col("__sinv") / col("n_ticks").cast("double")).as("avg_uniqueness"),
+        col("n_ticks"),
+      )
+  }
 }

@@ -673,4 +673,30 @@ class CoreOperatorsSpec extends SparkSpec {
     val tb = Labels.tripleBarrier(df, horizon = "48 hours", constTarget = Some(0.05)).collect()
     assert(tb.nonEmpty) // path returns against price=0 are null, not fatal
   }
+
+  test("uniqueness weights: overlapping labels share concurrency (hand-computed)") {
+    import org.apache.spark.sql.functions._
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val trades = (0L to 5L)
+      .map(i => ("X", ts(i), 10.0, 1L, i))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val events = Seq(
+      ("X", ts(0L), ts(2L), 100L), // covers ticks 0,1,2
+      ("X", ts(2L), ts(4L), 200L), // covers ticks 2,3,4
+    ).toDF("symbol", "t0", "t1", "event_id")
+    val w = Labels.uniquenessWeights(trades, events)
+      .orderBy("event_id")
+      .select("event_id", "avg_uniqueness", "n_ticks")
+      .as[(Long, Double, Long)].collect().toSeq
+    // tick 2 is shared (c=2): each event averages (1 + 1 + 1/2) / 3
+    assert(w.map(_._1) == Seq(100L, 200L))
+    assert(w.forall(_._3 == 3L))
+    assert(w.forall(r => math.abs(r._2 - 2.5 / 3.0) < 1e-15))
+    // disjoint events are fully unique
+    val solo = Labels.uniquenessWeights(
+      trades,
+      Seq(("X", ts(0L), ts(1L), 7L)).toDF("symbol", "t0", "t1", "event_id"),
+    ).select("avg_uniqueness").as[Double].head()
+    assert(solo == 1.0)
+  }
 }
