@@ -185,6 +185,18 @@ object SparkEntry {
         )
       ).orderBy(col("symbol"), col("ts_start"))
     },
+    "meta_label" -> { (s, dir) =>
+      val t = TradeData.fromEvents(s, dir)
+      // stand-in primary model: a deterministic per-event side
+      val sides = t
+        .groupBy(col("symbol"), col("ts"))
+        .agg(min(col("trade_id")).as("__tid"))
+        .withColumn("side", when(col("__tid") % 3 === 0, -1).otherwise(1))
+        .select(col("symbol"), col("ts"), col("side"))
+      val tb = Labels.tripleBarrier(t, horizon = "4 hours", constTarget = Some(0.02))
+      usTs("ts", "t1", "touch_ts")(Labels.metaLabel(tb, sides))
+        .orderBy(col("symbol"), col("ts"))
+    },
     "uniqueness_weights" -> { (s, dir) =>
       val t = TradeData.fromEvents(s, dir)
       val ev = t
@@ -1337,6 +1349,58 @@ object SparkEntry {
          |                 WHEN sl_first THEN -1
          |                 ELSE 0 END AS INTEGER) AS label
          |FROM lab
+         |ORDER BY symbol, ts""".stripMargin,
+    // meta-labeling: the triple-barrier CTEs plus the deterministic
+    // per-event side; meta = 1 iff side * touch_return > 0 (NULL
+    // propagates like Spark's boolean-cast)
+    "meta_label" ->
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT t.symbol, t.ts, t.price, CAST(0.02 AS DOUBLE) AS trgt,
+         |         least(t.ts + INTERVAL 4 HOUR, m.last_ts) AS t1
+         |  FROM trades t
+         |  JOIN (SELECT symbol, max(ts) AS last_ts FROM trades GROUP BY symbol) m
+         |    USING (symbol)),
+         |touch AS (
+         |  SELECT e.symbol, e.ts, e.price, e.trgt, e.t1,
+         |         p.ts AS u, p.price / e.price - 1 AS ret
+         |  FROM ev e
+         |  JOIN trades p ON e.symbol = p.symbol AND p.ts > e.ts AND p.ts <= e.t1),
+         |agg AS (
+         |  SELECT symbol, ts, price, trgt, t1,
+         |         min(CASE WHEN ret >= trgt THEN u END) AS pt_ts,
+         |         min(CASE WHEN ret <= -trgt THEN u END) AS sl_ts,
+         |         arg_min(ret, CASE WHEN ret >= trgt THEN u END) AS pt_ret,
+         |         arg_min(ret, CASE WHEN ret <= -trgt THEN u END) AS sl_ret,
+         |         arg_max(ret, u) AS v_ret
+         |  FROM touch
+         |  GROUP BY symbol, ts, price, trgt, t1),
+         |lab AS (
+         |  SELECT *,
+         |         (pt_ts IS NOT NULL AND (sl_ts IS NULL OR pt_ts <= sl_ts)) AS pt_first,
+         |         (sl_ts IS NOT NULL AND NOT (pt_ts IS NOT NULL AND (sl_ts IS NULL OR pt_ts <= sl_ts))) AS sl_first
+         |  FROM agg),
+         |sides AS (
+         |  SELECT symbol, ts,
+         |         CAST(CASE WHEN min(trade_id) % 3 = 0 THEN -1 ELSE 1 END AS INTEGER) AS side
+         |  FROM trades GROUP BY symbol, ts),
+         |fin AS (
+         |  SELECT l.symbol, epoch_us(l.ts) AS ts, l.trgt, epoch_us(l.t1) AS t1,
+         |         epoch_us(CASE WHEN pt_first THEN pt_ts
+         |                       WHEN sl_first THEN sl_ts
+         |                       ELSE l.t1 END) AS touch_ts,
+         |         CASE WHEN pt_first THEN pt_ret
+         |              WHEN sl_first THEN sl_ret
+         |              ELSE v_ret END AS touch_return,
+         |         CAST(CASE WHEN pt_first THEN 1
+         |                   WHEN sl_first THEN -1
+         |                   ELSE 0 END AS INTEGER) AS label,
+         |         s.side
+         |  FROM lab l JOIN sides s ON s.symbol = l.symbol AND s.ts = l.ts)
+         |SELECT *,
+         |       CAST(CASE WHEN side * touch_return > 0 THEN 1
+         |                 WHEN side * touch_return <= 0 THEN 0 END AS INTEGER) AS meta_label
+         |FROM fin
          |ORDER BY symbol, ts""".stripMargin,
     "barrier_touches" ->
       s"""WITH $T,

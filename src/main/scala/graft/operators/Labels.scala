@@ -315,6 +315,26 @@ object Labels {
       )
   }
 
+  /** AFML ch.3.6 meta-labeling: given a primary model's side (+1/-1)
+    * per event, the meta-label is 1 when acting on that side would
+    * have been profitable at the triple-barrier's first touch —
+    * turning the secondary model into a bet-sizing filter. Pure
+    * composition: triple-barrier output × side frame, one join.
+    *
+    * @param tb    tripleBarrier output (symbol, ts, touch_return, ...)
+    * @param sides (symbol, ts, side) from the primary model
+    */
+  def metaLabel(
+      tb: DataFrame,
+      sides: DataFrame,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame =
+    tb.join(sides, Seq(c.symbol, c.ts))
+      .withColumn(
+        "meta_label",
+        (col("side") * col("touch_return") > 0).cast("int"),
+      )
+
   /** AFML ch.4.2 average-uniqueness sample weights: overlapping
     * labels share their ticks, so each event is weighted by the mean
     * of 1/concurrency over the ticks its label spans — de-biasing a

@@ -699,4 +699,21 @@ class CoreOperatorsSpec extends SparkSpec {
     ).select("avg_uniqueness").as[Double].head()
     assert(solo == 1.0)
   }
+
+  test("meta-label: 1 iff the primary side captured the touch return") {
+    import org.apache.spark.sql.functions._
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val tb = Seq(
+      ("X", ts(0L), 0.02, ts(60L), ts(10L), 0.03, 1),  // up move
+      ("X", ts(1L), 0.02, ts(61L), ts(12L), -0.025, -1), // down move
+    ).toDF("symbol", "ts", "trgt", "t1", "touch_ts", "touch_return", "label")
+    val sides = Seq(("X", ts(0L), 1), ("X", ts(1L), 1)).toDF("symbol", "ts", "side")
+    val out = Labels.metaLabel(tb, sides)
+      .orderBy("ts").select("meta_label").as[Int].collect().toSeq
+    // long side: profits on the up move, loses on the down move
+    assert(out == Seq(1, 0))
+    val short = Labels.metaLabel(tb, sides.withColumn("side", lit(-1)))
+      .orderBy("ts").select("meta_label").as[Int].collect().toSeq
+    assert(short == Seq(0, 1))
+  }
 }
