@@ -185,6 +185,12 @@ object SparkEntry {
         )
       ).orderBy(col("symbol"), col("ts_start"))
     },
+    "microstructure" -> { (s, dir) =>
+      operators.Microstructure
+        .features(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "meta_label" -> { (s, dir) =>
       val t = TradeData.fromEvents(s, dir)
       // stand-in primary model: a deterministic per-event side
@@ -1350,6 +1356,50 @@ object SparkEntry {
          |                 ELSE 0 END AS INTEGER) AS label
          |FROM lab
          |ORDER BY symbol, ts""".stripMargin,
+    // Roll spread / Kyle's lambda from exact integer moments: the
+    // covariance and slope numerators/denominators are BIGINT sums
+    // (cent deltas x signed shares); the only FP steps are the final
+    // cast-divide-sqrt chain, replicated operation-for-operation
+    "microstructure" ->
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id, size,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS rn
+         |  FROM trades),
+         |d1 AS (
+         |  SELECT *, pc - lag(pc) OVER (PARTITION BY symbol, date ORDER BY rn) AS d
+         |  FROM b),
+         |d2 AS (
+         |  SELECT *,
+         |         lag(d) OVER (PARTITION BY symbol, date ORDER BY rn) AS dprev,
+         |         coalesce(last_value(CASE WHEN d != 0 THEN CAST(sign(d) AS BIGINT) END IGNORE NULLS)
+         |                  OVER (PARTITION BY symbol, date ORDER BY rn ROWS UNBOUNDED PRECEDING),
+         |                  CAST(1 AS BIGINT)) AS sgn
+         |  FROM d1),
+         |sv AS (SELECT *, sgn * size AS v FROM d2),
+         |m AS (
+         |  SELECT symbol, date,
+         |         CAST(count(dprev) AS BIGINT) AS nr,
+         |         CAST(sum(CASE WHEN dprev IS NOT NULL THEN d * dprev END) AS BIGINT) AS sxy_r,
+         |         CAST(sum(CASE WHEN dprev IS NOT NULL THEN d END) AS BIGINT) AS sx_r,
+         |         CAST(sum(CASE WHEN dprev IS NOT NULL THEN dprev END) AS BIGINT) AS sy_r,
+         |         CAST(count(d) AS BIGINT) AS nk,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN v * d END) AS BIGINT) AS sxy_k,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN v END) AS BIGINT) AS sx_k,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN d END) AS BIGINT) AS sy_k,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN v * v END) AS BIGINT) AS sxx_k
+         |  FROM sv
+         |  GROUP BY symbol, date)
+         |SELECT symbol, CAST(date AS VARCHAR) AS date, nr AS n_deltas,
+         |       CASE WHEN nr > 1
+         |            THEN 2.0 * sqrt(greatest(-(CAST(nr * sxy_r - sx_r * sy_r AS DOUBLE) / CAST(nr * nr AS DOUBLE)), 0.0)) / 100.0
+         |            ELSE 0.0 END AS roll_spread,
+         |       CASE WHEN nk > 1 AND CAST(nk * sxx_k - sx_k * sx_k AS DOUBLE) != 0.0
+         |            THEN CAST(nk * sxy_k - sx_k * sy_k AS DOUBLE) / CAST(nk * sxx_k - sx_k * sx_k AS DOUBLE)
+         |       END AS kyle_lambda
+         |FROM m
+         |ORDER BY symbol, date""".stripMargin,
     // meta-labeling: the triple-barrier CTEs plus the deterministic
     // per-event side; meta = 1 iff side * touch_return > 0 (NULL
     // propagates like Spark's boolean-cast)

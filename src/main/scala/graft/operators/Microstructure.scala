@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.TradingCols
+
+/** Microstructural features (AFML ch.19): per-(symbol, day)
+  * estimators of effective spread and price impact from the tick
+  * stream.
+  *
+  *  - Roll spread: 2·√(−cov(Δp_t, Δp_{t−1})) — the implied bid-ask
+  *    bounce from negative serial covariance of price changes.
+  *  - Kyle's lambda: slope of Δp on signed volume — per-share price
+  *    impact.
+  *
+  * Everything accumulates in exact integer cents/shares (Δp as cent
+  * deltas, signed volume as sign·size): the covariance/slope
+  * numerators and denominators are BIGINT sums — associative, so the
+  * one hash exchange on (symbol, day) aggregates map-side and the
+  * final double division is the only FP step, bit-identical across
+  * engines and thread counts (the vwap lesson applied to
+  * regression moments).
+  */
+object Microstructure {
+
+  /** Per-(symbol, day) Roll spread and Kyle's lambda.
+    *
+    * Output: symbol, date, n_deltas, roll_spread (dollars; 0 when the
+    * serial covariance is non-negative), kyle_lambda (cents per
+    * signed share; null when signed volume has zero variance).
+    */
+  def features(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("date")).orderBy(col("ts"), col("trade_id"))
+    val base = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(w)) // cent delta
+      .withColumn("dPrev", lag(col("d"), 1).over(w))
+      // tick-rule sign (carry last on flat ticks, seed +1)
+      .withColumn(
+        "sgn",
+        coalesce(
+          last(when(col("d") =!= 0, signum(col("d")).cast("long")), ignoreNulls = true).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          ),
+          lit(1L),
+        ),
+      )
+      .withColumn("sv", col("sgn") * col("size")) // signed shares
+
+    // pair rows for roll (d, dPrev both present) and kyle (d present)
+    base
+      .groupBy(col("symbol"), col("date"))
+      .agg(
+        // roll moments over (d, dPrev) pairs
+        count(col("dPrev")).as("nr"),
+        sum(when(col("dPrev").isNotNull, col("d") * col("dPrev"))).as("sxy_r"),
+        sum(when(col("dPrev").isNotNull, col("d"))).as("sx_r"),
+        sum(when(col("dPrev").isNotNull, col("dPrev"))).as("sy_r"),
+        // kyle moments over (sv, d) pairs
+        count(col("d")).as("nk"),
+        sum(when(col("d").isNotNull, col("sv") * col("d"))).as("sxy_k"),
+        sum(when(col("d").isNotNull, col("sv"))).as("sx_k"),
+        sum(when(col("d").isNotNull, col("d"))).as("sy_k"),
+        sum(when(col("d").isNotNull, col("sv") * col("sv"))).as("sxx_k"),
+      )
+      .select(
+        col("symbol"),
+        col("date"),
+        col("nr").as("n_deltas"),
+        // cov = (n·Σxy − Σx·Σy) / n² — integer numerator, one division
+        rollFromMoments(col("nr"), col("sxy_r"), col("sx_r"), col("sy_r")).as("roll_spread"),
+        kyleFromMoments(col("nk"), col("sxy_k"), col("sx_k"), col("sy_k"), col("sxx_k"))
+          .as("kyle_lambda"),
+      )
+  }
+
+  private def rollFromMoments(n: Column, sxy: Column, sx: Column, sy: Column): Column = {
+    val num = (n * sxy - sx * sy).cast("double")
+    val den = (n * n).cast("double")
+    val cov = num / den
+    when(n > 1, lit(2.0) * sqrt(greatest(-cov, lit(0.0))) / lit(100.0)).otherwise(lit(0.0))
+  }
+
+  private def kyleFromMoments(n: Column, sxy: Column, sx: Column, sy: Column, sxx: Column): Column = {
+    val num = (n * sxy - sx * sy).cast("double")
+    val den = (n * sxx - sx * sx).cast("double")
+    when(n > 1 && den =!= 0.0, num / den)
+  }
+}

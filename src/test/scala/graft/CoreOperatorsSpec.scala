@@ -716,4 +716,24 @@ class CoreOperatorsSpec extends SparkSpec {
       .orderBy("ts").select("meta_label").as[Int].collect().toSeq
     assert(short == Seq(0, 1))
   }
+
+  test("microstructure: Roll spread on a pure bid-ask bounce, Kyle lambda on a linear impact line") {
+    import graft.operators.Microstructure
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // alternating 100.00 / 100.02: cov(d, dprev) = -4 cents^2 -> spread = 2*2 cents
+    val bounce = (0 until 6)
+      .map(i => ("B", ts(i.toLong), if (i % 2 == 0) 100.00 else 100.02, 1L, i.toLong))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val rb = Microstructure.features(bounce).collect().head
+    assert(math.abs(rb.getAs[Double]("roll_spread") - 0.04) < 1e-12)
+    // exact linear impact d = 2 cents * signed shares -> lambda = 2
+    val line = Seq(
+      ("K", ts(0L), 100.00, 1L, 0L),
+      ("K", ts(1L), 100.20, 10L, 1L), // d=+20, sv=+10
+      ("K", ts(2L), 100.10, 5L, 2L), // d=-10, sv=-5
+      ("K", ts(3L), 100.50, 20L, 3L), // d=+40, sv=+20
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val kl = Microstructure.features(line).collect().head
+    assert(kl.getAs[Double]("kyle_lambda") == 2.0)
+  }
 }
