@@ -191,6 +191,12 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"))
     },
+    "vpin" -> { (s, dir) =>
+      operators.Microstructure
+        .vpin(TradeData.fromEvents(s, dir), bucketVolume = 500L, window = 10)
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"), col("bucket"))
+    },
     "meta_label" -> { (s, dir) =>
       val t = TradeData.fromEvents(s, dir)
       // stand-in primary model: a deterministic per-event side
@@ -1400,6 +1406,54 @@ object SparkEntry {
          |       END AS kyle_lambda
          |FROM m
          |ORDER BY symbol, date""".stripMargin,
+    // VPIN: volume-bucket split arithmetic (volume_bars oracle) +
+    // tick-rule signs + trailing integer window sums; the final
+    // division is the only FP step
+    "vpin" ->
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id, size,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS rn
+         |  FROM trades),
+         |d1 AS (
+         |  SELECT *, pc - lag(pc) OVER (PARTITION BY symbol, date ORDER BY rn) AS d
+         |  FROM b),
+         |d2 AS (
+         |  SELECT *,
+         |         coalesce(last_value(CASE WHEN d != 0 THEN CAST(sign(d) AS BIGINT) END IGNORE NULLS)
+         |                  OVER (PARTITION BY symbol, date ORDER BY rn ROWS UNBOUNDED PRECEDING),
+         |                  CAST(1 AS BIGINT)) AS sgn,
+         |         CAST(sum(size) OVER (PARTITION BY symbol, date ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+         |  FROM d1),
+         |pieces AS (
+         |  SELECT symbol, date, sgn,
+         |         unnest(generate_series((cum_end - size) // 500, (cum_end - 1) // 500)) AS bucket,
+         |         cum_end, cum_end - size AS cum_start
+         |  FROM d2),
+         |amts AS (
+         |  SELECT symbol, date, sgn, bucket,
+         |         least(cum_end, (bucket + 1) * 500) - greatest(cum_start, bucket * 500) AS amount
+         |  FROM pieces),
+         |buckets AS (
+         |  SELECT symbol, date, bucket,
+         |         CAST(sum(CASE WHEN sgn > 0 THEN amount ELSE 0 END) AS BIGINT) AS v_buy,
+         |         CAST(sum(CASE WHEN sgn < 0 THEN amount ELSE 0 END) AS BIGINT) AS v_sell
+         |  FROM amts
+         |  GROUP BY symbol, date, bucket),
+         |win AS (
+         |  SELECT symbol, date, bucket, v_buy, v_sell,
+         |         v_buy + v_sell AS volume,
+         |         abs(v_buy - v_sell) AS imbalance,
+         |         CAST(sum(abs(v_buy - v_sell)) OVER (PARTITION BY symbol, date ORDER BY bucket
+         |                                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS si,
+         |         CAST(sum(v_buy + v_sell) OVER (PARTITION BY symbol, date ORDER BY bucket
+         |                                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS sv
+         |  FROM buckets)
+         |SELECT symbol, CAST(date AS VARCHAR) AS date, bucket, v_buy, v_sell, volume, imbalance,
+         |       CAST(si AS DOUBLE) / CAST(sv AS DOUBLE) AS vpin
+         |FROM win
+         |ORDER BY symbol, date, bucket""".stripMargin,
     // meta-labeling: the triple-barrier CTEs plus the deterministic
     // per-event side; meta = 1 iff side * touch_return > 0 (NULL
     // propagates like Spark's boolean-cast)

@@ -96,4 +96,77 @@ object Microstructure {
     val den = (n * sxx - sx * sx).cast("double")
     when(n > 1 && den =!= 0.0, num / den)
   }
+
+  /** VPIN (AFML ch.19.5): volume-synchronized probability of informed
+    * trading. Trades are tick-rule-signed and split into exact
+    * volume buckets of `bucketVolume` shares (the volume-bar split
+    * arithmetic — a straddling trade's pieces land in both buckets);
+    * per bucket the order-flow imbalance is |V_buy − V_sell|, and
+    * VPIN over a trailing window of `window` buckets is
+    * Σ|imbalance| / Σvolume — both integer window sums, so the
+    * single final division is the only FP step (engine-exact).
+    */
+  def vpin(
+      df: DataFrame,
+      bucketVolume: Long = 500L,
+      window: Int = 10,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val wOrd = Window.partitionBy(col("symbol"), col("date")).orderBy(col("ts"), col("trade_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(wOrd))
+      .withColumn(
+        "sgn",
+        coalesce(
+          last(when(col("d") =!= 0, signum(col("d")).cast("long")), ignoreNulls = true).over(wCum),
+          lit(1L),
+        ),
+      )
+      .withColumn("cum_end", sum(col("size")).over(wCum))
+      .withColumn("cum_start", col("cum_end") - col("size"))
+    val pieces = base
+      .withColumn(
+        "bucket",
+        explode(
+          sequence(
+            expr(s"cum_start div ${bucketVolume}L"),
+            expr(s"(cum_end - 1) div ${bucketVolume}L"),
+          )
+        ),
+      )
+      .withColumn(
+        "amount",
+        least(col("cum_end"), (col("bucket") + 1) * bucketVolume) -
+          greatest(col("cum_start"), col("bucket") * bucketVolume),
+      )
+    val buckets = pieces
+      .groupBy(col("symbol"), col("date"), col("bucket"))
+      .agg(
+        sum(when(col("sgn") > 0, col("amount")).otherwise(0L)).as("v_buy"),
+        sum(when(col("sgn") < 0, col("amount")).otherwise(0L)).as("v_sell"),
+      )
+      .withColumn("volume", col("v_buy") + col("v_sell"))
+      .withColumn("imbalance", abs(col("v_buy") - col("v_sell")))
+    val wB = Window
+      .partitionBy(col("symbol"), col("date"))
+      .orderBy(col("bucket"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    buckets
+      .withColumn(
+        "vpin",
+        sum(col("imbalance")).over(wB).cast("double") /
+          sum(col("volume")).over(wB).cast("double"),
+      )
+      .select("symbol", "date", "bucket", "v_buy", "v_sell", "volume", "imbalance", "vpin")
+  }
 }

@@ -736,4 +736,21 @@ class CoreOperatorsSpec extends SparkSpec {
     val kl = Microstructure.features(line).collect().head
     assert(kl.getAs[Double]("kyle_lambda") == 2.0)
   }
+
+  test("vpin: straddling trades split at exact bucket boundaries, signed") {
+    import graft.operators.Microstructure
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val t = Seq(
+      ("V", ts(0L), 100.00, 6L, 0L), // first tick: sign seeds +1
+      ("V", ts(1L), 99.90, 8L, 1L), // down tick: -1; splits 4 into bucket0, 4 into bucket1
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val out = Microstructure.vpin(t, bucketVolume = 10L, window = 10)
+      .orderBy("bucket")
+      .select("bucket", "v_buy", "v_sell", "imbalance", "vpin")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 6L, 4L, 2L, 2.0 / 10.0),
+      (1L, 0L, 4L, 4L, 6.0 / 14.0),
+    ))
+  }
 }
