@@ -440,6 +440,19 @@ object SparkEntry {
           )
       ).orderBy(col("symbol"), col("ts"))
     },
+    "rolling_multi" -> { (s, dir) =>
+      usTs("ts")(
+        operators.Rolling
+          .featuresMulti(TradeData.fromEvents(s, dir), Seq("30 minutes", "2 hours"))
+          .select(
+            col("symbol"), col("ts"), col("price"),
+            col("rolling_vwap_30minutes"), col("rolling_mean_price_30minutes"),
+            col("rolling_min_30minutes"), col("rolling_max_30minutes"), col("rolling_n_30minutes"),
+            col("rolling_vwap_2hours"), col("rolling_mean_price_2hours"),
+            col("rolling_min_2hours"), col("rolling_max_2hours"), col("rolling_n_2hours"),
+          )
+      ).orderBy(col("symbol"), col("ts"))
+    },
     "simhash_pairs" -> { (s, dir) =>
       Dedup
         .simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6)
@@ -1629,6 +1642,26 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY symbol ORDER BY epoch_us(ts)
          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, ts""".stripMargin,
+    "rolling_multi" -> {
+      def winCols(w: String, nm: String) =
+        s"""CAST(sum(CAST(round(price * 100) AS BIGINT) * size) OVER $w AS DOUBLE)
+           |         / CAST(sum(size) OVER $w AS DOUBLE) / 100.0 AS rolling_vwap_$nm,
+           |       CAST(sum(CAST(round(price * 100) AS BIGINT)) OVER $w AS DOUBLE)
+           |         / CAST(count(*) OVER $w AS DOUBLE) / 100.0 AS rolling_mean_price_$nm,
+           |       min(price) OVER $w AS rolling_min_$nm,
+           |       max(price) OVER $w AS rolling_max_$nm,
+           |       CAST(count(*) OVER $w AS BIGINT) AS rolling_n_$nm""".stripMargin
+      s"""WITH $T
+         |SELECT symbol, epoch_us(ts) AS ts, price,
+         |       ${winCols("w1", "30minutes")},
+         |       ${winCols("w2", "2hours")}
+         |FROM trades
+         |WINDOW w1 AS (PARTITION BY symbol ORDER BY epoch_us(ts)
+         |              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW),
+         |       w2 AS (PARTITION BY symbol ORDER BY epoch_us(ts)
+         |              RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY symbol, ts""".stripMargin
+    },
     "simhash_pairs" -> {
       // 7 bands: exact recall at the query's maxHamming=6 (pigeonhole
       // needs maxHamming+1 bands); layout shared with Dedup.simhashPairs

@@ -737,6 +737,30 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(kl.getAs[Double]("kyle_lambda") == 2.0)
   }
 
+  test("multi-window rolling scan is bit-identical to per-window single scans") {
+    import graft.operators.Rolling
+    val trades = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val multi = Rolling.featuresMulti(trades, Seq("30 minutes", "2 hours"))
+      .select("symbol", "trade_id", "rolling_vwap_30minutes", "rolling_max_30minutes",
+        "rolling_vwap_2hours", "rolling_n_2hours")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val w30 = Rolling.features(trades, "30 minutes")
+      .select("symbol", "trade_id", "rolling_vwap", "rolling_max")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val w2h = Rolling.features(trades, "2 hours")
+      .select("symbol", "trade_id", "rolling_vwap", "rolling_n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(multi.size == w30.size && multi.nonEmpty)
+    multi.foreach { case (k, m) =>
+      assert(java.lang.Double.doubleToLongBits(m.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(w30(k).getDouble(2)))
+      assert(m.getDouble(3) == w30(k).getDouble(3))
+      assert(java.lang.Double.doubleToLongBits(m.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(w2h(k).getDouble(2)))
+      assert(m.getLong(5) == w2h(k).getLong(3))
+    }
+  }
+
   test("vpin: straddling trades split at exact bucket boundaries, signed") {
     import graft.operators.Microstructure
     def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)

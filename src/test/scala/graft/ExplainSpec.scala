@@ -190,6 +190,16 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial_max_by") || p.contains("partial_maxby"), p)
   }
 
+  test("multi-window rolling shuffles once regardless of window count") {
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.Rolling
+      .featuresMulti(t, Seq("30 minutes", "1 hour", "2 hours"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"))
+    assert(!p.contains("WindowExec"), "one scan, not per-window Window passes")
+  }
+
   test("pq encode and search broadcast the small sides: no sort-merge join") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val cb = graft.operators.Pq.train(emb, m = 8, k = 16, iters = 0)
