@@ -190,6 +190,15 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial_max_by") || p.contains("partial_maxby"), p)
   }
 
+  test("microstructure moments aggregate with a map-side partial phase") {
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.Microstructure.features(t)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"integer moments must combine map-side:\n$p")
+    assert(!p.contains("rangepartitioning"))
+  }
+
   test("multi-window rolling shuffles once regardless of window count") {
     val t = TradeData.fromEvents(spark, dir)
     val p = graft.operators.Rolling
