@@ -23,7 +23,11 @@ import graft.api.TradingCols
   */
 object ImbalanceBars {
 
-  private final case class BarRow(
+  // NOT private: the Dataset encoder's generated (Janino) code invokes
+  // the accessors reflectively-by-name; a private nested class makes
+  // them unresolvable and every imbalance query silently falls back to
+  // interpreted serialization (observed in the r6 Verify log).
+  final case class BarRow(
       symbol: String,
       ts_start: java.sql.Timestamp,
       ts_end: java.sql.Timestamp,
@@ -42,7 +46,7 @@ object ImbalanceBars {
     *              i.e. a fixed threshold initTicks·max(|initImbalance|,
     *              minImbalance) — the SQL-oracle-able configuration.
     */
-  private final case class RunBarRow(
+  final case class RunBarRow(
       symbol: String,
       ts_start: java.sql.Timestamp,
       ts_end: java.sql.Timestamp,
