@@ -223,6 +223,13 @@ object SparkEntry {
         .uniquenessWeights(t, ev)
         .orderBy(col("symbol"), col("event_id"))
     },
+    "cusum_events" -> { (s, dir) =>
+      // h = $100 (10000 cents); integer-cents state, so event
+      // placement is engine-exact against the recursive close-chain
+      usTs("ts")(
+        operators.Cusum.events(TradeData.fromEvents(s, dir), threshold = 100.0)
+      ).orderBy(col("symbol"), col("ts"))
+    },
     "fixed_time_return" -> { (s, dir) =>
       usTs("ts")(
         Labels.fixedTimeReturn(TradeData.fromEvents(s, dir), window = 5)
@@ -1075,6 +1082,65 @@ object SparkEntry {
          |WHERE amount > 0
          |GROUP BY symbol, d, g
          |ORDER BY symbol, ts_start""".stripMargin,
+    "cusum_events" ->
+      // Symmetric CUSUM filter (AFML snippet 2.4), h = 10000 cents.
+      // Recursive close-chain by EVENT: the state after an event is
+      // (P, N) = the clamped cusum values (exact integer cents), and
+      // within a segment the clamp has the closed form
+      //   sPos_t = max(P + C_t - C_p, C_t - min_{j in (p,t]} C_j)
+      //   sNeg_t = min(N + C_t - C_p, C_t - max_{j in (p,t]} C_j)
+      // (C = raw cents; only differences matter), so each recursion
+      // step jumps straight to the next crossing. Neg side wins a
+      // same-tick double crossing and only the triggering side resets
+      // (the if/elif of the reference recurrence). The candidate scan
+      // is bounded at 250 rows past the previous event (observed max
+      // segment 49 at sf0.01/sf0.1; an overrun would truncate the
+      // chain and fail the row-count gate loudly, not silently).
+      s"""WITH RECURSIVE $T,
+         |px AS MATERIALIZED (
+         |  SELECT symbol, ts, CAST(round(price * 100) AS BIGINT) AS cents,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS rn
+         |  FROM trades),
+         |step AS (
+         |  SELECT symbol, CAST(1 AS BIGINT) AS p, cents AS cp,
+         |         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+         |         0 AS j, CAST(NULL AS BIGINT) AS ev_spos, CAST(NULL AS BIGINT) AS ev_sneg,
+         |         CAST(NULL AS INTEGER) AS ev_side
+         |  FROM px WHERE rn = 1
+         |  UNION ALL
+         |  SELECT symbol, nxt, cn,
+         |         CASE WHEN side = -1 THEN sp_t ELSE CAST(0 AS BIGINT) END,
+         |         CASE WHEN side = -1 THEN CAST(0 AS BIGINT) ELSE sn_t END,
+         |         j + 1, sp_t, sn_t, side
+         |  FROM (
+         |    SELECT q2.*, CASE WHEN sn_t < -10000 THEN -1 ELSE 1 END AS side
+         |    FROM (
+         |      SELECT q1.*,
+         |             greatest(q1.sp + q1.cn - q1.cp, q1.cn - q1.mn) AS sp_t,
+         |             least(q1.sn + q1.cn - q1.cp, q1.cn - q1.mx) AS sn_t
+         |      FROM (
+         |        SELECT s.symbol, s.j, s.sp, s.sn, s.cp, s.nxt,
+         |               (SELECT u.cents FROM px u WHERE u.symbol = s.symbol AND u.rn = s.nxt) AS cn,
+         |               (SELECT min(v.cents) FROM px v WHERE v.symbol = s.symbol AND v.rn > s.p AND v.rn <= s.nxt) AS mn,
+         |               (SELECT max(v.cents) FROM px v WHERE v.symbol = s.symbol AND v.rn > s.p AND v.rn <= s.nxt) AS mx
+         |        FROM (
+         |          SELECT s0.*,
+         |                 (SELECT min(u.rn) FROM px u WHERE u.symbol = s0.symbol AND u.rn > s0.p AND u.rn <= s0.p + 250 AND (
+         |                    least(s0.sn + u.cents - s0.cp,
+         |                          u.cents - (SELECT max(v.cents) FROM px v WHERE v.symbol = s0.symbol AND v.rn > s0.p AND v.rn <= u.rn)) < -10000
+         |                    OR
+         |                    greatest(s0.sp + u.cents - s0.cp,
+         |                          u.cents - (SELECT min(v.cents) FROM px v WHERE v.symbol = s0.symbol AND v.rn > s0.p AND v.rn <= u.rn)) > 10000
+         |                 )) AS nxt
+         |          FROM step s0) s
+         |        WHERE s.nxt IS NOT NULL) q1) q2) q3),
+         |ev AS (
+         |  SELECT st.symbol AS symbol, px.ts AS ts, st.ev_side AS side,
+         |         st.ev_spos AS s_pos, st.ev_sneg AS s_neg
+         |  FROM step st JOIN px ON px.symbol = st.symbol AND px.rn = st.p
+         |  WHERE st.j > 0)
+         |SELECT symbol, epoch_us(ts) AS ts, side, s_pos, s_neg
+         |FROM ev ORDER BY symbol, ts""".stripMargin,
     "imbalance_bars" ->
       // Fixed-threshold (alpha=0) tick-imbalance bars: close at
       // |cum sign - sign at previous close| >= 50*0.2 = 10

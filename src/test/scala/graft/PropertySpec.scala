@@ -120,6 +120,46 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("cusum events match a sequential reference on random walks") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val h = (rng.nextInt(40) + 10) * 10 // cents: 100..490
+      val rows = (0 until 3).flatMap { sym =>
+        var cents = 50000L
+        (0 until 800).map { i =>
+          cents = math.max(100L, cents + rng.nextInt(201) - 100)
+          (s"s$sym", new java.sql.Timestamp(1000000000L + i * 1000L), cents / 100.0, 1L, i.toLong)
+        }
+      }
+      val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+      val got = operators.Cusum
+        .events(df, threshold = h / 100.0)
+        .orderBy("symbol", "ts")
+        .as[(String, java.sql.Timestamp, Int, Long, Long)]
+        .collect()
+        .toSeq
+      // straight-line AFML snippet 2.4 reference (if/elif, triggering
+      // side resets)
+      val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (sym, rs) =>
+        var sp = 0L; var sn = 0L; var prev = 0L; var first = true
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, java.sql.Timestamp, Int, Long, Long)]
+        for ((_, ts, price, _, _) <- rs.sortBy(_._2.getTime)) {
+          val c = math.round(price * 100)
+          if (first) { first = false; prev = c }
+          else {
+            val d = c - prev; prev = c
+            sp = math.max(0L, sp + d); sn = math.min(0L, sn + d)
+            if (sn < -h) { out += ((sym, ts, -1, sp, sn)); sn = 0L }
+            else if (sp > h) { out += ((sym, ts, 1, sp, sn)); sp = 0L }
+          }
+        }
+        out
+      }
+      assert(got == want, s"h=$h got=${got.size} want=${want.size}")
+      assert(want.nonEmpty, "degenerate test: no events generated")
+    }
+  }
+
   // Gen is used for value-level generators where Spark isn't needed
   test("hashBucket distributes uniformly enough (chi-square sanity)") {
     val keys = Gen.listOfN(4000, Gen.choose(0L, Long.MaxValue)).sample.get
