@@ -230,6 +230,12 @@ object SparkEntry {
         operators.Cusum.events(TradeData.fromEvents(s, dir), threshold = 100.0)
       ).orderBy(col("symbol"), col("ts"))
     },
+    "trend_labels" -> { (s, dir) =>
+      // horizons 5..20; integer OLS moments, engine-exact argmax
+      usTs("ts")(
+        operators.TrendScan.labels(TradeData.fromEvents(s, dir), minHorizon = 5, maxHorizon = 20)
+      ).orderBy(col("symbol"), col("ts"))
+    },
     "fixed_time_return" -> { (s, dir) =>
       usTs("ts")(
         Labels.fixedTimeReturn(TradeData.fromEvents(s, dir), window = 5)
@@ -747,6 +753,94 @@ object SparkEntry {
        |  FROM sums)""".stripMargin
   }
 
+  /** Trend-scanning oracle (TrendScan.labels): windowed cumulative
+    * BIGINT moments + lead(), per-horizon t-values as double trees
+    * replicated op-for-op from the Scala expressions (per-horizon
+    * constants inlined via Scala's round-trip-exact Double toString),
+    * horizon argmax by (|t| DESC, L ASC) — identical to Spark's
+    * lexicographic struct array_max over (|t|, -L, ...).
+    */
+  private def trendScanOracleSql(minL: Int, maxL: Int): String = {
+    val ls = minL to maxL
+    val leadCols = ls
+      .map { l =>
+        s"""lead(cy, ${l - 1}) OVER o AS cye_$l,
+           |         lead(cyy, ${l - 1}) OVER o AS cyye_$l,
+           |         lead(cjy, ${l - 1}) OVER o AS cjye_$l""".stripMargin
+      }
+      .mkString(",\n         ")
+    val tvalCols = ls
+      .map { l =>
+        s"""(cye_$l - (cy - cents)) AS sy_$l,
+           |         (cyye_$l - (cyy - cents * cents)) AS syy_$l,
+           |         ((cjye_$l - (cjy - rn * cents)) - rn * (cye_$l - (cy - cents))) AS sxy_$l""".stripMargin
+      }
+      .mkString(",\n         ")
+    val exprCols = ls
+      .map { l =>
+        val sx = l.toLong * (l - 1) / 2
+        val sxx = (l - 1).toLong * l * (2 * l - 1) / 6
+        val den = l * sxx - sx * sx
+        val sxxc = den.toDouble / l
+        s"""($l * sxy_$l - $sx * sy_$l) AS num_$l,
+           |         (CAST($l * sxy_$l - $sx * sy_$l AS DOUBLE) / ${den.toDouble}) AS b_$l,
+           |         (CAST(syy_$l AS DOUBLE) - CAST(sy_$l AS DOUBLE) * CAST(sy_$l AS DOUBLE) / ${l.toDouble}) -
+           |           (CAST($l * sxy_$l - $sx * sy_$l AS DOUBLE) / ${den.toDouble}) *
+           |           (CAST($l * sxy_$l - $sx * sy_$l AS DOUBLE) / ${den.toDouble}) * $sxxc AS ssr_$l""".stripMargin
+      }
+      .mkString(",\n         ")
+    val structList = ls
+      .map { l =>
+        val sx = l.toLong * (l - 1) / 2
+        val sxx = (l - 1).toLong * l * (2 * l - 1) / 6
+        val den = l * sxx - sx * sx
+        val sxxc = den.toDouble / l
+        val sqrtSxxc = math.sqrt(sxxc)
+        val tv = s"""CASE WHEN ssr_$l <= 0.0 THEN CAST(sign(num_$l) AS DOUBLE) * 1e308
+           |                    ELSE b_$l * $sqrtSxxc / sqrt(ssr_$l / ${(l - 2).toDouble}) END""".stripMargin
+        s"""struct_pack(a := abs($tv),
+           |             l := $l, t := $tv, b := b_$l,
+           |             lab := CAST(sign(num_$l) AS INTEGER))""".stripMargin
+      }
+      .mkString("[", ",\n           ", "]")
+    s"""WITH $T,
+       |px AS (
+       |  SELECT symbol, ts, price, CAST(round(price * 100) AS BIGINT) AS cents,
+       |         CAST(row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS BIGINT) AS rn
+       |  FROM trades),
+       |cs AS (
+       |  SELECT symbol, ts, price, cents, rn,
+       |         CAST(sum(cents) OVER c AS BIGINT) AS cy,
+       |         CAST(sum(cents * cents) OVER c AS BIGINT) AS cyy,
+       |         CAST(sum(rn * cents) OVER c AS BIGINT) AS cjy
+       |  FROM px
+       |  WINDOW c AS (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING)),
+       |ld AS (
+       |  SELECT symbol, ts, price, cents, rn, cy, cyy, cjy,
+       |         lead(rn, ${maxL - 1}) OVER o AS full_rn,
+       |         $leadCols
+       |  FROM cs
+       |  WINDOW o AS (PARTITION BY symbol ORDER BY rn)),
+       |mo AS (
+       |  SELECT *,
+       |         $tvalCols
+       |  FROM ld WHERE full_rn IS NOT NULL),
+       |ex AS (
+       |  SELECT *,
+       |         $exprCols
+       |  FROM mo),
+       |hz AS (
+       |  SELECT symbol, ts, price, rn,
+       |         unnest($structList) AS h
+       |  FROM ex),
+       |best AS (
+       |  SELECT symbol, ts, price, h.l AS best_l, h.lab AS label, h.b AS beta, h.t AS tval
+       |  FROM hz
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, rn ORDER BY h.a DESC, h.l ASC) = 1)
+       |SELECT symbol, epoch_us(ts) AS ts, price, best_l, label, beta, tval
+       |FROM best ORDER BY symbol, ts""".stripMargin
+  }
+
   /** Recursive close-chain oracle shared by the fixed-threshold
     * (alpha=0) imbalance-bar family: `cumExpr` is the per-tick signed
     * quantity; the bar closes when the cumulative sum moves
@@ -1141,6 +1235,7 @@ object SparkEntry {
          |  WHERE st.j > 0)
          |SELECT symbol, epoch_us(ts) AS ts, side, s_pos, s_neg
          |FROM ev ORDER BY symbol, ts""".stripMargin,
+    "trend_labels" -> trendScanOracleSql(5, 20),
     "imbalance_bars" ->
       // Fixed-threshold (alpha=0) tick-imbalance bars: close at
       // |cum sign - sign at previous close| >= 50*0.2 = 10

@@ -160,6 +160,58 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("trend-scanning labels match brute-force per-window OLS") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val (minL, maxL) = (4, 12)
+      val rows = (0 until 2).flatMap { sym =>
+        var cents = 20000L
+        (0 until 300).map { i =>
+          cents = math.max(100L, cents + rng.nextInt(401) - 200)
+          (s"s$sym", new java.sql.Timestamp(1000000000L + i * 1000L), cents / 100.0, 1L, i.toLong)
+        }
+      }
+      val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+      val got = operators.TrendScan
+        .labels(df, minL, maxL)
+        .orderBy("symbol", "ts")
+        .as[(String, java.sql.Timestamp, Double, Int, Int, Double, Double)]
+        .collect()
+        .toSeq
+      // brute force: direct integer sums per (t, L) window, same
+      // double tree — integer sums are order-independent, so values
+      // must be BIT-equal, not just close
+      val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (sym, rs) =>
+        val sorted = rs.sortBy(_._2.getTime)
+        val cents = sorted.map(r => math.round(r._3 * 100))
+        sorted.indices.dropRight(maxL - 1).map { t =>
+          val cands = (minL to maxL).map { l =>
+            val y = cents.slice(t, t + l)
+            val sy = y.sum
+            val syy = y.map(v => v * v).sum
+            val sxy = y.zipWithIndex.map { case (v, j) => j * v }.sum
+            val sx = l.toLong * (l - 1) / 2
+            val sxx = (l - 1).toLong * l * (2 * l - 1) / 6
+            val den = l * sxx - sx * sx
+            val num = l * sxy - sx * sy
+            val b = num.toDouble / den.toDouble
+            val sxxc = den.toDouble / l
+            val syyc = syy.toDouble - sy.toDouble * sy.toDouble / l.toDouble
+            val ssr = syyc - b * b * sxxc
+            val tval =
+              if (ssr <= 0.0) math.signum(num.toDouble) * 1e308
+              else b * math.sqrt(sxxc) / math.sqrt(ssr / (l - 2).toDouble)
+            (math.abs(tval), -l, tval, b, math.signum(num.toDouble).toInt, l)
+          }
+          val best = cands.max // tuple ordering == struct ordering
+          (sym, sorted(t)._2, sorted(t)._3, best._6, best._5, best._4, best._3)
+        }
+      }
+      assert(got.size == want.size)
+      for ((g, w) <- got.zip(want)) assert(g == w)
+    }
+  }
+
   // Gen is used for value-level generators where Spark isn't needed
   test("hashBucket distributes uniformly enough (chi-square sanity)") {
     val keys = Gen.listOfN(4000, Gen.choose(0L, Long.MaxValue)).sample.get
