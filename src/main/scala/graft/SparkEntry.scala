@@ -578,6 +578,52 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     },
+    "repetition_score" -> { (s, dir) =>
+      // Gopher-style intra-doc repetition: dup n-gram fractions +
+      // most-frequent 3-gram coverage, all map-side array arithmetic
+      val t = col("text")
+      s.read
+        .parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(t).cast("long").as("n_tokens"),
+          size(array_distinct(filter(TextAnalysis.tokens(t), x => x =!= ""))).cast("long").as("n_distinct_tokens"),
+          TextAnalysis.dupNgramFrac(t, 2).as("dup_2gram_frac"),
+          TextAnalysis.dupNgramFrac(t, 3).as("dup_3gram_frac"),
+          TextAnalysis.topNgram(t, 3).getField("cnt").cast("long").as("top_3gram_count"),
+          TextAnalysis.topNgram(t, 3).getField("gram").as("top_3gram"),
+          when(TextAnalysis.tokenCountWs(t) === 0, lit(0.0))
+            .otherwise(
+              (TextAnalysis.topNgram(t, 3).getField("cnt") * 3).cast("double") /
+                TextAnalysis.tokenCountWs(t).cast("double")
+            )
+            .as("top_3gram_token_frac"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    "decontaminate" -> { (s, dir) =>
+      // benchmark = every 97th doc (broadcast side); 3-gram overlap
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      operators.Decontaminate
+        .flags(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          n = 3,
+        )
+        .orderBy(col("doc_id"))
+    },
+    "bm25_topk" -> { (s, dir) =>
+      operators.Bm25
+        .topK(s.read.parquet(s"$dir/documents.parquet"), terms = Seq("table", "scan", "merge"), k = 20)
+    },
+    "domain_mix" -> { (s, dir) =>
+      // resample 20 sources to a 1:3 even/odd target mixture
+      val weights = (0 until 20).map(i => (s"src$i", if (i % 2 == 0) 1L else 3L))
+      operators.Sampling
+        .mixToTarget(s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id", weights)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** The driver's synthetic documents carry no URLs/emails/phones, so
@@ -2154,7 +2200,118 @@ object SparkEntry {
          |SELECT doc_id, md5(mt) AS masked_md5, CAST(length(mt) AS INT) AS masked_len
          |FROM masked
          |ORDER BY doc_id""".stripMargin,
+    "repetition_score" ->
+      // Spark computes the mode via a sorted-array fold; the oracle
+      // via unnest+group+qualify — independent algorithms, same
+      // (count DESC, gram ASC) winner. Fractions are int/int doubles.
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+         |         ${ngramListSql("toks", 2)} AS g2, ${ngramListSql("toks", 3)} AS g3
+         |  FROM d),
+         |g3x AS (SELECT doc_id, unnest(g3) AS gr FROM g),
+         |cnt AS (SELECT doc_id, gr, count(*) AS c FROM g3x GROUP BY doc_id, gr),
+         |top AS (
+         |  SELECT doc_id, c, gr FROM cnt
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gr ASC) = 1)
+         |SELECT g.doc_id,
+         |       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(g.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+         |       CASE WHEN len(g2) = 0 THEN 0.0
+         |            ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+         |       CASE WHEN len(g3) = 0 THEN 0.0
+         |            ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac,
+         |       CAST(coalesce(top.c, 0) AS BIGINT) AS top_3gram_count,
+         |       coalesce(top.gr, '') AS top_3gram,
+         |       CASE WHEN g.n_tokens = 0 THEN 0.0
+         |            ELSE CAST(coalesce(top.c, 0) * 3 AS DOUBLE) / CAST(g.n_tokens AS DOUBLE) END AS top_3gram_token_frac
+         |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (
+         |  SELECT doc_id, ${ngramListSql("toks", 3)} AS g3 FROM d0),
+         |bench AS (
+         |  SELECT DISTINCT unnest(g3) AS gr FROM d WHERE doc_id % 97 = 0),
+         |corpus AS (
+         |  SELECT doc_id, unnest(list_distinct(g3)) AS gr FROM d WHERE doc_id % 97 <> 0),
+         |hits AS (
+         |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM corpus c JOIN bench b ON c.gr = b.gr GROUP BY c.doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+         |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id % 97 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    "bm25_topk" -> bm25OracleSql(Seq("table", "scan", "merge"), 20, 1.2, 0.75),
+    "domain_mix" ->
+      // integer-exact thresholds: T = min_s floor(cnt*wsum/w), keep if
+      // md5 bucket < floor(10000*w*T/(wsum*cnt)); weights 1(even):3(odd)
+      s"""WITH w AS (
+         |  SELECT source, count(*) AS cnt,
+         |         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 1 THEN 3 ELSE 1 END AS wt
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT min(cnt * 40 // wt) AS t FROM w),
+         |thr AS (SELECT source, 10000 * wt * t.t // (40 * cnt) AS thr FROM w, t)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN thr ON d.source = thr.source
+         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT % 10000 < thr.thr
+         |ORDER BY d.doc_id""".stripMargin,
   )
+
+  /** Word n-gram list from a token-list expression; EMPTY when the
+    * doc has fewer than n tokens (mirrors TextAnalysis.wordNgrams —
+    * unlike the jaccard shingles' whole-text fallback).
+    */
+  private def ngramListSql(toks: String, n: Int): String = {
+    val joined = (1 to n).map(j => s"t[i + ${j - 1}]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($toks) < $n THEN CAST([] AS VARCHAR[])
+       |            ELSE (SELECT list_transform(generate_series(1, len(t) - ${n - 1}), i -> $joined) FROM (SELECT $toks AS t))
+       |       END""".stripMargin
+  }
+
+  /** BM25 oracle: integer tf/dl/df/N stats, per-term score trees in
+    * the fixed literal term order (matches Bm25.topK's reduceLeft).
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val pivCols = terms.zipWithIndex
+      .map { case (t, i) => s"CAST(coalesce(max(CASE WHEN tk = '$t' THEN c END), 0) AS BIGINT) AS tf_$i" }
+      .mkString(",\n         ")
+    val dfCols = terms.zipWithIndex
+      .map { case (_, i) => s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i" }
+      .mkString(",\n         ")
+    val scoreTerms = terms.zipWithIndex
+      .map { case (_, i) =>
+        s"""(ln(1.0 + (CAST(n - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) *
+           |          (CAST(tf_$i AS DOUBLE) * ${k1 + 1}) /
+           |          (CAST(tf_$i AS DOUBLE) + $k1 * (${1 - b} + $b * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))""".stripMargin
+      }
+      .mkString(" +\n         ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+       |tf0 AS (
+       |  SELECT doc_id, tk, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(tk) AS tk FROM toks)
+       |  WHERE list_contains($termList, tk)
+       |  GROUP BY doc_id, tk),
+       |tf AS (
+       |  SELECT doc_id,
+       |         $pivCols
+       |  FROM tf0 GROUP BY doc_id),
+       |dfs AS (
+       |  SELECT $dfCols
+       |  FROM tf)
+       |SELECT t.doc_id,
+       |       $scoreTerms AS score
+       |FROM tf t JOIN dl ON t.doc_id = dl.doc_id, stats, dfs
+       |ORDER BY score DESC, t.doc_id
+       |LIMIT $k""".stripMargin
+  }
 
   /** DuckDB replay of [[piiAugmented]] — keep the two in lockstep. */
   private val piiAugSql: String =

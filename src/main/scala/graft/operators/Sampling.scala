@@ -60,6 +60,45 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, frac: Double, salt: String = "graft"): DataFrame =
     df.where(hashBucket(col(keyCol), salt) < math.round(frac * Buckets))
 
+  /** Resample a multi-source corpus toward a target domain mixture
+    * (integer weights per source), keeping the maximum feasible
+    * volume: T = min_s floor(count_s · Σw / w_s) rows total, each
+    * source Bernoulli-hash-sampled at rate w_s·T / (Σw·count_s).
+    * The per-source keep threshold is EXACT integer arithmetic on the
+    * hash-bucket space (floor division, both engines), so membership
+    * is reproducible and engine-exact; realized counts are
+    * expectation-exact like [[hashSample]].
+    *
+    * Scale shape: one tiny count aggregation (one row per source)
+    * joined back via BROADCAST; the keep decision is map-side hash
+    * arithmetic on the full corpus — no corpus shuffle at all.
+    */
+  def mixToTarget(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Seq[(String, Long)],
+      salt: String = "graft",
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive integer weights")
+    val wsum = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("__src", "__w")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__cnt"))
+    val joined = counts.join(w, counts(sourceCol) === w("__src"), "inner")
+    val t = joined.agg(min(expr(s"__cnt * $wsum div __w")).as("__t"))
+    val thr = joined
+      .crossJoin(broadcast(t))
+      .select(
+        col("__src"),
+        expr(s"$Buckets * __w * __t div ($wsum * __cnt)").as("__thr"),
+      )
+    df.join(broadcast(thr), df(sourceCol) === thr("__src"), "inner")
+      .where(hashBucket(col(keyCol), salt) < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Exact-count stratified sample: within each stratum, ranks rows
     * by (hash, key) — a deterministic pseudo-random order — and keeps
     * the first ceil(frac · stratumSize). One exchange on the strata

@@ -96,6 +96,61 @@ object TextAnalysis {
     least(lit(1.0), greatest(lit(0.0), raw))
   }
 
+  /** Word n-grams of the normalized text as "w1 w2 .. wn" strings;
+    * empty array when the doc has fewer than n tokens (NOT the
+    * whole-text fallback the jaccard shingles use — repetition and
+    * contamination metrics must not see phantom grams).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val tk = filter(tokens(text), t => t =!= "")
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(tk) - lit(n - 1)),
+          i => array_join(slice(tk, i, lit(n)), " "),
+        )
+      )
+  }
+
+  /** Fraction of n-grams that are repeats of an earlier n-gram
+    * (Gopher-style intra-document repetition signal):
+    * (total - distinct) / total, 0.0 for docs shorter than n tokens.
+    * Pure map-side array arithmetic — no shuffle, no explode.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    val total = size(g)
+    when(total === 0, lit(0.0))
+      .otherwise(
+        (total - size(array_distinct(g))).cast("double") / total.cast("double")
+      )
+  }
+
+  /** Most frequent n-gram and its count as a (cnt, gram) struct —
+    * ties broken by the lexicographically smallest gram. Zero-shuffle:
+    * sort the gram array and fold run-lengths in one pass (ascending
+    * sort makes the FIRST maximal run the smallest gram, so a strict >
+    * implements the tiebreak). (0, "") for docs shorter than n tokens.
+    */
+  def topNgram(text: Column, n: Int): Column = {
+    val g = array_sort(wordNgrams(text, n))
+    val folded = aggregate(
+      g,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("cnt"), lit("").as("gram")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          when(run > acc.getField("cnt"), run).otherwise(acc.getField("cnt")).as("cnt"),
+          when(run > acc.getField("cnt"), x).otherwise(acc.getField("gram")).as("gram"),
+        )
+      },
+    )
+    struct(folded.getField("cnt").as("cnt"), folded.getField("gram").as("gram"))
+  }
+
   /** Rolling polynomial hash of the token stream (content-defined
     * fingerprint usable for shift-resistant chunk signatures):
     * h = Σ token_first8(md5) mod p, order-sensitive via 31^i weights.

@@ -423,4 +423,74 @@ class PipelineOpsSpec extends SparkSpec {
     // the email must become <EMAIL>, not have its domain eaten by the URL pass
     assert(out == "ping <EMAIL> or <URL> call <PHONE> done")
   }
+
+  test("repetition metrics: dup n-gram fractions and top-gram tiebreak") {
+    val d = docs(
+      "a b a b a b",  // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+      "x y z",        // no repeats
+      "c c c c",      // 3-grams: "c c c" x2
+      "q",            // shorter than n: empty gram lists
+    )
+    val rows = d
+      .select(
+        col("doc_id"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("f2"),
+        TextAnalysis.topNgram(col("text"), 3).as("t3"),
+      )
+      .orderBy("doc_id")
+      .collect()
+    assert(rows(0).getDouble(1) == 3.0 / 5.0)
+    assert(rows(1).getDouble(1) == 0.0)
+    assert(rows(2).getStruct(2).getInt(0) == 2 && rows(2).getStruct(2).getString(1) == "c c c")
+    assert(rows(3).getDouble(1) == 0.0 && rows(3).getStruct(2).getInt(0) == 0)
+    // tiebreak: "a b a" and "b a b" both appear twice -> smallest wins
+    val tie = docs("a b a b a b a").select(TextAnalysis.topNgram(col("text"), 3)).collect().head.getStruct(0)
+    assert(tie.getInt(0) == 3 && tie.getString(1) == "a b a")
+  }
+
+  test("decontamination flags docs sharing an n-gram with the benchmark") {
+    val corpus = docs(
+      "the quick brown fox jumps",   // shares "quick brown fox"
+      "totally unrelated words here",
+      "quick brown fox appears twice quick brown fox", // 1 DISTINCT shared gram
+    )
+    val bench = Seq((100L, "a quick brown fox ran", "b")).toDF("doc_id", "text", "source")
+    val out = operators.Decontaminate.flags(corpus, bench, n = 3).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("contaminated")).toSeq == Seq(1, 0, 1))
+    assert(out.map(_.getAs[Long]("n_hits")).toSeq == Seq(1L, 0L, 1L))
+  }
+
+  test("bm25 ranks term-dense short docs first; score matches reference") {
+    val d = docs(
+      "scan scan scan scan",
+      "scan and other words diluting the score of this document",
+      "nothing relevant",
+      "scan once",
+    )
+    val out = operators.Bm25.topK(d, Seq("scan"), k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 3L, 1L))
+    // reference for the winner: tf=4, dl=4, df=3, N=4, avgdl=18/4
+    val (n, df, tf, dl, avgdl) = (4L, 3L, 4.0, 4.0, 18.0 / 4.0)
+    val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+    val want = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(out.head.getDouble(1) == want)
+  }
+
+  test("mixToTarget: exact integer thresholds, deterministic membership") {
+    val d = (0 until 300).map { i =>
+      (i.toLong, s"t$i", if (i % 3 == 0) "a" else "b")
+    }.toDF("doc_id", "text", "source")
+    // counts: a=100, b=200; weights a=1, b=1 (wsum 2)
+    // T = min(100*2/1, 200*2/1) = 200; thr_a = 10000*1*200/(2*100) = 10000 (all)
+    // thr_b = 10000*1*200/(2*200) = 5000 (half in expectation)
+    val out = operators.Sampling.mixToTarget(d, "source", "doc_id", Seq("a" -> 1L, "b" -> 1L))
+    val bys = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bys("a") == 100L) // threshold 10000 keeps every bucket
+    assert(bys("b") > 60L && bys("b") < 140L) // Bernoulli at rate 0.5
+    // determinism: same call -> identical membership
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = operators.Sampling.mixToTarget(d, "source", "doc_id", Seq("a" -> 1L, "b" -> 1L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
 }
