@@ -187,4 +187,36 @@ class StreamingBarsSpec extends SparkSpec {
       )
     assert(joined.count() == 0)
   }
+
+  test("streaming cusum events equal batch cusum events exactly") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-scusum").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingCusum
+      .events(stream, threshold = 50.0)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_cusum")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_cusum")
+    val batch = graft.operators.Cusum.events(trades, threshold = 50.0)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    // integer state on both paths: every field matches exactly
+    val joined = streamed
+      .as("s")
+      .join(batch.as("b"), Seq("symbol", "ts"))
+    assert(joined.count() == batch.count())
+    assert(
+      joined.where(
+        col("s.side") =!= col("b.side") ||
+          col("s.s_pos") =!= col("b.s_pos") || col("s.s_neg") =!= col("b.s_neg")
+      ).count() == 0
+    )
+  }
 }
