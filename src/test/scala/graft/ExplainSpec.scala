@@ -255,4 +255,39 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "stratum window must not global-sort")
   }
 
+  test("trend-scanning labels: one symbol exchange, windows share the sort") {
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.TrendScan.labels(t, 4, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"), "no global sort inside the operator")
+    // cumsums + 16 leads + the full-window flag all ride one sorted window
+    assert("\\bSort\\b".r.findAllIn(p).length <= 1, s"windows must share one sort:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark grams; one doc-key exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Decontaminate
+      .flags(d.where($"doc_id" % 97 =!= 0), d.where($"doc_id" % 97 === 0), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("domain mix: corpus side is never shuffled (broadcast thresholds only)") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val weights = (0 until 20).map(i => (s"src$i", if (i % 2 == 0) 1L else 3L))
+    val df = graft.operators.Sampling.mixToTarget(d, "source", "doc_id", weights)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "thresholds must broadcast onto the corpus")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the threshold join:\n$p")
+  }
+
+  test("cusum filter shuffles once on symbol (the sequential-scan shape)") {
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.Cusum.events(t, 50.0)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"))
+  }
 }
