@@ -197,6 +197,18 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"), col("bucket"))
     },
+    "corwin_schultz" -> { (s, dir) =>
+      operators.Microstructure
+        .corwinSchultz(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
+    "sign_entropy" -> { (s, dir) =>
+      operators.Microstructure
+        .signEntropy(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "meta_label" -> { (s, dir) =>
       val t = TradeData.fromEvents(s, dir)
       // stand-in primary model: a deterministic per-event side
@@ -1674,6 +1686,96 @@ object SparkEntry {
          |       CAST(si AS DOUBLE) / CAST(sv AS DOUBLE) AS vpin
          |FROM win
          |ORDER BY symbol, date, bucket""".stripMargin,
+    // Corwin-Schultz: daily cent highs/lows + one lag; the ln/exp
+    // tree replicates Microstructure.corwinSchultz op-for-op (the
+    // (3 - 2 sqrt 2) constant interpolates from the same Scala double)
+    "corwin_schultz" -> {
+      val k = 3.0 - 2.0 * math.sqrt(2.0)
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date,
+         |         CAST(round(price * 100) AS BIGINT) AS pc
+         |  FROM trades),
+         |d AS (SELECT symbol, date, max(pc) AS hc, min(pc) AS lc FROM b GROUP BY symbol, date),
+         |p AS (
+         |  SELECT *, lag(hc) OVER (PARTITION BY symbol ORDER BY date) AS hp,
+         |            lag(lc) OVER (PARTITION BY symbol ORDER BY date) AS lp
+         |  FROM d),
+         |q AS (
+         |  SELECT symbol, date,
+         |         ln(CAST(hc AS DOUBLE) / CAST(lc AS DOUBLE)) AS r0,
+         |         ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) AS r1,
+         |         ln(CAST(greatest(hc, hp) AS DOUBLE) / CAST(least(lc, lp) AS DOUBLE)) AS rg
+         |  FROM p WHERE hp IS NOT NULL),
+         |e AS (
+         |  SELECT symbol, date, r0 * r0 + r1 * r1 AS beta, rg * rg AS gamma,
+         |         (sqrt(2.0 * (r0 * r0 + r1 * r1)) - sqrt(r0 * r0 + r1 * r1)) / $k - sqrt((rg * rg) / $k) AS alpha
+         |  FROM q)
+         |SELECT symbol, CAST(date AS VARCHAR) AS date, beta, gamma, alpha,
+         |       2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)) AS spread,
+         |       greatest(2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)), 0.0) AS spread_pos
+         |FROM e
+         |ORDER BY symbol, date""".stripMargin
+    },
+    // plug-in sign entropy: tick-rule signs per (symbol, day), k-gram
+    // counts via unnest+group, entropy terms summed in ascending gram
+    // order via ordered list_reduce (matches the Spark sorted-array
+    // fold's flush order; 0.0 + t1 == t1 so the trees agree)
+    "sign_entropy" -> {
+      val ln2 = math.log(2.0)
+      def gramsSql(kk: Int): String =
+        if (kk == 1) "m"
+        else {
+          val cat = (0 until kk).map(j => s"m[i + $j]").mkString(" || ")
+          s"CASE WHEN len(m) < $kk THEN CAST([] AS VARCHAR[]) ELSE list_transform(generate_series(1, len(m) - ${kk - 1}), i -> $cat) END"
+        }
+      def entCtes(kk: Int): String =
+        s"""u$kk AS (SELECT symbol, date, unnest(g$kk) AS gr FROM gk),
+           |c$kk AS (
+           |  SELECT symbol, date, gr, CAST(count(*) AS BIGINT) AS c,
+           |         CAST(sum(count(*)) OVER (PARTITION BY symbol, date) AS BIGINT) AS n
+           |  FROM u$kk GROUP BY symbol, date, gr),
+           |e$kk AS (
+           |  SELECT symbol, date,
+           |         list_reduce(
+           |           list(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / $ln2
+           |                ORDER BY gr),
+           |           (x, y) -> x + y) / ${kk.toDouble} AS h$kk
+           |  FROM c$kk GROUP BY symbol, date)""".stripMargin
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS rn
+         |  FROM trades),
+         |d1 AS (
+         |  SELECT *, pc - lag(pc) OVER (PARTITION BY symbol, date ORDER BY rn) AS d
+         |  FROM b),
+         |d2 AS (
+         |  SELECT *,
+         |         coalesce(last_value(CASE WHEN d != 0 THEN CAST(sign(d) AS BIGINT) END IGNORE NULLS)
+         |                  OVER (PARTITION BY symbol, date ORDER BY rn ROWS UNBOUNDED PRECEDING),
+         |                  CAST(1 AS BIGINT)) AS sgn
+         |  FROM d1),
+         |msg AS (
+         |  SELECT symbol, date, CAST(count(*) AS BIGINT) AS n_ticks,
+         |         list(CASE WHEN sgn > 0 THEN 'u' ELSE 'd' END ORDER BY rn) AS m
+         |  FROM d2 GROUP BY symbol, date),
+         |gk AS (
+         |  SELECT symbol, date, n_ticks,
+         |         ${gramsSql(1)} AS g1, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3
+         |  FROM msg),
+         |${entCtes(1)},
+         |${entCtes(2)},
+         |${entCtes(3)}
+         |SELECT gk.symbol, CAST(gk.date AS VARCHAR) AS date, gk.n_ticks,
+         |       coalesce(e1.h1, 0.0) AS h1, coalesce(e2.h2, 0.0) AS h2, coalesce(e3.h3, 0.0) AS h3
+         |FROM gk
+         |LEFT JOIN e1 ON gk.symbol = e1.symbol AND gk.date = e1.date
+         |LEFT JOIN e2 ON gk.symbol = e2.symbol AND gk.date = e2.date
+         |LEFT JOIN e3 ON gk.symbol = e3.symbol AND gk.date = e3.date
+         |ORDER BY gk.symbol, gk.date""".stripMargin
+    },
     // meta-labeling: the triple-barrier CTEs plus the deterministic
     // per-event side; meta = 1 iff side * touch_return > 0 (NULL
     // propagates like Spark's boolean-cast)

@@ -169,4 +169,137 @@ object Microstructure {
       )
       .select("symbol", "date", "bucket", "v_buy", "v_sell", "volume", "imbalance", "vpin")
   }
+
+  /** Corwin-Schultz high-low spread estimator (AFML ch.19.4 / Corwin &
+    * Schultz 2012): bid-ask spread implied by the ratio of 1-day to
+    * 2-day high-low ranges. Per (symbol, day), from consecutive-day
+    * (high, low) pairs:
+    *   beta  = ln(H0/L0)^2 + ln(H1/L1)^2
+    *   gamma = ln(max(H0,H1)/min(L0,L1))^2
+    *   alpha = (sqrt(2 beta) - sqrt(beta))/(3 - 2 sqrt 2)
+    *           - sqrt(gamma/(3 - 2 sqrt 2))
+    *   S     = 2 (e^a - 1)/(1 + e^a)   (spread_pos clamps at 0, the
+    *                                    paper's negative-spread rule)
+    * Daily highs/lows aggregate as exact integer cents (map-side
+    * partials); the ln/exp tree runs once per (symbol, day) row and
+    * is replicated op-for-op by the oracle. One exchange on
+    * (symbol, day) + one lag window on symbol — nothing sequential.
+    */
+  def corwinSchultz(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val daily = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+      )
+      .groupBy(col("symbol"), col("date"))
+      .agg(max(col("pc")).as("hc"), min(col("pc")).as("lc"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val k = 3.0 - 2.0 * math.sqrt(2.0)
+    val withPrev = daily
+      .withColumn("hp", lag(col("hc"), 1).over(w))
+      .withColumn("lp", lag(col("lc"), 1).over(w))
+      .where(col("hp").isNotNull)
+    val r0 = log(col("hc").cast("double") / col("lc").cast("double"))
+    val r1 = log(col("hp").cast("double") / col("lp").cast("double"))
+    val beta = r0 * r0 + r1 * r1
+    val rg = log(
+      greatest(col("hc"), col("hp")).cast("double") /
+        least(col("lc"), col("lp")).cast("double")
+    )
+    val gamma = rg * rg
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / lit(k) - sqrt(gamma / lit(k))
+    val spread = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+    withPrev.select(
+      col("symbol"),
+      col("date"),
+      beta.as("beta"),
+      gamma.as("gamma"),
+      alpha.as("alpha"),
+      spread.as("spread"),
+      greatest(spread, lit(0.0)).as("spread_pos"),
+    )
+  }
+
+  /** Plug-in entropy of the tick-rule sign stream (AFML ch.18):
+    * per (symbol, day), the empirical Shannon entropy RATE of the
+    * up/down message at word lengths k = 1, 2, 3 (bits per symbol,
+    * H_k / k). Low entropy = predictable one-sided flow (informed
+    * trading proxy); ~1 bit = coin-flip flow.
+    *
+    * The k-gram distribution is computed WITHOUT a shuffle per gram:
+    * one collect per (symbol, day) group (bounded by the day's
+    * ticks), then a sorted-array run-length fold — the entropy sum
+    * accumulates in ascending gram order, a fixed order both engines
+    * replay (the oracle uses unnest+group+ordered list_reduce).
+    * 0.0 for days shorter than k ticks.
+    */
+  def signEntropy(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val wOrd = Window.partitionBy(col("symbol"), col("date")).orderBy(col("ts"), col("trade_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(wOrd))
+      .withColumn(
+        "sgn",
+        coalesce(
+          last(when(col("d") =!= 0, signum(col("d")).cast("long")), ignoreNulls = true).over(wCum),
+          lit(1L),
+        ),
+      )
+      .withColumn("ch", when(col("sgn") > 0, lit("u")).otherwise(lit("d")))
+    val grouped = base
+      .groupBy(col("symbol"), col("date"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        array_sort(collect_list(struct(col("ts"), col("trade_id"), col("ch")))).as("ordered"),
+      )
+      .withColumn("msg", transform(col("ordered"), x => x.getField("ch")))
+    def entropyRate(k: Int): Column = {
+      val n = size(col("msg")) - lit(k - 1)
+      // zip_with chain, not transform(sequence, i -> ..msg..): a
+      // lambda referencing msg would re-evaluate its (inlined)
+      // producing expression per element — see TextAnalysis.ngramsOfTokens
+      val msg = col("msg")
+      val joined = (2 to k).foldLeft(msg) { case (acc, j) =>
+        zip_with(acc, slice(msg, lit(j), size(msg)), (a, b) => concat(a, b))
+      }
+      val g = array_sort(filter(joined, x => x.isNotNull))
+      val nd = n.cast("double")
+      def term(run: Column): Column =
+        when(run === 0, lit(0.0)).otherwise {
+          val p = run.cast("double") / nd
+          -p * log(p) / lit(math.log(2.0))
+        }
+      val h = aggregate(
+        g,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
+        (st, x) =>
+          struct(
+            x.as("prev"),
+            when(x === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1L)).as("run"),
+            when(x === st.getField("prev"), st.getField("acc"))
+              .otherwise(st.getField("acc") + term(st.getField("run"))).as("acc"),
+          ),
+        st => st.getField("acc") + term(st.getField("run")),
+      )
+      when(size(col("msg")) < k, lit(0.0)).otherwise(h / lit(k.toDouble))
+    }
+    grouped.select(
+      col("symbol"),
+      col("date"),
+      col("n_ticks"),
+      entropyRate(1).as("h1"),
+      entropyRate(2).as("h2"),
+      entropyRate(3).as("h3"),
+    )
+  }
 }

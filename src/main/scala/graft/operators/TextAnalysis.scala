@@ -104,13 +104,27 @@ object TextAnalysis {
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1)
     val tk = filter(tokens(text), t => t =!= "")
-    when(size(tk) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(tk) - lit(n - 1)),
-          i => array_join(slice(tk, i, lit(n)), " "),
-        )
-      )
+    ngramsOfTokens(tk, n)
+  }
+
+  /** n-grams from an already-materialized token array.
+    *
+    * Built as a zip_with chain against shifted slices rather than
+    * `transform(sequence(...), i -> ..tk..)`: interpreted HOFs
+    * re-evaluate non-lambda subtrees PER ELEMENT (the CollapseProject
+    * pitfall documented in Dedup), so a lambda referencing the token
+    * array would recompute the tokenization O(len) times per row —
+    * measured 67 s for the repetition query at sf0.1. zip_with's
+    * arguments are ordinary expressions, evaluated once; the lambdas
+    * touch only their own parameters. The null tail from zip_with's
+    * padding (concat with null is null) is dropped by a final filter,
+    * which also yields the empty array for docs shorter than n.
+    */
+  private[operators] def ngramsOfTokens(tk: Column, n: Int): Column = {
+    val joined = (2 to n).foldLeft(tk) { case (acc, j) =>
+      zip_with(acc, slice(tk, lit(j), size(tk)), (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, x => x.isNotNull)
   }
 
   /** Fraction of n-grams that are repeats of an earlier n-gram

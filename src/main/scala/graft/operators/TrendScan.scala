@@ -57,13 +57,36 @@ object TrendScan {
       .withColumn("__cyy", sum(col("__cents") * col("__cents")).over(cum))
       .withColumn("__cjy", sum(col("__rn") * col("__cents")).over(cum))
 
+    // Three perf-critical structural choices, all measured at sf0.1:
+    //  1. Every lead() is materialized ONCE as a named column — Spark
+    //     does NOT deduplicate textually repeated window expressions,
+    //     so referencing lead(cy, L-1) six times inside a t-value
+    //     tree would plan six separate window functions.
+    //  2. Each horizon's t-value tree is computed ONCE into a column.
+    //  3. The argmax projection lives ABOVE the __full Window node,
+    //     which CollapseProject cannot cross — without that barrier
+    //     the struct array would inline ~4 copies of every tree
+    //     (abs, t, b, sign), quadrupling codegen size and runtime.
+    val ls = minHorizon to maxHorizon
+    val leadCols = ls.flatMap { l =>
+      Seq(
+        lead(col("__cy"), l - 1).over(ord).as(s"__cye_$l"),
+        lead(col("__cyy"), l - 1).over(ord).as(s"__cyye_$l"),
+        lead(col("__cjy"), l - 1).over(ord).as(s"__cjye_$l"),
+      )
+    }
+    val withLeads = base.select(
+      Seq(
+        col("__sym"), col("__ts"), col("__tid"), col("__price"),
+        col("__rn"), col("__cents"), col("__cy"), col("__cyy"), col("__cjy"),
+      ) ++ leadCols: _*
+    )
+
     // forward-window moments for horizon L: S = cum(end) - cum(before start)
-    def horizonStruct(l: Int): Column = {
-      val sy = lead(col("__cy"), l - 1).over(ord) - (col("__cy") - col("__cents"))
-      val syy = lead(col("__cyy"), l - 1).over(ord) -
-        (col("__cyy") - col("__cents") * col("__cents"))
-      val sjy = lead(col("__cjy"), l - 1).over(ord) -
-        (col("__cjy") - col("__rn") * col("__cents"))
+    def horizonCols(l: Int): Seq[Column] = {
+      val sy = col(s"__cye_$l") - (col("__cy") - col("__cents"))
+      val syy = col(s"__cyye_$l") - (col("__cyy") - col("__cents") * col("__cents"))
+      val sjy = col(s"__cjye_$l") - (col("__cjy") - col("__rn") * col("__cents"))
       val sxy = sjy - col("__rn") * sy // x rebased to 0..L-1
       val sx = l.toLong * (l - 1) / 2
       val sxx = (l - 1).toLong * l * (2 * l - 1) / 6
@@ -75,22 +98,29 @@ object TrendScan {
       val ssr = syyc - b * b * lit(sxxc)
       val tval = when(ssr <= lit(0.0), signum(num).cast("double") * lit(1e308))
         .otherwise(b * lit(math.sqrt(sxxc)) / sqrt(ssr / lit((l - 2).toDouble)))
-      struct(
-        abs(tval).as("a"),
-        lit(-l).as("nl"),
-        tval.as("t"),
-        b.as("b"),
-        signum(num).cast("int").as("lab"),
-        lit(l).as("l"),
-      )
+      Seq(tval.as(s"__t_$l"), b.as(s"__b_$l"), signum(num).cast("int").as(s"__lab_$l"))
     }
 
-    val cands = array((minHorizon to maxHorizon).map(horizonStruct): _*)
-    base
-      // every horizon complete: the longest lead must exist
+    val projected = withLeads.select(
+      Seq(col("__sym"), col("__ts"), col("__tid"), col("__price"), col("__rn")) ++
+        ls.flatMap(horizonCols): _*
+    )
+    val cands = array(ls.map { l =>
+      struct(
+        abs(col(s"__t_$l")).as("a"),
+        lit(-l).as("nl"),
+        col(s"__t_$l").as("t"),
+        col(s"__b_$l").as("b"),
+        col(s"__lab_$l").as("lab"),
+        lit(l).as("l"),
+      )
+    }: _*)
+    projected
+      // every horizon complete: the longest lead must exist. This
+      // Window is also the CollapseProject barrier described above.
       .withColumn("__full", lead(col("__rn"), maxHorizon - 1).over(ord).isNotNull)
-      .withColumn("__best", array_max(cands))
       .where(col("__full"))
+      .withColumn("__best", array_max(cands))
       .select(
         col("__sym").as(c.symbol),
         col("__ts").as(c.ts),
