@@ -41,7 +41,10 @@ object Bench {
         }
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // stdout precision: 2 decimals keeps the line ~1.7 KB at 70
+    // queries (the driver reads only the last ~2000 stdout chars);
+    // bench_out.json keeps full precision
+    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val nFail = results.count { case (_, (_, ok)) => !ok }
     val failedNames = results.collect { case (k, (_, false)) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -54,8 +57,9 @@ object Bench {
     // live in bench_out.json.
     val qsShort = results.map { case (k, (v, _)) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val failedPart = if (nFail > 0) s""","failed_queries":$failedNames""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$nFail,"failed_queries":$failedNames,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"failed":$nFail$failedPart,"sf":"$sfDir"}"""
     println(line)
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -636,6 +636,11 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
+    "lm_perplexity" -> { (s, dir) =>
+      operators.LmScore
+        .perplexity(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   /** The driver's synthetic documents carry no URLs/emails/phones, so
@@ -2348,6 +2353,37 @@ object SparkEntry {
          |WHERE d.doc_id % 97 <> 0
          |ORDER BY d.doc_id""".stripMargin,
     "bm25_topk" -> bm25OracleSql(Seq("table", "scan", "merge"), 20, 1.2, 0.75),
+    "lm_perplexity" ->
+      // bigram LM with add-one smoothing; per-doc ln-terms summed in
+      // position order via ordered list_reduce (matches the Spark
+      // sorted-array fold; 0.0 + t1 == t1 so the trees agree)
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tk AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |         unnest(generate_series(1, len(toks))) AS pos
+         |  FROM d),
+         |bi AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, pos, w,
+         |           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |    FROM tk) WHERE w2 IS NOT NULL),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tk GROUP BY w),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |bc AS (SELECT w, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w, w2),
+         |terms AS (
+         |  SELECT b.doc_id, b.pos,
+         |         ln(CAST(bc.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) AS term
+         |  FROM bi b JOIN bc ON b.w = bc.w AND b.w2 = bc.w2
+         |  JOIN uni ON b.w = uni.w, v),
+         |f AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         list_reduce(list(term ORDER BY pos), (x, y) -> x + y) AS s
+         |  FROM terms GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(f.n_bigrams, 0) AS n_bigrams,
+         |       -(f.s) / CAST(f.n_bigrams AS DOUBLE) AS nll,
+         |       exp(-(f.s) / CAST(f.n_bigrams AS DOUBLE)) AS ppl
+         |FROM d LEFT JOIN f ON d.doc_id = f.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "domain_mix" ->
       // integer-exact thresholds: T = min_s floor(cnt*wsum/w), keep if
       // md5 bucket < floor(10000*w*T/(wsum*cnt)); weights 1(even):3(odd)

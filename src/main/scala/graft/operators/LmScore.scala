@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model scoring — the perplexity
+  * proxy quality filter (a la CCNet): documents whose token stream is
+  * improbable under the corpus's own add-one-smoothed bigram model
+  * get high perplexity and can be filtered.
+  *
+  *   nll(doc) = -(1/n) Σ_i ln( (c(w_i, w_{i+1}) + 1) / (c(w_i) + V) )
+  *   ppl(doc) = exp(nll)
+  *
+  * Scale shape: the model (unigram + bigram count tables and the
+  * vocab size) comes from two aggregations of the exploded token
+  * stream and BROADCASTS back onto the per-doc bigrams — valid for
+  * bounded vocabularies (sub-word/BPE vocabs are ≤ ~100k rows); for
+  * unbounded word vocabs swap the broadcast joins for shuffle joins,
+  * the rest is unchanged. The per-doc sum folds the doc's OWN
+  * ln-terms in position order (sorted-array aggregate, like
+  * uniqueness weights) — a parallel float SUM would drift with
+  * partitioning; the ordered fold is bit-stable and the oracle
+  * replays it with an ordered list_reduce.
+  */
+object LmScore {
+
+  def perplexity(
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val ex = corpus.select(
+      col(idCol),
+      posexplode(filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")).as(Seq("__pos", "__w")),
+    )
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bi = ex
+      .withColumn("__w2", lead(col("__w"), 1).over(wDoc))
+      .where(col("__w2").isNotNull)
+    val uni = ex.groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).cast("long").as("__v"))
+    val biCounts = bi.groupBy(col("__w").as("__bw"), col("__w2").as("__bw2"))
+      .agg(count(lit(1)).as("__c2"))
+    val terms = bi
+      .join(broadcast(biCounts), col("__w") === col("__bw") && col("__w2") === col("__bw2"))
+      .join(broadcast(uni.withColumnRenamed("__w", "__uw")), col("__w") === col("__uw"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col(idCol),
+        col("__pos"),
+        log((col("__c2") + lit(1L)).cast("double") / (col("__c1") + col("__v")).cast("double"))
+          .as("__term"),
+      )
+    val folded = terms
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__term")))),
+            x => x.getField("__term"),
+          ),
+          lit(0.0),
+          (acc, x) => acc + x,
+        ).as("__s"),
+      )
+    corpus
+      .select(col(idCol))
+      .join(folded, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (-col("__s") / col("n_bigrams").cast("double")).as("nll"),
+        exp(-col("__s") / col("n_bigrams").cast("double")).as("ppl"),
+      )
+  }
+}

@@ -476,6 +476,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.head.getDouble(1) == want)
   }
 
+  test("bigram LM perplexity matches the add-one-smoothing reference") {
+    val d = docs("a b a b", "a b c", "z")
+    val out = operators.LmScore.perplexity(d).orderBy("doc_id").collect()
+    // corpus: tokens a,b,a,b | a,b,c | z -> uni: a=3 b=3 c=1 z=1, V=4
+    // bigrams: ab,ba,ab | ab,bc -> c(ab)=3 c(ba)=1 c(bc)=1
+    def t(c2: Long, c1: Long) = math.log((c2 + 1).toDouble / (c1 + 4).toDouble)
+    val nll0 = -(((0.0 + t(3, 3)) + t(1, 3)) + t(3, 3)) / 3.0
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == nll0)
+    assert(out(0).getDouble(3) == math.exp(nll0))
+    val nll1 = -((0.0 + t(3, 3)) + t(1, 3)) / 2.0
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == nll1)
+    // single-token doc: no bigrams, null nll
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+  }
+
   test("mixToTarget: exact integer thresholds, deterministic membership") {
     val d = (0 until 300).map { i =>
       (i.toLong, s"t$i", if (i % 3 == 0) "a" else "b")
