@@ -243,9 +243,12 @@ object SparkEntry {
       ).orderBy(col("symbol"), col("ts"))
     },
     "trend_labels" -> { (s, dir) =>
-      // horizons 5..20; integer OLS moments, engine-exact argmax
+      // horizons 5..20; integer OLS moments, engine-exact argmax.
+      // Chunked scan: symbol x day parallelism, bit-identical to the
+      // whole-symbol window form (pinned in ScalaTest)
       usTs("ts")(
-        operators.TrendScan.labels(TradeData.fromEvents(s, dir), minHorizon = 5, maxHorizon = 20)
+        operators.TrendScan
+          .labelsChunked(TradeData.fromEvents(s, dir), minHorizon = 5, maxHorizon = 20)
       ).orderBy(col("symbol"), col("ts"))
     },
     "fixed_time_return" -> { (s, dir) =>

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 import graft.api.TradingCols
@@ -12,22 +12,22 @@ import graft.api.TradingCols
   * maxHorizon], pick the horizon with the largest |t-value| of the
   * slope (smallest L wins ties), and label by the slope's sign.
   *
-  * Fully declarative — no sequential state. One exchange on symbol,
-  * one sort; forward-window sums come from cumulative sums + lead()
-  * over the same sorted window (two WindowExec, zero extra
-  * exchanges), so the plan survives any scale the sort does.
+  * Fully declarative — no sequential state. [[labels]] windows per
+  * symbol (the reference formulation); [[labelsChunked]] is the scale
+  * path: because every window spans at most maxHorizon rows, the
+  * computation chunks by (symbol, day) with a (maxHorizon-1)-row halo
+  * borrowed from the next trading day — parallelism symbol × day
+  * instead of symbol, BIT-identical output (integer moments with
+  * chunk-local rebasing; equality pinned in ScalaTest).
   *
   * Exactness: prices become integer cents and the time index is the
-  * per-symbol row number, so every OLS moment (Sy, Syy, Sxy) is an
-  * exact BIGINT; the t-value is a fixed double expression tree over
-  * those integers, replicated op-for-op by the DuckDB oracle. The
-  * horizon argmax compares (|t|, -L) structs — a double computed
-  * identically on both engines — so the chosen horizon is
-  * engine-exact.
+  * row number, so every OLS moment (Sy, Syy, Sxy) is an exact BIGINT;
+  * the t-value is a fixed double expression tree over those integers,
+  * replicated op-for-op by the DuckDB oracle. The horizon argmax
+  * compares (|t|, -L) structs — engine-exact.
   *
   * Only rows where the LONGEST horizon fits are labeled (every
-  * candidate window complete), matching the oracle's lead() null
-  * check.
+  * candidate window complete).
   */
 object TrendScan {
 
@@ -39,19 +39,77 @@ object TrendScan {
   ): DataFrame = {
     require(minHorizon >= 3, "t-value needs at least 3 points")
     require(maxHorizon >= minHorizon, "maxHorizon >= minHorizon")
-    val ord = Window
-      .partitionBy(col("__sym"))
-      .orderBy(col("__ts"), col("__tid"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = prepared(df, c).withColumn("__halo", lit(false))
+    scanPipeline(base, Seq(col("__sym")), minHorizon, maxHorizon, c)
+  }
 
-    val base = df
-      .select(
-        col(c.symbol).cast("string").as("__sym"),
-        col(c.ts).cast("timestamp").as("__ts"),
-        col(c.price).cast("double").as("__price"),
-        col(c.tradeId).cast("long").as("__tid"),
-      )
-      .withColumn("__cents", round(col("__price") * 100).cast("long"))
+  /** Day-chunked halo variant: same output, symbol×day parallelism.
+    * The halo rows are the FIRST (maxHorizon-1) rows of each day,
+    * re-tagged to the symbol's PREVIOUS present day (a tiny
+    * (symbol, day) lag table, broadcast), so every chunk-tail row
+    * still sees its complete forward windows; halo rows are dropped
+    * from the output (the next day's chunk emits them itself).
+    *
+    * Precondition (same as Rolling's halo contract): every day
+    * except a symbol's last must hold at least maxHorizon-1 rows —
+    * a thinner day would need a two-day halo and its tail rows drop
+    * instead of labeling. Equality with [[labels]] is pinned in
+    * ScalaTest on the gate data.
+    */
+  def labelsChunked(
+      df: DataFrame,
+      minHorizon: Int = 5,
+      maxHorizon: Int = 20,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    require(minHorizon >= 3, "t-value needs at least 3 points")
+    require(maxHorizon >= minHorizon, "maxHorizon >= minHorizon")
+    val pre = prepared(df, c).withColumn("__day", to_date(col("__ts")))
+    val wD = Window.partitionBy(col("__sym")).orderBy(col("__day"))
+    val prevMap = pre
+      .select(col("__sym"), col("__day"))
+      .distinct()
+      .withColumn("__prev_day", lag(col("__day"), 1).over(wD))
+      .where(col("__prev_day").isNotNull)
+    val wDay = Window.partitionBy(col("__sym"), col("__day")).orderBy(col("__ts"), col("__tid"))
+    val ranked = pre.withColumn("__rk", row_number().over(wDay))
+    val halo = ranked
+      .where(col("__rk") <= maxHorizon - 1)
+      .join(broadcast(prevMap), Seq("__sym", "__day"))
+      .withColumn("__chunk", col("__prev_day"))
+      .withColumn("__halo", lit(true))
+      .select("__sym", "__ts", "__tid", "__price", "__cents", "__chunk", "__halo")
+    val main = ranked
+      .withColumn("__chunk", col("__day"))
+      .withColumn("__halo", lit(false))
+      .select("__sym", "__ts", "__tid", "__price", "__cents", "__chunk", "__halo")
+    scanPipeline(main.unionByName(halo), Seq(col("__sym"), col("__chunk")), minHorizon, maxHorizon, c)
+  }
+
+  private def prepared(df: DataFrame, c: TradingCols): DataFrame =
+    df.select(
+      col(c.symbol).cast("string").as("__sym"),
+      col(c.ts).cast("timestamp").as("__ts"),
+      col(c.price).cast("double").as("__price"),
+      col(c.tradeId).cast("long").as("__tid"),
+    ).withColumn("__cents", round(col("__price") * 100).cast("long"))
+
+  /** Shared moment/argmax pipeline over an arbitrary partitioning.
+    * Input needs __sym/__ts/__tid/__price/__cents/__halo; the row
+    * number (and so the x-rebasing) is partition-local, which cancels
+    * out of the rebased moments — the chunked and whole-symbol forms
+    * produce bit-identical values.
+    */
+  private def scanPipeline(
+      base0: DataFrame,
+      partCols: Seq[Column],
+      minHorizon: Int,
+      maxHorizon: Int,
+      c: TradingCols,
+  ): DataFrame = {
+    val ord = Window.partitionBy(partCols: _*).orderBy(col("__ts"), col("__tid"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = base0
       .withColumn("__rn", row_number().over(ord).cast("long"))
       .withColumn("__cy", sum(col("__cents")).over(cum))
       .withColumn("__cyy", sum(col("__cents") * col("__cents")).over(cum))
@@ -68,25 +126,22 @@ object TrendScan {
     //     the struct array would inline ~4 copies of every tree
     //     (abs, t, b, sign), quadrupling codegen size and runtime.
     val ls = minHorizon to maxHorizon
-    val leadCols = ls.flatMap { l =>
-      Seq(
-        lead(col("__cy"), l - 1).over(ord).as(s"__cye_$l"),
-        lead(col("__cyy"), l - 1).over(ord).as(s"__cyye_$l"),
-        lead(col("__cjy"), l - 1).over(ord).as(s"__cjye_$l"),
-      )
-    }
-    val withLeads = base.select(
-      Seq(
-        col("__sym"), col("__ts"), col("__tid"), col("__price"),
-        col("__rn"), col("__cents"), col("__cy"), col("__cyy"), col("__cjy"),
-      ) ++ leadCols: _*
-    )
+    // one lead per horizon of a packed (cy, cyy, cjy) struct — 16
+    // window functions instead of 48 (each lead frame iterates the
+    // whole partition; a third of the frames is a third of that cost)
+    val cums = struct(col("__cy").as("cy"), col("__cyy").as("cyy"), col("__cjy").as("cjy"))
+    val leadCols = ls.map(l => lead(cums, l - 1).over(ord).as(s"__e_$l"))
+    val keep = Seq(
+      col("__sym"), col("__ts"), col("__tid"), col("__price"), col("__halo"),
+      col("__rn"), col("__cents"), col("__cy"), col("__cyy"), col("__cjy"),
+    ) ++ partCols.drop(1)
+    val withLeads = base.select(keep ++ leadCols: _*)
 
     // forward-window moments for horizon L: S = cum(end) - cum(before start)
     def horizonCols(l: Int): Seq[Column] = {
-      val sy = col(s"__cye_$l") - (col("__cy") - col("__cents"))
-      val syy = col(s"__cyye_$l") - (col("__cyy") - col("__cents") * col("__cents"))
-      val sjy = col(s"__cjye_$l") - (col("__cjy") - col("__rn") * col("__cents"))
+      val sy = col(s"__e_$l.cy") - (col("__cy") - col("__cents"))
+      val syy = col(s"__e_$l.cyy") - (col("__cyy") - col("__cents") * col("__cents"))
+      val sjy = col(s"__e_$l.cjy") - (col("__cjy") - col("__rn") * col("__cents"))
       val sxy = sjy - col("__rn") * sy // x rebased to 0..L-1
       val sx = l.toLong * (l - 1) / 2
       val sxx = (l - 1).toLong * l * (2 * l - 1) / 6
@@ -102,8 +157,8 @@ object TrendScan {
     }
 
     val projected = withLeads.select(
-      Seq(col("__sym"), col("__ts"), col("__tid"), col("__price"), col("__rn")) ++
-        ls.flatMap(horizonCols): _*
+      Seq(col("__sym"), col("__ts"), col("__tid"), col("__price"), col("__rn"), col("__halo")) ++
+        partCols.drop(1) ++ ls.flatMap(horizonCols): _*
     )
     val cands = array(ls.map { l =>
       struct(
@@ -119,7 +174,7 @@ object TrendScan {
       // every horizon complete: the longest lead must exist. This
       // Window is also the CollapseProject barrier described above.
       .withColumn("__full", lead(col("__rn"), maxHorizon - 1).over(ord).isNotNull)
-      .where(col("__full"))
+      .where(col("__full") && !col("__halo"))
       .withColumn("__best", array_max(cands))
       .select(
         col("__sym").as(c.symbol),
