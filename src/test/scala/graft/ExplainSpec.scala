@@ -290,4 +290,28 @@ class ExplainSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
     assert(!p.contains("rangepartitioning"))
   }
+
+  test("corwin-schultz aggregates daily ranges with a map-side partial phase") {
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.Microstructure.corwinSchultz(t)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_max") || p.contains("partial_min") || p.contains("HashAggregate"), p)
+    assert(!p.contains("rangepartitioning"))
+  }
+
+  test("bm25 broadcasts the corpus stats; no sort-merge join") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Bm25.topK(d, Seq("table", "scan"), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"stats joins must broadcast:\n$p")
+  }
+
+  test("lm perplexity broadcasts the model tables onto the bigram stream") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.LmScore.perplexity(d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "count tables must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"model joins must broadcast:\n$p")
+  }
 }

@@ -188,6 +188,36 @@ class StreamingBarsSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("streaming trend labels equal batch trend labels bit-exactly") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-strend").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingTrend
+      .labels(stream, minHorizon = 5, maxHorizon = 12)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_trend")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_trend")
+    val batch = graft.operators.TrendScan.labels(trades, minHorizon = 5, maxHorizon = 12)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batch.as("b"), Seq("symbol", "ts"))
+    assert(joined.count() == batch.count())
+    // integer moments + identical double trees: bit-equality, not tolerance
+    assert(
+      joined.where(
+        col("s.best_l") =!= col("b.best_l") || col("s.label") =!= col("b.label") ||
+          col("s.beta") =!= col("b.beta") || col("s.tval") =!= col("b.tval")
+      ).count() == 0
+    )
+  }
+
   test("streaming cusum events equal batch cusum events exactly") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-scusum").toString
