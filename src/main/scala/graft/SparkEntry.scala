@@ -197,6 +197,12 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"), col("bucket"))
     },
+    "sadf" -> { (s, dir) =>
+      // bounded sup-ADF explosiveness, backward windows 10..40
+      usTs("ts")(
+        operators.Sadf.sadf(TradeData.fromEvents(s, dir), minWindow = 10, maxWindow = 40)
+      ).orderBy(col("symbol"), col("ts"))
+    },
     "corwin_schultz" -> { (s, dir) =>
       operators.Microstructure
         .corwinSchultz(TradeData.fromEvents(s, dir))
@@ -907,6 +913,90 @@ object SparkEntry {
        |FROM best ORDER BY symbol, ts""".stripMargin
   }
 
+  /** Bounded-SADF oracle (Sadf.sadf): backward-window ADF t-stats
+    * from five cumulative BIGINT moments + lag(), sup by
+    * (t DESC, n ASC) — mirrors the Spark struct array_max on (t, -n).
+    */
+  private def sadfOracleSql(minW: Int, maxW: Int): String = {
+    val ns = minW to maxW
+    val lagCols = ns
+      .map { n =>
+        s"""lag(cx, $n) OVER o AS cx_$n, lag(cxx, $n) OVER o AS cxx_$n,
+           |         lag(cd, $n) OVER o AS cd_$n, lag(cdd, $n) OVER o AS cdd_$n,
+           |         lag(cxd, $n) OVER o AS cxd_$n""".stripMargin
+      }
+      .mkString(",\n         ")
+    val momCols = ns
+      .map { n =>
+        s"""(cx - cx_$n) AS sx_$n, (cxx - cxx_$n) AS sxx_$n, (cd - cd_$n) AS sd_$n,
+           |         (cdd - cdd_$n) AS sdd_$n, (cxd - cxd_$n) AS sxd_$n""".stripMargin
+      }
+      .mkString(",\n         ")
+    val exprCols = ns
+      .map { n =>
+        s"""($n * sxx_$n - sx_$n * sx_$n) AS den_$n,
+           |         ($n * sxd_$n - sx_$n * sd_$n) AS num_$n,
+           |         (CAST($n * sxd_$n - sx_$n * sd_$n AS DOUBLE) / CAST($n * sxx_$n - sx_$n * sx_$n AS DOUBLE)) AS b_$n,
+           |         ((CAST(sdd_$n AS DOUBLE) - CAST(sd_$n AS DOUBLE) * CAST(sd_$n AS DOUBLE) / ${n.toDouble}) -
+           |           (CAST($n * sxd_$n - sx_$n * sd_$n AS DOUBLE) / CAST($n * sxx_$n - sx_$n * sx_$n AS DOUBLE)) *
+           |           (CAST($n * sxd_$n - sx_$n * sd_$n AS DOUBLE) / CAST($n * sxx_$n - sx_$n * sx_$n AS DOUBLE)) *
+           |           (CAST($n * sxx_$n - sx_$n * sx_$n AS DOUBLE) / ${n.toDouble})) AS ssr_$n""".stripMargin
+      }
+      .mkString(",\n         ")
+    val structList = ns
+      .map { n =>
+        val tv =
+          s"""CASE WHEN den_$n = 0 THEN 0.0
+             |                    WHEN ssr_$n <= 0.0 THEN CAST(sign(num_$n) AS DOUBLE) * 1e308
+             |                    ELSE b_$n * sqrt(CAST(den_$n AS DOUBLE) / ${n.toDouble}) / sqrt(ssr_$n / ${(n - 2).toDouble}) END""".stripMargin
+        s"struct_pack(t := $tv,\n             n := $n, b := CASE WHEN den_$n = 0 THEN 0.0 ELSE b_$n END)"
+      }
+      .mkString("[", ",\n           ", "]")
+    s"""WITH $T,
+       |px AS (
+       |  SELECT symbol, ts, price, CAST(round(price * 100) AS BIGINT) AS cents,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS rn0,
+       |         lag(CAST(round(price * 100) AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS x
+       |  FROM trades),
+       |b0 AS (
+       |  SELECT symbol, ts, price, cents, x, cents - x AS d,
+       |         CAST(row_number() OVER (PARTITION BY symbol ORDER BY rn0) AS BIGINT) AS rn
+       |  FROM px WHERE x IS NOT NULL),
+       |cs AS (
+       |  SELECT symbol, ts, price, rn,
+       |         CAST(sum(x) OVER c AS BIGINT) AS cx,
+       |         CAST(sum(x * x) OVER c AS BIGINT) AS cxx,
+       |         CAST(sum(d) OVER c AS BIGINT) AS cd,
+       |         CAST(sum(d * d) OVER c AS BIGINT) AS cdd,
+       |         CAST(sum(x * d) OVER c AS BIGINT) AS cxd
+       |  FROM b0
+       |  WINDOW c AS (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING)),
+       |ld AS (
+       |  SELECT symbol, ts, price, rn, cx, cxx, cd, cdd, cxd,
+       |         lag(rn, $maxW) OVER o AS have_rn,
+       |         $lagCols
+       |  FROM cs
+       |  WINDOW o AS (PARTITION BY symbol ORDER BY rn)),
+       |mo AS (
+       |  SELECT *,
+       |         $momCols
+       |  FROM ld WHERE have_rn IS NOT NULL),
+       |ex AS (
+       |  SELECT *,
+       |         $exprCols
+       |  FROM mo),
+       |hz AS (
+       |  SELECT symbol, ts, price, rn,
+       |         unnest($structList) AS h
+       |  FROM ex),
+       |best AS (
+       |  SELECT symbol, ts, price, h.n AS best_window, h.b AS beta, h.t AS sadf
+       |  FROM hz
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, rn ORDER BY h.t DESC, h.n ASC) = 1)
+       |SELECT symbol, epoch_us(ts) AS ts, price, best_window, beta, sadf
+       |FROM best ORDER BY symbol, ts""".stripMargin
+  }
+
   /** Recursive close-chain oracle shared by the fixed-threshold
     * (alpha=0) imbalance-bar family: `cumExpr` is the per-tick signed
     * quantity; the bar closes when the cumulative sum moves
@@ -1302,6 +1392,7 @@ object SparkEntry {
          |SELECT symbol, epoch_us(ts) AS ts, side, s_pos, s_neg
          |FROM ev ORDER BY symbol, ts""".stripMargin,
     "trend_labels" -> trendScanOracleSql(5, 20),
+    "sadf" -> sadfOracleSql(10, 40),
     "imbalance_bars" ->
       // Fixed-threshold (alpha=0) tick-imbalance bars: close at
       // |cum sign - sign at previous close| >= 50*0.2 = 10

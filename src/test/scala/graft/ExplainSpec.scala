@@ -291,6 +291,15 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"))
   }
 
+  test("sadf: one symbol exchange, all window functions share the sort") {
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.Sadf.sadf(t, 6, 12)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("rangepartitioning"))
+    assert("\\bSort\\b".r.findAllIn(p).length <= 1, s"lags must share one sort:\n$p")
+  }
+
   test("corwin-schultz aggregates daily ranges with a map-side partial phase") {
     val t = TradeData.fromEvents(spark, dir)
     val p = graft.operators.Microstructure.corwinSchultz(t)

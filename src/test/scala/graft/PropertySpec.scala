@@ -212,6 +212,67 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("bounded sadf matches brute-force backward-window ADF") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val (minW, maxW) = (6, 15)
+      val rows = (0 until 2).flatMap { sym =>
+        var cents = 20000L
+        (0 until 250).map { i =>
+          // drifting walk: occasional explosive stretches
+          val drift = if (i % 80 < 20) 30 else 0
+          cents = math.max(100L, cents + rng.nextInt(201) - 100 + drift)
+          (s"s$sym", new java.sql.Timestamp(1000000000L + i * 1000L), cents / 100.0, 1L, i.toLong)
+        }
+      }
+      val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+      val got = operators.Sadf
+        .sadf(df, minW, maxW)
+        .orderBy("symbol", "ts")
+        .as[(String, java.sql.Timestamp, Double, Int, Double, Double)]
+        .collect()
+        .toSeq
+      val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (sym, rs) =>
+        val sorted = rs.sortBy(_._2.getTime)
+        val cents = sorted.map(r => math.round(r._3 * 100))
+        val x = cents.dropRight(1) // y_{t-1}, index i -> row i+1
+        val d = cents.indices.tail.map(i => cents(i) - cents(i - 1))
+        // row j (0-based in the diffed series) = original row j+1
+        (maxW until d.size).map { j =>
+          val cands = (minW to maxW).map { n =>
+            val xs = x.slice(j - n + 1, j + 1)
+            val ds = d.slice(j - n + 1, j + 1)
+            val sx = xs.sum; val sxx = xs.map(v => v * v).sum
+            val sd = ds.sum; val sdd = ds.map(v => v * v).sum
+            val sxd = xs.zip(ds).map { case (a, b) => a * b }.sum
+            val den = n * sxx - sx * sx
+            val num = n * sxd - sx * sd
+            val tstat =
+              if (den == 0L) 0.0
+              else {
+                val b = num.toDouble / den.toDouble
+                val sxxc = den.toDouble / n.toDouble
+                val sddc = sdd.toDouble - sd.toDouble * sd.toDouble / n.toDouble
+                val ssr = sddc - b * b * sxxc
+                if (ssr <= 0.0) math.signum(num.toDouble) * 1e308
+                else b * math.sqrt(sxxc) / math.sqrt(ssr / (n - 2).toDouble)
+              }
+            val b = if (den == 0L) 0.0 else num.toDouble / den.toDouble
+            (tstat, -n, b, n)
+          }
+          val best = cands.max
+          (sym, sorted(j + 1)._2, sorted(j + 1)._3, best._4, best._3, best._1)
+        }
+      }
+      assert(got.size == want.size, s"got ${got.size} want ${want.size}")
+      for ((g, w) <- got.zip(want)) {
+        assert(g._1 == w._1 && g._2 == w._2 && g._4 == w._4)
+        assert(java.lang.Double.doubleToLongBits(g._5) == java.lang.Double.doubleToLongBits(w._5), s"$g vs $w")
+        assert(java.lang.Double.doubleToLongBits(g._6) == java.lang.Double.doubleToLongBits(w._6), s"$g vs $w")
+      }
+    }
+  }
+
   test("chunked trend scan is bit-identical to the whole-symbol window form") {
     // sf0.01: ~66 rows per (symbol, day) >= the 19-row halo
     // precondition (sf0.001's ~7-row days violate it by design)
