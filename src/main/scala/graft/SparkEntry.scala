@@ -198,9 +198,11 @@ object SparkEntry {
         .orderBy(col("symbol"), col("date"), col("bucket"))
     },
     "sadf" -> { (s, dir) =>
-      // bounded sup-ADF explosiveness, backward windows 10..40
+      // bounded sup-ADF explosiveness, backward windows 10..40;
+      // O(maxW)-state streaming scan, bit-identical to the
+      // declarative window form (pinned)
       usTs("ts")(
-        operators.Sadf.sadf(TradeData.fromEvents(s, dir), minWindow = 10, maxWindow = 40)
+        operators.Sadf.sadfScan(TradeData.fromEvents(s, dir), minWindow = 10, maxWindow = 40)
       ).orderBy(col("symbol"), col("ts"))
     },
     "corwin_schultz" -> { (s, dir) =>

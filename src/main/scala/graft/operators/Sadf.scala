@@ -15,27 +15,139 @@ import graft.api.TradingCols
   * row — the bounded window set is the scalable form and the common
   * deployment).
   *
-  * Same machinery as TrendScan: five cumulative BIGINT moments
-  * (Σx, Σx², Σd, Σd², Σxd for x = lagged cents, d = cent delta), one
-  * struct lag per window length (lag, not lead — windows look BACK),
-  * sup via lexicographic struct array_max on (t, -n). All moments are
-  * exact integers, the t-stat is a fixed double tree — engine-exact,
-  * replicated by the DuckDB oracle; brute-force bit-equality pinned
-  * in ScalaTest.
+  * Two implementations, bit-identical (pinned in ScalaTest):
   *
-  * Degenerate guards (replicated by the oracle): zero x-variance in
-  * a window → that candidate scores 0.0 t-stat (flat price carries
-  * no explosiveness evidence); perfect fit (SSR ≤ 0) → ±1e308 by the
-  * sign of the slope numerator.
+  *  - [[sadf]] — declarative: five cumulative BIGINT moments + one
+  *    struct lag per window length, sup via struct array_max. Kept as
+  *    the reference formulation, but measured SUPER-LINEAR in the
+  *    window count (WindowExec's cost grows with functions × row
+  *    width: 11 struct lags ran 1.4 s at sf0.1, 31 ran 9.4 s, and
+  *    day-chunking made it worse — the bottleneck is row copying,
+  *    not parallelism).
+  *  - [[sadfScan]] — the production path (the dollar-bar/EWM scale
+  *    pattern): one hash exchange on symbol, sortWithinPartitions,
+  *    and an O(maxWindow)-state streaming pass over a prefix-sum
+  *    ring buffer; each row scores all windows with ~15 integer
+  *    flops per window. 31 windows in well under a second at sf0.1.
   *
-  * Scale: one exchange on symbol, every window function rides one
-  * sort. Windows are bounded by maxWindow, so the (symbol, day) halo
-  * chunking used by TrendScan.labelsChunked applies symmetrically
-  * (previous-day tail instead of next-day head) if symbol-level
-  * parallelism ever binds.
+  * All moments are exact integers and the t-stat is a fixed double
+  * tree — engine-exact, replicated by the DuckDB oracle; brute-force
+  * bit-equality pinned in ScalaTest. Degenerate guards (replicated
+  * by the oracle): zero x-variance in a window → 0.0 t-stat (flat
+  * price carries no explosiveness evidence); perfect fit (SSR ≤ 0)
+  * → ±1e308 by the sign of the slope numerator.
   */
 object Sadf {
 
+  final case class SadfRow(
+      symbol: String,
+      ts: java.sql.Timestamp,
+      price: Double,
+      best_window: Int,
+      beta: Double,
+      sadf: Double,
+  )
+
+  /** Production form: O(maxWindow)-state streaming scan per symbol. */
+  def sadfScan(
+      df: DataFrame,
+      minWindow: Int = 10,
+      maxWindow: Int = 40,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    require(minWindow >= 4, "ADF t-stat needs n-2 > 1")
+    require(maxWindow >= minWindow)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        col(c.ts).cast("timestamp").as("ts"),
+        col(c.price).cast("double").as("price"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("ts"), col("trade_id"))
+      .as[(String, java.sql.Timestamp, Double, Long)]
+      .mapPartitions { it =>
+        val W = maxWindow
+        // ring of the last W+1 cumulative-moment snapshots (cum AFTER
+        // processing row rn lives at slot rn % (W+1))
+        val ringLen = W + 1
+        var curSym: String = null
+        var havePrev = false
+        var prevCents = 0L
+        var rn = 0L // rows with a defined delta, per symbol
+        var cx, cxx, cd, cdd, cxd = 0L
+        val rcx, rcxx, rcd, rcdd, rcxd = new Array[Long](ringLen)
+        new Iterator[SadfRow] {
+          private var pending: SadfRow = null
+          override def hasNext: Boolean = {
+            while (pending == null && it.hasNext) {
+              val (sym, ts, price, _) = it.next()
+              if (sym != curSym) {
+                curSym = sym; havePrev = false; rn = 0L
+                cx = 0L; cxx = 0L; cd = 0L; cdd = 0L; cxd = 0L
+                rcx(0) = 0L; rcxx(0) = 0L; rcd(0) = 0L; rcdd(0) = 0L; rcxd(0) = 0L
+              }
+              val cents = math.round(price * 100)
+              if (!havePrev) { havePrev = true; prevCents = cents }
+              else {
+                val x = prevCents
+                val d = cents - prevCents
+                prevCents = cents
+                rn += 1
+                cx += x; cxx += x * x; cd += d; cdd += d * d; cxd += x * d
+                val slot = (rn % ringLen).toInt
+                rcx(slot) = cx; rcxx(slot) = cxx; rcd(slot) = cd
+                rcdd(slot) = cdd; rcxd(slot) = cxd
+                if (rn > W) {
+                  // score all windows; sup by (t, -n) like the
+                  // declarative struct array_max
+                  var bestT = Double.NegativeInfinity
+                  var bestN = 0
+                  var bestB = 0.0
+                  var n = minWindow
+                  while (n <= W) {
+                    val base = ((rn - n) % ringLen).toInt
+                    val sx = cx - rcx(base)
+                    val sxx = cxx - rcxx(base)
+                    val sd = cd - rcd(base)
+                    val sdd = cdd - rcdd(base)
+                    val sxd = cxd - rcxd(base)
+                    val den = n * sxx - sx * sx
+                    val num = n * sxd - sx * sd
+                    var t = 0.0
+                    var b = 0.0
+                    if (den != 0L) {
+                      b = num.toDouble / den.toDouble
+                      val sxxc = den.toDouble / n.toDouble
+                      val sddc = sdd.toDouble - sd.toDouble * sd.toDouble / n.toDouble
+                      val ssr = sddc - b * b * sxxc
+                      t =
+                        if (ssr <= 0.0) math.signum(num.toDouble) * 1e308
+                        else b * math.sqrt(sxxc) / math.sqrt(ssr / (n - 2).toDouble)
+                    }
+                    // strict >: earlier (smaller) n wins ties
+                    if (t > bestT) { bestT = t; bestN = n; bestB = b }
+                    n += 1
+                  }
+                  pending = SadfRow(sym, ts, price, bestN, bestB, bestT)
+                }
+              }
+            }
+            pending != null
+          }
+          override def next(): SadfRow = { val r = pending; pending = null; r }
+        }
+      }
+      .toDF()
+  }
+
+  /** Declarative reference form (see the class doc for why the scan
+    * is the production path).
+    */
   def sadf(
       df: DataFrame,
       minWindow: Int = 10,
@@ -66,9 +178,6 @@ object Sadf {
       .withColumn("__cxd", sum(col("__x") * col("__d")).over(cum))
 
     val ns = minWindow to maxWindow
-    // one struct lag per window length (cf. TrendScan: Spark plans
-    // every textual window expression separately — pack the five
-    // cumsums into a single lag)
     val cums = struct(
       col("__cx").as("cx"), col("__cxx").as("cxx"), col("__cd").as("cd"),
       col("__cdd").as("cdd"), col("__cxd").as("cxd"),
@@ -82,7 +191,7 @@ object Sadf {
     )
 
     // backward-window moments: S = cum(t) - cum(t-n); lag(cum, n) is
-    // null for the first n rows -> those candidates drop with __full
+    // null for the first n rows -> those candidates drop with __have
     def windowCols(n: Int): Seq[Column] = {
       val sx = col("__cx") - col(s"__s_$n.cx")
       val sxx = col("__cxx") - col(s"__s_$n.cxx")

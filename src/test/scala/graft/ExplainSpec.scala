@@ -298,6 +298,11 @@ class ExplainSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
     assert(!p.contains("rangepartitioning"))
     assert("\\bSort\\b".r.findAllIn(p).length <= 1, s"lags must share one sort:\n$p")
+    // production scan: same single-exchange shape
+    val ps = graft.operators.Sadf.sadfScan(t, 6, 12)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ps).length == 1, ps)
+    assert(!ps.contains("rangepartitioning"))
   }
 
   test("corwin-schultz aggregates daily ranges with a map-side partial phase") {

@@ -273,6 +273,24 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("sadf scan is bit-identical to the declarative window form") {
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.01")
+    val a = operators.Sadf.sadf(t, 10, 40)
+      .orderBy("symbol", "ts")
+      .as[(String, java.sql.Timestamp, Double, Int, Double, Double)]
+      .collect().toSeq
+    val b = operators.Sadf.sadfScan(t, 10, 40)
+      .orderBy("symbol", "ts")
+      .as[(String, java.sql.Timestamp, Double, Int, Double, Double)]
+      .collect().toSeq
+    assert(a.size == b.size && a.nonEmpty)
+    for ((x, y) <- a.zip(b)) {
+      assert(x._1 == y._1 && x._2 == y._2 && x._4 == y._4)
+      assert(java.lang.Double.doubleToLongBits(x._5) == java.lang.Double.doubleToLongBits(y._5))
+      assert(java.lang.Double.doubleToLongBits(x._6) == java.lang.Double.doubleToLongBits(y._6))
+    }
+  }
+
   test("chunked trend scan is bit-identical to the whole-symbol window form") {
     // sf0.01: ~66 rows per (symbol, day) >= the 19-row halo
     // precondition (sf0.001's ~7-row days violate it by design)
