@@ -66,4 +66,44 @@ class PipelineE2ESpec extends SparkSpec {
       .agg(sum("n_tokens").as("t"), count(lit(1)).as("nd")).collect()
     assert(seqTotals.forall(r => r.getAs[Long]("t") <= 512L || r.getAs[Long]("nd") == 1L))
   }
+
+  test("curation gates compose: decontaminate → repetition/LM filters → mix") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    // 1. benchmark decontamination: drop anything sharing a 3-gram
+    //    with the (tiny, broadcast) eval slice
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    val flagged = Decontaminate.flags(corpus, bench, n = 3)
+    val keptIds = flagged.where(col("contaminated") === 0).select("doc_id")
+    val kept = corpus.join(keptIds, "doc_id")
+    assert(kept.count() > 0 && kept.count() < corpus.count())
+
+    // 2. repetition + LM-perplexity quality gates (filter the worst
+    //    deciles — thresholds from the score distributions)
+    val rep = kept.withColumn("dup3", TextAnalysis.dupNgramFrac(col("text"), 3))
+    val ppl = LmScore.perplexity(kept).select(col("doc_id"), col("ppl"))
+    val gated = rep
+      .join(ppl, "doc_id")
+      .where(col("dup3") < 0.9 && col("ppl").isNotNull)
+    assert(gated.count() > 0 && gated.count() <= kept.count())
+
+    // 3. domain mixture: even:odd source weights 1:3; mixture of the
+    //    kept set shifts toward odd sources
+    val weights = (0 until 20).map(i => (s"src$i", if (i % 2 == 0) 1L else 3L))
+    val mixed = Sampling.mixToTarget(gated, "source", "doc_id", weights)
+    val bySrcParity = mixed
+      .withColumn("odd", (regexp_extract(col("source"), "\\d+", 0).cast("long") % 2).cast("int"))
+      .groupBy("odd").count().as[(Int, Long)].collect().toMap
+    assert(bySrcParity(1) > bySrcParity(0), s"odd sources must dominate 3:1: $bySrcParity")
+
+    // 4. the survivors still split/pack cleanly (column contracts hold)
+    val packed = Packing.packSequences(
+      mixed.withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text"))),
+      maxTokens = 256L,
+      nShards = 2,
+    )
+    assert(packed.count() == mixed.count())
+  }
 }

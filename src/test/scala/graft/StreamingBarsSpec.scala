@@ -218,6 +218,35 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming sadf equals batch sadf scan bit-exactly") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-ssadf").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingSadf
+      .sadf(stream, minWindow = 6, maxWindow = 15)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_sadf")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_sadf")
+    val batch = graft.operators.Sadf.sadfScan(trades, minWindow = 6, maxWindow = 15)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batch.as("b"), Seq("symbol", "ts"))
+    assert(joined.count() == batch.count())
+    assert(
+      joined.where(
+        col("s.best_window") =!= col("b.best_window") ||
+          col("s.beta") =!= col("b.beta") || col("s.sadf") =!= col("b.sadf")
+      ).count() == 0
+    )
+  }
+
   test("streaming cusum events equal batch cusum events exactly") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-scusum").toString
