@@ -259,6 +259,20 @@ object SparkEntry {
           .labelsChunked(TradeData.fromEvents(s, dir), minHorizon = 5, maxHorizon = 20)
       ).orderBy(col("symbol"), col("ts"))
     },
+    "return_attribution" -> { (s, dir) =>
+      val t = TradeData.fromEvents(s, dir)
+      val ev = t
+        .where(col("trade_id") % 50 === 0)
+        .select(
+          col("symbol"),
+          col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"),
+          col("trade_id").as("event_id"),
+        )
+      Labels
+        .returnAttribution(t, ev)
+        .orderBy(col("symbol"), col("event_id"))
+    },
     "fixed_time_return" -> { (s, dir) =>
       usTs("ts")(
         Labels.fixedTimeReturn(TradeData.fromEvents(s, dir), window = 5)
@@ -1532,6 +1546,35 @@ object SparkEntry {
     // uniqueness weights: 1/concurrency folded in (ts, trade_id)
     // order on BOTH sides (ordered list aggregate, never a parallel
     // double SUM) — engine-exact like the vwap/ADC sums
+    "return_attribution" ->
+      // uniqueness machinery + per-tick log returns; Σ ret/c folds in
+      // (ts, trade_id) order on both engines
+      s"""WITH $T,
+         |rt AS (
+         |  SELECT symbol, ts, trade_id,
+         |         ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY ts, trade_id)) AS ret
+         |  FROM trades),
+         |ticks AS (SELECT * FROM rt WHERE ret IS NOT NULL),
+         |ev AS (
+         |  SELECT symbol, ts AS t0, ts + INTERVAL 1 HOUR AS t1, trade_id AS event_id
+         |  FROM trades WHERE trade_id % 50 = 0),
+         |pairs AS (
+         |  SELECT e.symbol, e.event_id, t.ts, t.trade_id, t.ret
+         |  FROM ev e JOIN ticks t
+         |    ON t.symbol = e.symbol AND t.ts >= e.t0 AND t.ts <= e.t1),
+         |conc AS (
+         |  SELECT symbol, ts, trade_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM pairs GROUP BY symbol, ts, trade_id),
+         |w AS (
+         |  SELECT p.symbol, p.event_id,
+         |         list_reduce(list(p.ret / c.c ORDER BY p.ts, p.trade_id), (x, y) -> x + y) AS s,
+         |         CAST(count(*) AS BIGINT) AS n_ticks
+         |  FROM pairs p
+         |  JOIN conc c ON c.symbol = p.symbol AND c.ts = p.ts AND c.trade_id = p.trade_id
+         |  GROUP BY p.symbol, p.event_id)
+         |SELECT symbol, event_id, abs(s) AS attribution, n_ticks
+         |FROM w
+         |ORDER BY symbol, event_id""".stripMargin,
     "uniqueness_weights" ->
       s"""WITH $T,
          |ev AS (

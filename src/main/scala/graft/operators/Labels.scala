@@ -352,6 +352,80 @@ object Labels {
     *
     * @param events (symbol, t0, t1, event_id)
     */
+  /** Return-attribution sample weights (AFML ch.4.10 snippet 4.10):
+    * per event, |Σ_t ret_t / c_t| over the ticks of its lifespan,
+    * where ret_t = ln(p_t / p_{t-1}) (per symbol, tick-over-tick) and
+    * c_t = the number of concurrent events at tick t — events whose
+    * information content is diluted by overlap weigh less, scaled by
+    * the magnitude of the return they can claim.
+    *
+    * Same bucketed interval-join machinery as [[uniquenessWeights]];
+    * the per-event Σ ret/c folds in (ts, trade_id) order (a parallel
+    * double SUM would drift with partitioning; the ordered fold is
+    * bit-stable and the oracle replays it with an ordered
+    * list_reduce). Normalization to mean 1 (the reference's final
+    * `* N / Σw` step) is the caller's: it is a two-value global
+    * reduction whose float order the caller controls.
+    */
+  def returnAttribution(
+      trades: DataFrame,
+      events: DataFrame,
+      bucket: String = "10 minutes",
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val bucketUs = java.util.concurrent.TimeUnit.MINUTES.toMicros(
+      bucket match {
+        case s if s.endsWith("minutes") => s.stripSuffix("minutes").trim.toLong
+        case other => throw new IllegalArgumentException(s"bucket: $other")
+      }
+    )
+    val w = Window.partitionBy(col(c.symbol)).orderBy(col(c.ts), col(c.tradeId))
+    val ticks = trades
+      .select(
+        col(c.symbol).as("symbol"),
+        col(c.ts).as("ts"),
+        col(c.tradeId).as("trade_id"),
+        log(col(c.price) / lag(col(c.price), 1).over(w)).as("ret"),
+      )
+      .where(col("ret").isNotNull)
+    val pairs = RangeJoin
+      .intervalJoin(
+        events.select(col("symbol"), col("t0"), col("t1"), col("event_id")),
+        ticks,
+        by = Seq("symbol"),
+        startCol = "t0",
+        endCol = "t1",
+        pointCol = "ts",
+        bucketMicros = bucketUs,
+        inclusiveStart = true,
+      )
+      .select(col("symbol"), col("event_id"), col("ts"), col("trade_id"), col("ret"))
+    val conc = pairs
+      .groupBy(col("symbol"), col("ts"), col("trade_id"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(conc, Seq("symbol", "ts", "trade_id"))
+      .groupBy(col("symbol"), col("event_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"),
+            col("trade_id").as("tid"),
+            (col("ret") / col("c")).as("rc"),
+          ))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("rc"),
+        ).as("__s"),
+        count(lit(1)).as("n_ticks"),
+      )
+      .select(
+        col("symbol"),
+        col("event_id"),
+        abs(col("__s")).as("attribution"),
+        col("n_ticks"),
+      )
+  }
+
   def uniquenessWeights(
       trades: DataFrame,
       events: DataFrame,

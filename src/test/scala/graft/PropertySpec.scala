@@ -273,6 +273,29 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("return attribution matches a straight-line reference") {
+    // 1 symbol, 10 ticks a minute apart; two events with overlapping
+    // 5-minute lifespans
+    val ticks = (0 until 10).map { i =>
+      (s"s", new java.sql.Timestamp(1700000000000L + i * 60000L), 100.0 + i, 1L, i.toLong)
+    }
+    val df = ticks.toDF("symbol", "ts", "price", "size", "trade_id")
+    val ev = Seq(
+      ("s", new java.sql.Timestamp(1700000000000L), new java.sql.Timestamp(1700000000000L + 5 * 60000L), 1L),
+      ("s", new java.sql.Timestamp(1700000000000L + 3 * 60000L), new java.sql.Timestamp(1700000000000L + 8 * 60000L), 2L),
+    ).toDF("symbol", "t0", "t1", "event_id")
+    val got = operators.Labels.returnAttribution(df, ev, bucket = "10 minutes")
+      .orderBy("event_id").as[(String, Long, Double, Long)].collect()
+    // reference: ret_i = ln(p_i/p_{i-1}) for i=1..9; c_t = 2 on the
+    // overlap ticks 3..5, else 1
+    val ret = (1 until 10).map(i => math.log((100.0 + i) / (100.0 + i - 1)))
+    def attr(idx: Seq[Int]): Double =
+      math.abs(idx.foldLeft(0.0)((a, i) => a + ret(i - 1) / (if (i >= 3 && i <= 5) 2.0 else 1.0)))
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+    assert(got(0)._3 == attr(1 to 5) && got(0)._4 == 5L)
+    assert(got(1)._3 == attr(3 to 8) && got(1)._4 == 6L)
+  }
+
   test("sadf scan is bit-identical to the declarative window form") {
     val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.01")
     val a = operators.Sadf.sadf(t, 10, 40)
