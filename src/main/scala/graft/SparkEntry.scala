@@ -290,6 +290,13 @@ object SparkEntry {
           .select(col("symbol"), col("ts"), col("price"), col("label"))
       ).orderBy(col("symbol"), col("ts"))
     },
+    "ffd_min_d" -> { (s, dir) =>
+      // AFML ch.5.5: ADF t-stat of the FFD series per d in the grid;
+      // the min stationary d per symbol is a filter over this output
+      operators.FfdSearch
+        .adfGrid(TradeData.fromEvents(s, dir))
+        .orderBy(col("symbol"), col("d"))
+    },
     "frac_diff" -> { (s, dir) =>
       // chunked scan: bit-identical to the window form (pinned in
       // ScalaTest), parallelism symbol x day instead of one sorted
@@ -927,6 +934,85 @@ object SparkEntry {
        |  QUALIFY row_number() OVER (PARTITION BY symbol, rn ORDER BY h.a DESC, h.l ASC) = 1)
        |SELECT symbol, epoch_us(ts) AS ts, price, best_l, label, beta, tval
        |FROM best ORDER BY symbol, ts""".stripMargin
+  }
+
+  /** FFD min-d oracle (FfdSearch.adfGrid): all d values ride ONE
+    * sorted list and ONE list_reduce with a wide scalar-struct state
+    * (per d: prev + five moment sums + a pair counter). The earlier
+    * formulation — six parallel branches, each with its own list()
+    * + fold — returned NONDETERMINISTIC moments in DuckDB 1.0 (the
+    * multi-branch query shape corrupted the folds even with sorted
+    * inputs and threads=1); the single-fold shape is verified stable
+    * across runs and bit-equal to a straight-line replay. The t-stat
+    * trees then match the Spark expressions op-for-op. Null FFD
+    * head rows are skipped by the prev/value null guards (nulls are
+    * a prefix, so this equals drop-nulls-then-pair).
+    */
+  private def ffdMinDOracleSql(ds: Seq[Double], threshold: Double): String = {
+    val is = ds.indices
+    val vcols = ds.zipWithIndex
+      .map { case (d, i) =>
+        s"${FracDiff.oracleSqlExpr("price", d, threshold, "symbol", "ts, trade_id")} AS v$i"
+      }
+      .mkString(",\n         ")
+    def packFields(fields: Seq[String]) = fields.mkString("struct_pack(", ", ", ")")
+    val initF = Seq("n := CAST(0 AS BIGINT)") ++
+      is.flatMap(i => Seq("prev", "sx", "sxx", "sd", "sdd", "sxd").map(f => s"$f$i := CAST(0.0 AS DOUBLE)")) ++
+      is.map(i => s"v$i := CAST(NULL AS DOUBLE)") ++
+      is.map(i => s"np$i := CAST(0 AS BIGINT)")
+    val elemF = Seq("n := CAST(NULL AS BIGINT)") ++
+      is.flatMap(i => Seq("prev", "sx", "sxx", "sd", "sdd", "sxd").map(f => s"$f$i := CAST(0.0 AS DOUBLE)")) ++
+      is.map(i => s"v$i := z.v$i") ++
+      is.map(i => s"np$i := CAST(0 AS BIGINT)")
+    def g(i: Int, acc: String) =
+      s"CASE WHEN acc.n = 0 OR x.v$i IS NULL OR acc.prev$i IS NULL THEN $acc ELSE $acc + "
+    val lamF = Seq("n := acc.n + 1") ++
+      is.flatMap { i =>
+        Seq(
+          s"prev$i := x.v$i",
+          s"sx$i := ${g(i, s"acc.sx$i")}acc.prev$i END",
+          s"sxx$i := ${g(i, s"acc.sxx$i")}acc.prev$i * acc.prev$i END",
+          s"sd$i := ${g(i, s"acc.sd$i")}(x.v$i - acc.prev$i) END",
+          s"sdd$i := ${g(i, s"acc.sdd$i")}(x.v$i - acc.prev$i) * (x.v$i - acc.prev$i) END",
+          s"sxd$i := ${g(i, s"acc.sxd$i")}acc.prev$i * (x.v$i - acc.prev$i) END",
+        )
+      } ++
+      is.map(i => s"v$i := CAST(NULL AS DOUBLE)") ++
+      is.map(i => s"np$i := CASE WHEN acc.n = 0 OR x.v$i IS NULL OR acc.prev$i IS NULL THEN acc.np$i ELSE acc.np$i + 1 END")
+    val sortKeys = is.map(i => s"v$i := v$i").mkString(", ")
+    val unions = ds.zipWithIndex
+      .map { case (d, i) =>
+        val nd = s"CAST(m.np$i AS DOUBLE)"
+        val den = s"($nd * m.sxx$i - m.sx$i * m.sx$i)"
+        val num = s"($nd * m.sxd$i - m.sx$i * m.sd$i)"
+        val b = s"($num / $den)"
+        val sxxc = s"($den / $nd)"
+        val ssr = s"((m.sdd$i - m.sd$i * m.sd$i / $nd) - $b * $b * $sxxc)"
+        val t = s"""CASE WHEN m.np$i < 2 OR $den = 0.0 THEN 0.0
+           |            WHEN $ssr <= 0.0 THEN CAST(sign($num) AS DOUBLE) * 1e308
+           |            ELSE $b * sqrt($sxxc) / sqrt($ssr / ($nd - 2.0)) END""".stripMargin
+        s"""SELECT symbol, CAST($d AS DOUBLE) AS d, m.np$i AS n_obs,
+           |       $t AS adf_t,
+           |       CAST(($t) < ${operators.FfdSearch.CriticalValue5pct} AS INTEGER) AS stationary
+           |FROM m""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $T,
+       |f AS (
+       |  SELECT symbol, ts, trade_id,
+       |         $vcols
+       |  FROM trades),
+       |m AS MATERIALIZED (
+       |  SELECT symbol,
+       |         list_reduce(
+       |           list_prepend(${packFields(initF)},
+       |             list_transform(
+       |               list_sort(list(struct_pack(us := epoch_us(ts), tid := trade_id, $sortKeys))),
+       |               z -> ${packFields(elemF)})),
+       |           (acc, x) -> ${packFields(lamF)}) AS m
+       |  FROM f GROUP BY symbol)
+       |$unions
+       |ORDER BY symbol, d""".stripMargin
   }
 
   /** Bounded-SADF oracle (Sadf.sadf): backward-window ADF t-stats
@@ -1567,7 +1653,7 @@ object SparkEntry {
          |  FROM pairs GROUP BY symbol, ts, trade_id),
          |w AS (
          |  SELECT p.symbol, p.event_id,
-         |         list_reduce(list(p.ret / c.c ORDER BY p.ts, p.trade_id), (x, y) -> x + y) AS s,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(p.ts), tid := p.trade_id, x := p.ret / c.c))), q -> q.x), (x, y) -> x + y) AS s,
          |         CAST(count(*) AS BIGINT) AS n_ticks
          |  FROM pairs p
          |  JOIN conc c ON c.symbol = p.symbol AND c.ts = p.ts AND c.trade_id = p.trade_id
@@ -1589,7 +1675,7 @@ object SparkEntry {
          |  FROM pairs GROUP BY symbol, ts, trade_id),
          |w AS (
          |  SELECT p.symbol, p.event_id,
-         |         list_reduce(list(1.0 / c.c ORDER BY p.ts, p.trade_id), (x, y) -> x + y) AS sinv,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(p.ts), tid := p.trade_id, x := 1.0 / c.c))), q -> q.x), (x, y) -> x + y) AS sinv,
          |         CAST(count(*) AS BIGINT) AS n_ticks
          |  FROM pairs p
          |  JOIN conc c ON c.symbol = p.symbol AND c.ts = p.ts AND c.trade_id = p.trade_id
@@ -1657,6 +1743,7 @@ object SparkEntry {
          |            END AS INTEGER) AS label
          |FROM r
          |ORDER BY symbol, ts""".stripMargin,
+    "ffd_min_d" -> ffdMinDOracleSql(Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0), 1e-3),
     "frac_diff" -> {
       val fd = FracDiff.oracleSqlExpr("price", 0.5, 1e-3, "symbol", "ts, trade_id")
       s"""WITH $T
@@ -1882,8 +1969,8 @@ object SparkEntry {
            |e$kk AS (
            |  SELECT symbol, date,
            |         list_reduce(
-           |           list(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / $ln2
-           |                ORDER BY gr),
+           |           list_transform(list_sort(list(struct_pack(gr := gr,
+           |             x := -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / $ln2))), q -> q.x),
            |           (x, y) -> x + y) / ${kk.toDouble} AS h$kk
            |  FROM c$kk GROUP BY symbol, date)""".stripMargin
       s"""WITH $T,
@@ -1903,7 +1990,7 @@ object SparkEntry {
          |  FROM d1),
          |msg AS (
          |  SELECT symbol, date, CAST(count(*) AS BIGINT) AS n_ticks,
-         |         list(CASE WHEN sgn > 0 THEN 'u' ELSE 'd' END ORDER BY rn) AS m
+         |         list_transform(list_sort(list(struct_pack(rn := rn, x := CASE WHEN sgn > 0 THEN 'u' ELSE 'd' END))), q -> q.x) AS m
          |  FROM d2 GROUP BY symbol, date),
          |gk AS (
          |  SELECT symbol, date, n_ticks,
@@ -2301,7 +2388,7 @@ object SparkEntry {
          |  WHERE sv.id < 10),
          |scored AS (
          |  SELECT t.query_id, c.id AS neighbor_id,
-         |         list_reduce(list(t.partial ORDER BY t.sub), (x, y) -> x + y) AS score
+         |         list_reduce(list_transform(list_sort(list(struct_pack(sub := t.sub, x := t.partial))), q -> q.x), (x, y) -> x + y) AS score
          |  FROM codes c
          |  JOIN tbl t ON t.sub = c.sub AND t.code = c.code
          |  WHERE c.id != t.query_id
@@ -2516,7 +2603,7 @@ object SparkEntry {
          |  JOIN uni ON b.w = uni.w, v),
          |f AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |         list_reduce(list(term ORDER BY pos), (x, y) -> x + y) AS s
+         |         list_reduce(list_transform(list_sort(list(struct_pack(pos := pos, x := term))), q -> q.x), (x, y) -> x + y) AS s
          |  FROM terms GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(f.n_bigrams, 0) AS n_bigrams,
          |       -(f.s) / CAST(f.n_bigrams AS DOUBLE) AS nll,

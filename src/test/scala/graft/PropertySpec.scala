@@ -273,6 +273,22 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("ffd min-d grid: sane shape and stationarity at d=1") {
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val out = operators.FfdSearch.adfGrid(t)
+      .orderBy("symbol", "d")
+      .as[(String, Double, Long, Double, Int)]
+      .collect()
+    assert(out.length == 5 * 6) // 5 symbols x 6 d values
+    // first differences of a bounded random walk are stationary
+    assert(out.filter(_._2 == 1.0).forall(_._5 == 1))
+    // longer weight windows eat more head rows: n_obs(d=0) >= n_obs(d=0.2)
+    for (g <- out.groupBy(_._1).values) {
+      val byD = g.sortBy(_._2)
+      assert(byD.head._3 >= byD(1)._3)
+    }
+  }
+
   test("return attribution matches a straight-line reference") {
     // 1 symbol, 10 ticks a minute apart; two events with overlapping
     // 5-minute lifespans
