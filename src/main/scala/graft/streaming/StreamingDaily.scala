@@ -1,0 +1,213 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the per-(symbol, day) microstructure daily
+  * estimators, driven by DAY ROLLOVER instead of a watermark: a day's
+  * statistic is final the moment the first tick of a LATER day
+  * arrives for that symbol, so append-mode emission is exactly-once
+  * and state is O(1) per symbol (the open day's accumulators plus
+  * one completed-day carry). The last open day stays in state — the
+  * batch operators emit it, so streaming == batch on all days except
+  * each symbol's last (pinned in ScalaTest).
+  *
+  *  - [[corwinSchultz]]: state = open-day (high, low) cents + the
+  *    previous day's pair; emits the Corwin-Schultz spread row with
+  *    the identical double tree as the batch operator.
+  *  - [[signEntropy]]: the u/d alphabet means at most 2+4+8 distinct
+  *    k-grams for k = 1..3 — state is 14 integer counters plus the
+  *    last (k-1) signs; entropy folds the counters in ascending gram
+  *    order, the batch sorted-fold's order.
+  */
+object StreamingDaily {
+
+  final case class Tick(symbol: String, ts: Timestamp, price: Double, trade_id: Long)
+
+  // ---- Corwin-Schultz ----
+
+  final case class CsState(
+      day: String, // open day (ISO date)
+      hc: Long,
+      lc: Long,
+      havePrev: Boolean,
+      prevH: Long,
+      prevL: Long,
+  )
+
+  final case class CsRow(
+      symbol: String,
+      date: String,
+      beta: Double,
+      gamma: Double,
+      alpha: Double,
+      spread: Double,
+      spread_pos: Double,
+  )
+
+  def corwinSchultz(trades: DataFrame): Dataset[CsRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    ticks(trades)
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processCs)
+  }
+
+  private def dayOf(ts: Timestamp): String =
+    // UTC explicitly: the batch operators' to_date runs under the
+    // UTC session timezone; the executor JVM default must not leak in
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  // StrictMath.log/exp, NOT math.log/exp: Catalyst's Log/Exp
+  // expressions evaluate via StrictMath, and Math's intrinsics can
+  // differ in the last ulp — measured as 28 bit-unequal days before
+  // the switch. sqrt is IEEE-exact either way.
+  private def csRow(symbol: String, date: String, hc: Long, lc: Long, hp: Long, lp: Long): CsRow = {
+    val k = 3.0 - 2.0 * math.sqrt(2.0)
+    val r0 = StrictMath.log(hc.toDouble / lc.toDouble)
+    val r1 = StrictMath.log(hp.toDouble / lp.toDouble)
+    val beta = r0 * r0 + r1 * r1
+    val rg = StrictMath.log(math.max(hc, hp).toDouble / math.min(lc, lp).toDouble)
+    val gamma = rg * rg
+    val alpha = (math.sqrt(2.0 * beta) - math.sqrt(beta)) / k - math.sqrt(gamma / k)
+    val spread = 2.0 * (StrictMath.exp(alpha) - 1.0) / (1.0 + StrictMath.exp(alpha))
+    CsRow(symbol, date, beta, gamma, alpha, spread, math.max(spread, 0.0))
+  }
+
+  private def processCs(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[CsState],
+  ): Iterator[CsRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[CsRow]
+    sorted.foreach { t =>
+      val d = dayOf(t.ts)
+      val cents = math.round(t.price * 100)
+      if (st == null) st = CsState(d, cents, cents, havePrev = false, 0L, 0L)
+      else if (st.day == d)
+        st = st.copy(hc = math.max(st.hc, cents), lc = math.min(st.lc, cents))
+      else {
+        // day rollover: the finished day is final; emit if it had a predecessor
+        if (st.havePrev) out += csRow(symbol, st.day, st.hc, st.lc, st.prevH, st.prevL)
+        st = CsState(d, cents, cents, havePrev = true, st.hc, st.lc)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  // ---- sign entropy ----
+
+  final case class SeState(
+      day: String,
+      nTicks: Long,
+      hasPrevPrice: Boolean,
+      prevCents: Long,
+      lastSign: Int, // carried tick-rule sign (seed +1 per day)
+      s1: String, // last sign char, "" if none yet
+      s2: String, // last two sign chars
+      counts: Map[String, Long],
+  )
+
+  final case class SeRow(
+      symbol: String,
+      date: String,
+      n_ticks: Long,
+      h1: Double,
+      h2: Double,
+      h3: Double,
+  )
+
+  def signEntropy(trades: DataFrame): Dataset[SeRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    ticks(trades)
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processSe)
+  }
+
+  private[streaming] def entropyOf(counts: Map[String, Long], k: Int, msgLen: Long): Double = {
+    val n = msgLen - (k - 1)
+    if (msgLen < k) 0.0
+    else {
+      val grams = counts.keys.filter(_.length == k).toSeq.sorted
+      var acc = 0.0
+      grams.foreach { g =>
+        val p = counts(g).toDouble / n.toDouble
+        acc += -p * StrictMath.log(p) / math.log(2.0)
+      }
+      acc / k.toDouble
+    }
+  }
+
+  private def freshDay(day: String): SeState =
+    SeState(day, 0L, hasPrevPrice = false, 0L, 1, "", "", Map.empty)
+
+  private def emit(symbol: String, st: SeState): SeRow =
+    SeRow(
+      symbol, st.day, st.nTicks,
+      entropyOf(st.counts, 1, st.nTicks),
+      entropyOf(st.counts, 2, st.nTicks),
+      entropyOf(st.counts, 3, st.nTicks),
+    )
+
+  private def processSe(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[SeState],
+  ): Iterator[SeRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[SeRow]
+    sorted.foreach { t =>
+      val d = dayOf(t.ts)
+      if (st == null) st = freshDay(d)
+      else if (st.day != d) { out += emit(symbol, st); st = freshDay(d) }
+      val cents = math.round(t.price * 100)
+      val sign =
+        if (!st.hasPrevPrice || cents == st.prevCents) st.lastSign
+        else if (cents > st.prevCents) 1
+        else -1
+      val ch = if (sign > 0) "u" else "d"
+      var counts = st.counts
+      counts = counts.updated(ch, counts.getOrElse(ch, 0L) + 1L)
+      if (st.s1.nonEmpty) {
+        val g2 = st.s1 + ch
+        counts = counts.updated(g2, counts.getOrElse(g2, 0L) + 1L)
+      }
+      if (st.s2.length == 2) {
+        val g3 = st.s2 + ch
+        counts = counts.updated(g3, counts.getOrElse(g3, 0L) + 1L)
+      }
+      st = st.copy(
+        nTicks = st.nTicks + 1,
+        hasPrevPrice = true,
+        prevCents = cents,
+        lastSign = sign,
+        s1 = ch,
+        s2 = (st.s1 + ch).takeRight(2),
+        counts = counts,
+      )
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  private def ticks(trades: DataFrame): Dataset[Tick] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("trade_id").cast("long"),
+      )
+      .as[Tick]
+  }
+}

@@ -247,6 +247,75 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming corwin-schultz equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-scs").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .corwinSchultz(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_cs")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_cs")
+    // the last open day per symbol stays in streaming state
+    val batch = graft.operators.Microstructure
+      .corwinSchultz(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    // identical double trees over identical integer ranges: bit-equal
+    assert(
+      joined.where(
+        col("s.beta") =!= col("b.beta") || col("s.gamma") =!= col("b.gamma") ||
+          col("s.alpha") =!= col("b.alpha") || col("s.spread") =!= col("b.spread") ||
+          col("s.spread_pos") =!= col("b.spread_pos")
+      ).count() == 0
+    )
+  }
+
+  test("streaming sign entropy equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sse").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .signEntropy(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_se")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_se")
+    val batch = graft.operators.Microstructure
+      .signEntropy(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    assert(
+      joined.where(
+        col("s.n_ticks") =!= col("b.n_ticks") ||
+          col("s.h1") =!= col("b.h1") || col("s.h2") =!= col("b.h2") || col("s.h3") =!= col("b.h3")
+      ).count() == 0
+    )
+  }
+
   test("streaming cusum events equal batch cusum events exactly") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-scusum").toString
