@@ -14,14 +14,32 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the model (unigram + bigram count tables and the
   * vocab size) comes from two aggregations of the exploded token
-  * stream and BROADCASTS back onto the per-doc bigrams — valid for
-  * bounded vocabularies (sub-word/BPE vocabs are ≤ ~100k rows); for
-  * unbounded word vocabs swap the broadcast joins for shuffle joins,
-  * the rest is unchanged. The per-doc sum folds the doc's OWN
-  * ln-terms in position order (sorted-array aggregate, like
-  * uniqueness weights) — a parallel float SUM would drift with
-  * partitioning; the ordered fold is bit-stable and the oracle
-  * replays it with an ordered list_reduce.
+  * stream and is joined back onto the per-doc bigram stream. The
+  * default tokens are WHITESPACE WORDS — an unbounded vocabulary, so
+  * the bigram table grows with observed distinct bigrams and on a
+  * 100 TB corpus would blow any broadcast limit. The default join
+  * strategy therefore carries NO broadcast hint: Spark's size-gated
+  * planner (and AQE at runtime) broadcasts the count tables while
+  * they fit under spark.sql.autoBroadcastJoinThreshold and degrades
+  * to a shuffle join on the token keys once they outgrow it — the
+  * safe path at any corpus size. `broadcastModel = true` restores
+  * the forced-broadcast plan as an opt-in for genuinely bounded
+  * vocabularies (sub-word/BPE vocabs are ≤ ~100k rows). The 1-row
+  * vocab-size table is always broadcast (its size is corpus-
+  * independent).
+  *
+  * `minBigramCount` is the standard frequency-floor variant: bigrams
+  * observed fewer than the floor times are pruned from the MODEL
+  * (their smoothed probability falls back to the unseen case
+  * 1/(c(w)+V)), which bounds the bigram table by the corpus's
+  * non-hapax bigram count — the classic trick for add-one models.
+  * The default 0 keeps the exact model (identical output to previous
+  * rounds; the oracle replays the floor=0 form).
+  *
+  * The per-doc sum folds the doc's OWN ln-terms in position order
+  * (sorted-array aggregate, like uniqueness weights) — a parallel
+  * float SUM would drift with partitioning; the ordered fold is
+  * bit-stable and the oracle replays it with an ordered list_reduce.
   */
 object LmScore {
 
@@ -29,6 +47,8 @@ object LmScore {
       corpus: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      broadcastModel: Boolean = false,
+      minBigramCount: Long = 0L,
   ): DataFrame = {
     val ex = corpus.select(
       col(idCol),
@@ -40,16 +60,24 @@ object LmScore {
       .where(col("__w2").isNotNull)
     val uni = ex.groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
     val vocab = uni.agg(count(lit(1)).cast("long").as("__v"))
-    val biCounts = bi.groupBy(col("__w").as("__bw"), col("__w2").as("__bw2"))
+    val biCountsAll = bi.groupBy(col("__w").as("__bw"), col("__w2").as("__bw2"))
       .agg(count(lit(1)).as("__c2"))
+    val biCounts =
+      if (minBigramCount > 0L) biCountsAll.where(col("__c2") >= lit(minBigramCount))
+      else biCountsAll
+    val hint: DataFrame => DataFrame = if (broadcastModel) broadcast(_) else identity
+    // Left join: with the default floor=0 every observed bigram is in
+    // the model (identical to an inner join); with a floor, pruned
+    // bigrams fall through to the unseen count 0.
     val terms = bi
-      .join(broadcast(biCounts), col("__w") === col("__bw") && col("__w2") === col("__bw2"))
-      .join(broadcast(uni.withColumnRenamed("__w", "__uw")), col("__w") === col("__uw"))
+      .join(hint(biCounts), col("__w") === col("__bw") && col("__w2") === col("__bw2"), "left")
+      .join(hint(uni.withColumnRenamed("__w", "__uw")), col("__w") === col("__uw"))
       .crossJoin(broadcast(vocab))
       .select(
         col(idCol),
         col("__pos"),
-        log((col("__c2") + lit(1L)).cast("double") / (col("__c1") + col("__v")).cast("double"))
+        log((coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__c1") + col("__v")).cast("double"))
           .as("__term"),
       )
     val folded = terms

@@ -321,11 +321,28 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stats joins must broadcast:\n$p")
   }
 
-  test("lm perplexity broadcasts the model tables onto the bigram stream") {
+  test("lm perplexity model joins are size-gated: shuffle past the broadcast threshold") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val p = graft.operators.LmScore.perplexity(d)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), "count tables must broadcast")
-    assert(!p.contains("SortMergeJoin"), s"model joins must broadcast:\n$p")
+    // Simulate a corpus-derived model too large to broadcast: with the
+    // threshold off, the DEFAULT plan must degrade to shuffle joins on
+    // the token keys (no forced-broadcast OOM path). Only the 1-row
+    // vocab table keeps an explicit broadcast hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = graft.operators.LmScore.perplexity(d)
+        .queryExecution.executedPlan.toString
+      assert(
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"oversized model tables must shuffle-join:\n$p",
+      )
+      // the only broadcast left is the corpus-independent 1-row vocab
+      assert("BroadcastExchange".r.findAllIn(p).length <= 1, p)
+      // opt-in for bounded vocabs: forced broadcast regardless of threshold
+      val pb = graft.operators.LmScore.perplexity(d, broadcastModel = true)
+        .queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin"), s"opt-in must broadcast:\n$pb")
+      assert(!pb.contains("SortMergeJoin"), pb)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

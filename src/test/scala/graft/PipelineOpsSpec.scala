@@ -489,6 +489,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == nll1)
     // single-token doc: no bigrams, null nll
     assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+    // broadcastModel opt-in changes only the plan, never the values
+    val outB = operators.LmScore.perplexity(d, broadcastModel = true)
+      .orderBy("doc_id").collect()
+    assert(outB.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
+  test("perplexity frequency floor prunes hapax bigrams from the model") {
+    val d = docs("a b a b", "a b c", "z")
+    // corpus bigram counts: ab=3, ba=1, bc=1; floor 2 prunes ba and bc,
+    // so those positions score as unseen: ln((0+1)/(c1+V)).
+    val out = operators.LmScore.perplexity(d, minBigramCount = 2L)
+      .orderBy("doc_id").collect()
+    def t(c2: Long, c1: Long) = math.log((c2 + 1).toDouble / (c1 + 4).toDouble)
+    val nll0 = -(((0.0 + t(3, 3)) + t(0, 3)) + t(3, 3)) / 3.0
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == nll0)
+    val nll1 = -((0.0 + t(3, 3)) + t(0, 3)) / 2.0
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == nll1)
   }
 
   test("mixToTarget: exact integer thresholds, deterministic membership") {
