@@ -341,8 +341,14 @@ class ExplainSpec extends SparkSpec {
       // opt-in for bounded vocabs: forced broadcast regardless of threshold
       val pb = graft.operators.LmScore.perplexity(d, broadcastModel = true)
         .queryExecution.executedPlan.toString
-      assert(pb.contains("BroadcastHashJoin"), s"opt-in must broadcast:\n$pb")
-      assert(!pb.contains("SortMergeJoin"), pb)
+      // Both model tables (bigram weights __bw, unigram weights __uw)
+      // must broadcast-join; the per-doc doc_id rollup join is NOT a
+      // model join and may legitimately SortMergeJoin with the
+      // threshold disabled, so the assertion is scoped by count.
+      assert(
+        "BroadcastHashJoin".r.findAllIn(pb).length >= 2,
+        s"opt-in must broadcast both model tables:\n$pb",
+      )
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
