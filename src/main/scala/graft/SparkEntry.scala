@@ -793,14 +793,21 @@ object SparkEntry {
        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  private val simhashVotesSql: String = {
-    val votes = (0 until 60).map { j =>
+  /** Votes expression for 60-bit word `word` of the wide simhash
+    * (global bit j = 60*word + jj votes on md5 hex digit j/4); word 0
+    * is the classic 60-bit simhash.
+    */
+  private def simhashVotesWordSql(word: Int): String = {
+    val votes = (0 until 60).map { jj =>
+      val j = 60 * word + jj
       val pos = j / 4 + 1
       val mask = 1L << (j % 4)
-      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((('0x' || substring(h, $pos, 1))::BIGINT // $mask) % 2) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((('0x' || substring(h, $pos, 1))::BIGINT // $mask) % 2) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << jj} ELSE 0 END)"
     }
     votes.mkString(" + ")
   }
+
+  private val simhashVotesSql: String = simhashVotesWordSql(0)
 
   // event timestamps are unique (checked at sf0.01/sf0.1), so plain
   // arg_min/arg_max on ts is deterministic — DuckDB 1.0 has no
@@ -2203,24 +2210,35 @@ object SparkEntry {
          |ORDER BY symbol, ts""".stripMargin
     },
     "simhash_pairs" -> {
-      // 7 bands: exact recall at the query's maxHamming=6 (pigeonhole
-      // needs maxHamming+1 bands); layout shared with Dedup.simhashPairs
-      val bands = operators.Dedup.bandLayout(60, 7)
+      // 7 bands over the 120-bit wide fingerprint (two 60-bit words):
+      // exact recall at the query's maxHamming=6 (pigeonhole needs
+      // maxHamming+1 bands); layout + split-band stitch shared with
+      // Dedup.simhashPairs/bandBounds
+      val bands = operators.Dedup.bandLayout(120, 7)
       val bandList = bands
-        .map { case (off, w) => s"(simhash >> $off) & ${(1L << w) - 1}" }
+        .map { case (off, w) =>
+          operators.Dedup.bandBounds(off, w) match {
+            case Left((k, b)) => s"(sh$k >> $b) & ${(1L << w) - 1}"
+            case Right((k, b, lo)) =>
+              s"((sh$k >> $b) & ${(1L << lo) - 1}) | ((sh${k + 1} & ${(1L << (w - lo)) - 1}) << $lo)"
+          }
+        }
         .mkString(", ")
       val bidxList = bands.indices.mkString(", ")
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),
-         |s AS (SELECT doc_id AS id, $simhashVotesSql AS simhash FROM h),
+         |s AS (SELECT doc_id AS id,
+         |             ${simhashVotesWordSql(0)} AS sh0,
+         |             ${simhashVotesWordSql(1)} AS sh1
+         |      FROM h),
          |bands AS (
-         |  SELECT id, simhash,
+         |  SELECT id, sh0, sh1,
          |         unnest([$bandList]) AS band,
          |         unnest([$bidxList]) AS bidx
          |  FROM s),
          |pairs AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |         CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) AS INTEGER) AS hamming
          |  FROM bands a JOIN bands b
          |    ON a.bidx = b.bidx AND a.band = b.band AND a.id < b.id)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6

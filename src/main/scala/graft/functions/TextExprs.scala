@@ -159,6 +159,53 @@ case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression wit
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Wide SimHash fingerprint: same per-bit majority-vote rule as
+  * [[SimHashExpr]] extended past 60 bits, packed 60 bits per long so
+  * every word stays non-negative in signed 64-bit engines (Spark
+  * LongType, DuckDB BIGINT). Word k holds global bits
+  * [60k, 60k+60); global bit j votes on bit (j%4) of md5 hex digit
+  * (j/4), so bits 0..59 of word 0 are bit-identical to
+  * [[SimHashExpr]](bits=60). One md5 per token total (not per word).
+  * bits <= 120 (30 of md5's 32 hex digits).
+  */
+case class SimHashWideExpr(child: Expression, bits: Int) extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 120, s"wide simhash supports 1..120 bits, got $bits")
+
+  private val nWords = (bits + 59) / 60
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < bits) {
+        val hexPos = j / 4 // 0-based hex digit index
+        val b = d(hexPos / 2) & 0xff
+        val nibble = if (hexPos % 2 == 0) b >> 4 else b & 0xf
+        if (((nibble >> (j % 4)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](nWords)
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out(j / 60) |= 1L << (j % 60)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
@@ -170,6 +217,9 @@ object TextExprs {
 
   def simhash(tokens: Column, bits: Int): Column =
     toColumn(SimHashExpr(toExpression(tokens), bits))
+
+  def simhashWide(tokens: Column, bits: Int): Column =
+    toColumn(SimHashWideExpr(toExpression(tokens), bits))
 
   def minhashSig(hashed: Column, nHashes: Int, p: Long, as: Seq[Long], bs: Seq[Long]): Column =
     toColumn(MinHashSigExpr(toExpression(hashed), nHashes, p, as, bs))

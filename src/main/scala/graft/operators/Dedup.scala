@@ -229,6 +229,20 @@ object Dedup {
     bitCols.reduceLeft(_ + _)
   }
 
+  /** Wide SimHash fingerprint as an array of 60-bit words (word k =
+    * global bits [60k, 60k+60), each word non-negative in signed
+    * 64-bit). Word 0 is bit-identical to [[simhash]](bits=60); extra
+    * words extend the same md5-nibble vote rule to later hex digits.
+    * Width scales the LSH band space of [[simhashPairs]]: per-band
+    * bucket count is 2^(bits/nBands), so wider fingerprints keep
+    * candidate density sub-quadratic as the corpus grows.
+    */
+  def simhashWide(text: Column, bits: Int = 120): Column =
+    graft.functions.TextExprs.simhashWide(
+      filter(TextAnalysis.tokens(text), t => t =!= ""),
+      bits,
+    )
+
   /** Band layout for LSH over a `bits`-wide simhash: `nBands`
     * contiguous (offset, width) spans covering all bits, widths as
     * even as possible (remainder bits go to the low bands). Shared
@@ -243,38 +257,76 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
+  /** Band value (off, w) extracted from a fingerprint stored as
+    * 60-bit words `words`. A band of width <= 60 spans at most two
+    * adjacent words; the split case stitches the low bits of word
+    * k+1 above the high bits of word k. Shared bit-for-bit with the
+    * DuckDB oracle's band SQL (SparkEntry).
+    */
+  private[graft] def bandBounds(off: Int, w: Int): Either[(Int, Int), (Int, Int, Int)] = {
+    val k = off / 60
+    val b = off % 60
+    if (b + w <= 60) Left((k, b)) else Right((k, b, 60 - b))
+  }
+
+  private def bandCol(words: Seq[Column], off: Int, w: Int): Column =
+    bandBounds(off, w) match {
+      case Left((k, b)) =>
+        shiftright(words(k), b).bitwiseAND(lit((1L << w) - 1))
+      case Right((k, b, lo)) =>
+        shiftright(words(k), b)
+          .bitwiseAND(lit((1L << lo) - 1))
+          .bitwiseOR(shiftleft(words(k + 1).bitwiseAND(lit((1L << (w - lo)) - 1)), lo))
+    }
+
   /** SimHash near-duplicate pairs with EXACT recall at the requested
-    * radius: `maxHamming + 1` bands over the 60 bits — by pigeonhole,
-    * a pair differing in at most `maxHamming` bits leaves at least
-    * one band untouched, so every qualifying pair collides in some
-    * band (recall pinned against brute force in DedupSpec);
-    * verification is bit_count(xor) (native in both Spark and
-    * DuckDB). maxHamming=3 gives the classic 4x15-bit banding.
+    * radius: `maxHamming + 1` bands over a `bits`-wide fingerprint —
+    * by pigeonhole, a pair differing in at most `maxHamming` bits
+    * leaves at least one band untouched, so every qualifying pair
+    * collides in some band (recall pinned against brute force in
+    * PipelineOpsSpec); verification is per-word bit_count(xor)
+    * (native in both Spark and DuckDB).
+    *
+    * Scale: per-band bucket space is 2^(bits/(maxHamming+1)) — with
+    * the default 120 bits and maxHamming=6 that is 2^17 buckets per
+    * band vs 2^8 for a 60-bit fingerprint, which is what keeps the
+    * candidate-pair count near-linear in corpus size instead of
+    * quadratic in per-bucket density (SURVEY §6c measured 5.6×
+    * growth for 10× data at 60 bits).
     */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
+      bits: Int = 120,
   ): DataFrame = {
-    val bands = bandLayout(60, maxHamming + 1)
-    // checkpointed so the band self-join reads a 16-byte/doc parquet
+    require(
+      (bits + maxHamming) / (maxHamming + 1) <= 60,
+      s"band width must fit a 60-bit word: bits=$bits maxHamming=$maxHamming",
+    )
+    val nWords = (bits + 59) / 60
+    val bands = bandLayout(bits, maxHamming + 1)
+    val wordCols = Seq.tabulate(nWords)(k => col(s"sh$k"))
+    // checkpointed so the band self-join reads a few-bytes/doc parquet
     // table twice instead of recomputing simhashes per side
     val sims = graft.sources.Checkpoint.table(
-      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("simhash")),
+      docs.select(
+        col(idCol).as("id") +:
+          Seq.tabulate(nWords)(k => element_at(simhashWide(col(textCol), bits), k + 1).as(s"sh$k")): _*
+      ),
       "simhash",
     )
     // (bidx, band) pairs: the band index disambiguates equal band
     // values at different bit positions
     val bandStructs = sims.select(
-      col("id"),
-      col("simhash"),
-      posexplode(
-        array(bands.map { case (off, w) =>
-          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
-        }: _*)
-      ).as(Seq("bidx", "band")),
+      col("id") +: wordCols :+
+        posexplode(array(bands.map { case (off, w) => bandCol(wordCols, off, w) }: _*))
+          .as(Seq("bidx", "band")): _*
     )
+    val hamming = Seq
+      .tabulate(nWords)(k => bit_count(col(s"a.sh$k").bitwiseXOR(col(s"b.sh$k"))))
+      .reduceLeft(_ + _)
     bandStructs
       .as("a")
       .join(
@@ -284,7 +336,7 @@ object Dedup {
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("int").as("hamming"),
+        hamming.cast("int").as("hamming"),
       )
       .distinct()
       .where(col("hamming") <= maxHamming)

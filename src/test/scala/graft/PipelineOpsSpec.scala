@@ -63,6 +63,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("simhash") >= 0L)) // stays in 60 bits
   }
 
+  test("simhashWide word 0 equals the 60-bit simhash; words stay in 60 bits") {
+    val d = docs("spark shuffles data across executors", "entirely unrelated words here")
+    val out = d
+      .select(Dedup.simhash($"text").as("narrow"), Dedup.simhashWide($"text").as("wide"))
+      .collect()
+    out.foreach { r =>
+      val wide = r.getSeq[Long](1)
+      assert(wide.length == 2)
+      assert(wide.head == r.getLong(0), "word 0 must be bit-identical to the 60-bit simhash")
+      assert(wide.forall(w => w >= 0L && w < (1L << 60)))
+    }
+  }
+
+  test("split bands reconstruct the full 120-bit fingerprint losslessly") {
+    val rnd = new scala.util.Random(3)
+    val layout = Dedup.bandLayout(120, 7)
+    assert(layout.map(_._2).sum == 120)
+    for (_ <- 0 until 20) {
+      val words = Array.fill(2)(rnd.nextLong() & ((1L << 60) - 1))
+      val rebuilt = Array.fill(2)(0L)
+      for ((off, w) <- layout) {
+        val v = Dedup.bandBounds(off, w) match {
+          case Left((k, b)) => (words(k) >>> b) & ((1L << w) - 1)
+          case Right((k, b, lo)) =>
+            ((words(k) >>> b) & ((1L << lo) - 1)) |
+              ((words(k + 1) & ((1L << (w - lo)) - 1)) << lo)
+        }
+        for (j <- 0 until w) {
+          val g = off + j
+          if (((v >>> j) & 1L) == 1L) rebuilt(g / 60) |= 1L << (g % 60)
+        }
+      }
+      assert(rebuilt.toSeq == words.toSeq, "band values must partition all 120 bits")
+    }
+  }
+
   test("simhashPairs recall is exact at maxHamming=6 (pigeonhole banding)") {
     // near-duplicate corpus: variants of one base token stream with a
     // few tokens swapped, so pair hammings cluster in the adversarial
@@ -77,14 +113,14 @@ class PipelineOpsSpec extends SparkSpec {
     }
     val d = docs(texts: _*)
     val sims = d
-      .select($"doc_id", Dedup.simhash($"text").as("h"))
+      .select($"doc_id", Dedup.simhashWide($"text").as("h"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
     val expected = (for {
       (ia, ha) <- sims
       (ib, hb) <- sims
       if ia < ib
-      ham = java.lang.Long.bitCount(ha ^ hb)
+      ham = ha.zip(hb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
       if ham <= 6
     } yield (ia, ib, ham)).toSet
     val got = Dedup
