@@ -470,6 +470,11 @@ object SparkEntry {
         .exact(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy(col("doc_id"))
     },
+    "dedup_paragraph" -> { (s, dir) =>
+      Dedup
+        .dedupParagraphs(s.read.parquet(s"$dir/documents.parquet"), chunkWords = 10)
+        .orderBy(col("doc_id"))
+    },
     "dedup_minhash" -> { (s, dir) =>
       Dedup
         .minhashLsh(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
@@ -2147,6 +2152,27 @@ object SparkEntry {
          |       CAST(doc_id != min(doc_id) OVER (PARTITION BY fingerprint) AS INTEGER) AS is_dup
          |FROM f
          |ORDER BY doc_id""".stripMargin,
+    "dedup_paragraph" ->
+      // 10-word-chunk paragraphs (single-line corpus); keep-first =
+      // row_number over md5(para) ordered by (doc_id, idx), replaying
+      // Dedup.dedupParagraphs exactly
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id,
+        |              list_transform(range(CAST(ceil(len(toks) / 10.0) AS INTEGER)),
+        |                             i -> array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS paras
+        |       FROM t),
+        |ex AS (SELECT doc_id, unnest(paras) AS para,
+        |              unnest(range(len(paras))) AS idx
+        |       FROM ch),
+        |fp AS (SELECT doc_id, idx, para,
+        |              row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+        |       FROM ex)
+        |SELECT doc_id,
+        |       count(*) AS n_paras,
+        |       count(*) FILTER (WHERE rn > 1) AS n_dups,
+        |       coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS clean_text
+        |FROM fp GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH d AS (SELECT doc_id AS id, $normSql AS n FROM documents),
          |sh AS (SELECT id, $charShinglesSql AS sh FROM d),

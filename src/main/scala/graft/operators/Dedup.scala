@@ -97,6 +97,64 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("keep_id")).cast("int"))
   }
 
+  /** Paragraph-granularity exact dedup (the C4/Gopher pipeline step:
+    * dedup at paragraph/line level, not whole documents). Splits each
+    * document into paragraphs, fingerprints each paragraph, keeps
+    * only the globally FIRST occurrence (minimum (doc_id, idx) via
+    * row_number over the fingerprint), and reassembles the surviving
+    * paragraphs per document in original order.
+    *
+    * Boundaries: `sep` (regex, default blank-line) for structured
+    * text; `chunkWords > 0` switches to fixed word windows — the only
+    * meaningful boundary for single-line corpora, and a hard bound on
+    * segment size at scale (a pathological 1 GB single-paragraph doc
+    * cannot produce a 1 GB shuffle row).
+    *
+    * Scale: one shuffle on the paragraph fingerprint (row_number
+    * groups are duplicate-cluster-sized), one shuffle back on doc_id
+    * for reassembly. Both keys are high-cardinality and skew-free.
+    *
+    * Returns one row per doc: (doc_id, n_paras, n_dups, clean_text).
+    */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n{2,}",
+      chunkWords: Int = 0,
+  ): DataFrame = {
+    val joinSep = if (chunkWords > 0) " " else "\n\n"
+    val paras: Column =
+      if (chunkWords > 0) {
+        val toks = split(col(textCol), " ")
+        transform(
+          sequence(lit(0), ceil(size(toks) / lit(chunkWords.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * chunkWords + 1, lit(chunkWords))),
+        )
+      } else split(col(textCol), sep)
+    val exploded = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(paras).as(Seq("idx", "para")),
+    )
+    val ranked = exploded.withColumn(
+      "rn",
+      row_number().over(Window.partitionBy(md5(col("para"))).orderBy("doc_id", "idx")),
+    )
+    ranked
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("rn") > 1, lit(1))).as("n_dups"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("para"))))),
+            s => s.getField("para"),
+          ),
+          joinSep,
+        ).as("clean_text"),
+      )
+  }
+
   /** Near-duplicate pairs via shingle→minhash→band→bucket-join, with
     * exact Jaccard verification of the LSH candidates.
     *

@@ -28,6 +28,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("group_size")).toSeq == Seq(3L, 3L, 1L, 3L))
   }
 
+  test("paragraph dedup: keep-first across docs, round-trip when no dups") {
+    // chunkWords=3: doc1's first chunk duplicates doc0's; doc2 is clean
+    val d = docs(
+      "a b c d e f",
+      "a b c x y z",
+      "p q r s t u",
+    )
+    val out = Dedup
+      .dedupParagraphs(d, chunkWords = 3)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getAs[Long]("n_paras")).toSeq == Seq(2L, 2L, 2L))
+    assert(out.map(_.getAs[Long]("n_dups")).toSeq == Seq(0L, 1L, 0L))
+    assert(out.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("a b c d e f", "x y z", "p q r s t u"))
+    // no duplicates anywhere -> clean_text round-trips the input
+    val clean = docs("one two three four", "five six seven eight")
+    val rt = Dedup.dedupParagraphs(clean, chunkWords = 2).orderBy("doc_id").collect()
+    assert(rt.map(_.getAs[String]("clean_text")).toSeq ==
+      Seq("one two three four", "five six seven eight"))
+    assert(rt.forall(_.getAs[Long]("n_dups") == 0L))
+  }
+
+  test("paragraph dedup: blank-line separator mode, within-doc dups too") {
+    val d = docs(
+      "intro para\n\nshared boilerplate\n\nconclusion",
+      "shared boilerplate\n\nnovel content\n\nshared boilerplate",
+    )
+    val out = Dedup.dedupParagraphs(d).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_dups") == 0L)
+    assert(out(0).getAs[String]("clean_text") ==
+      "intro para\n\nshared boilerplate\n\nconclusion")
+    // doc1: both boilerplate copies are dups (doc0 idx1 is the keeper)
+    assert(out(1).getAs[Long]("n_paras") == 3L && out(1).getAs[Long]("n_dups") == 2L)
+    assert(out(1).getAs[String]("clean_text") == "novel content")
+  }
+
   test("minhash LSH finds near-duplicates and scores exact jaccard") {
     val base =
       "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single afternoon"
