@@ -385,6 +385,17 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     },
+    "token_count_bpe" -> { (s, dir) =>
+      // real byte-level BPE: fit merges on the corpus histogram
+      // (deterministic: frequency then lexicographic tiebreak), then
+      // count map-side. No SQL oracle — the greedy rank-ordered merge
+      // loop is not SQL-expressible; correctness is pinned in
+      // BpeSpec against hand-computed merges (driver records the
+      // rows-only check).
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val merges = operators.Bpe.train(d, numMerges = 200)
+      operators.Bpe.tokenCount(d, merges).orderBy(col("doc_id"))
+    },
     "doc_fingerprint" -> { (s, dir) =>
       s.read
         .parquet(s"$dir/documents.parquet")
