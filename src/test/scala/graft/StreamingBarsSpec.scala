@@ -316,6 +316,47 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming vpin equals batch bit-for-bit on completed buckets") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-svpin").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingVpin
+      .vpin(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_vpin")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_vpin")
+    val batch = graft.operators.Microstructure
+      .vpin(trades)
+      .withColumn("date", col("date").cast("string"))
+    // every streamed bucket matches batch exactly (integer sums,
+    // identical single division -> bit-equal vpin)
+    val joined = streamed.as("s").join(batch.as("b"), Seq("symbol", "date", "bucket"))
+    assert(streamed.count() > 0 && joined.count() == streamed.count())
+    assert(
+      joined.where(
+        col("s.v_buy") =!= col("b.v_buy") || col("s.v_sell") =!= col("b.v_sell") ||
+          col("s.volume") =!= col("b.volume") || col("s.imbalance") =!= col("b.imbalance") ||
+          col("s.vpin") =!= col("b.vpin")
+      ).count() == 0
+    )
+    // the only batch rows missing from the stream are open partial
+    // buckets: per symbol, the last (date, bucket)
+    val missing = batch.join(streamed, Seq("symbol", "date", "bucket"), "left_anti")
+    val lastRow = batch
+      .groupBy("symbol")
+      .agg(max(struct(col("date"), col("bucket"))).as("m"))
+      .select(col("symbol"), col("m.date").as("date"), col("m.bucket").as("bucket"))
+    assert(missing.join(lastRow, Seq("symbol", "date", "bucket"), "left_anti").count() == 0)
+  }
+
   test("streaming cusum events equal batch cusum events exactly") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-scusum").toString
