@@ -30,6 +30,31 @@ class ApiSpec extends SparkSpec {
       defaultBars.agg(sum("volume")).head.getLong(0))
   }
 
+  test("SQL-session column config: SET graft.*_col drives TradingCols") {
+    spark.sql("SET graft.price_col=px")
+    spark.sql("SET graft.size_col=qty")
+    try {
+      val c = TradingCols.fromSession(spark)
+      // overridden keys read the session conf; unset keys keep defaults
+      assert(c.price == "px" && c.size == "qty")
+      assert(c.symbol == "symbol" && c.ts == "ts" && c.tradeId == "trade_id")
+      val df = TradeData
+        .synthetic(spark, nRows = 500, nSymbols = 2)
+        .withColumnRenamed("price", "px")
+        .withColumnRenamed("size", "qty")
+      val bars = Bars.tickBars(df, barSize = 50, c = c)
+      val defaultBars = Bars.tickBars(
+        TradeData.synthetic(spark, nRows = 500, nSymbols = 2), barSize = 50)
+      assert(bars.agg(sum("volume")).head.getLong(0) ==
+        defaultBars.agg(sum("volume")).head.getLong(0))
+    } finally {
+      spark.sql("RESET graft.price_col")
+      spark.sql("RESET graft.size_col")
+    }
+    // after RESET the session config is back to all-defaults
+    assert(TradingCols.fromSession(spark) == TradingCols.default)
+  }
+
   test("synthetic trade generator is deterministic") {
     val a = TradeData.synthetic(spark, 200, 3).collect()
     val b = TradeData.synthetic(spark, 200, 3).collect()
