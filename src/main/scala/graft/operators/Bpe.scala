@@ -88,6 +88,15 @@ object Bpe {
   /** The count column alone (composition form). */
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
     BpeExprs.bpeCount(text, merges)
+
+  /** The full BPE token stream (whitespace pre-tokenization, per-word
+    * byte-level merges, concatenated in document order) — feeds
+    * `LmScore.perplexity(tokens = ...)` for tokenizer-true perplexity
+    * over a BOUNDED vocab (≤ 256 + numMerges distinct tokens, the
+    * case where `broadcastModel = true` is safe by construction).
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    BpeExprs.bpeTokens(text, merges)
 }
 
 /** Engine-independent BPE core: shared verbatim by the in-task
@@ -187,13 +196,16 @@ object BpeCore {
     toks.toList
   }
 
-  /** Token count of a whitespace-split text under the merge table. */
-  def countText(
+  /** Fold over the whitespace-split words of `text`, memoizing the
+    * per-word encode (the shared core of count and token-stream).
+    */
+  private def foldWords[A](
       text: String,
       ranks: Map[(String, String), Int],
-      memo: scala.collection.mutable.HashMap[String, Int],
-  ): Int = {
-    var total = 0
+      memo: scala.collection.mutable.HashMap[String, List[String]],
+      zero: A,
+  )(step: (A, List[String]) => A): A = {
+    var acc = zero
     var start = 0
     val n = text.length
     while (start < n) {
@@ -202,17 +214,34 @@ object BpeCore {
       while (end < n && !Character.isWhitespace(text.charAt(end))) end += 1
       if (end > start) {
         val w = text.substring(start, end)
-        total += (memo.get(w) match {
+        val toks = memo.get(w) match {
           case Some(v) => v
           case None =>
-            val v = encodeWord(w, ranks).length
+            val v = encodeWord(w, ranks)
             if (memo.size >= 65536) memo.clear() // bound executor memory
             memo.update(w, v)
             v
-        })
+        }
+        acc = step(acc, toks)
       }
       start = end
     }
-    total
+    acc
   }
+
+  /** Token count of a whitespace-split text under the merge table. */
+  def countText(
+      text: String,
+      ranks: Map[(String, String), Int],
+      memo: scala.collection.mutable.HashMap[String, List[String]],
+  ): Int =
+    foldWords(text, ranks, memo, 0)((acc, toks) => acc + toks.length)
+
+  /** The concatenated BPE token stream of a whitespace-split text. */
+  def tokensText(
+      text: String,
+      ranks: Map[(String, String), Int],
+      memo: scala.collection.mutable.HashMap[String, List[String]],
+  ): Seq[String] =
+    foldWords(text, ranks, memo, Seq.newBuilder[String])((acc, toks) => acc ++= toks).result()
 }

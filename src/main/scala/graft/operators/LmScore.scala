@@ -49,10 +49,19 @@ object LmScore {
       textCol: String = "text",
       broadcastModel: Boolean = false,
       minBigramCount: Long = 0L,
+      /** Override the token stream — e.g. `Bpe.bpeTokens(col("text"),
+        * merges)` for tokenizer-true perplexity over a vocab bounded
+        * by 256 + merges.length, the case where `broadcastModel =
+        * true` is safe by construction. Default: whitespace words
+        * (the oracle-replayed form).
+        */
+      tokens: Option[org.apache.spark.sql.Column] = None,
   ): DataFrame = {
+    val tokCol =
+      tokens.getOrElse(filter(TextAnalysis.tokens(col(textCol)), t => t =!= ""))
     val ex = corpus.select(
       col(idCol),
-      posexplode(filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")).as(Seq("__pos", "__w")),
+      posexplode(tokCol).as(Seq("__pos", "__w")),
     )
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val bi = ex

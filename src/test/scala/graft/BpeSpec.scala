@@ -72,6 +72,32 @@ class BpeSpec extends SparkSpec {
     assert(m1.nonEmpty)
   }
 
+  test("bpeTokens streams per-word encodes in document order") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val d = docs("low lo x")
+    val out = d
+      .select(graft.operators.Bpe.bpeTokens($"text", merges).as("t"))
+      .head()
+      .getSeq[String](0)
+    assert(out == Seq("low", "lo", "x"))
+  }
+
+  test("tokenizer-true perplexity: BPE token stream with a broadcast-safe vocab") {
+    val d = docs("low low lowest", "low lowest", "unseen unseen unseen")
+    val merges = Bpe.train(d, numMerges = 10)
+    val out = graft.operators.LmScore
+      .perplexity(d, broadcastModel = true, tokens = Some(Bpe.bpeTokens($"text", merges)))
+      .orderBy("doc_id")
+      .collect()
+    // n_bigrams is tokenizer-true: BPE token count minus one per doc
+    val counts = Bpe.tokenCount(d, merges).orderBy("doc_id").collect()
+      .map(_.getAs[Int]("n_tokens_bpe"))
+    assert(out.map(_.getAs[Long]("n_bigrams")).toSeq ==
+      counts.map(c => math.max(c - 1, 0).toLong).toSeq)
+    // perplexities are finite and positive (add-one smoothing)
+    assert(out.forall(r => r.getAs[Double]("ppl") > 0.0 && !r.getAs[Double]("ppl").isInfinite))
+  }
+
   test("BPE counts feed packing budgets") {
     val d = docs("low low low low", "lowest lowest", "low")
     val merges = Bpe.train(d, numMerges = 10)
