@@ -213,7 +213,7 @@ object SparkEntry {
     },
     "sign_entropy" -> { (s, dir) =>
       operators.Microstructure
-        .signEntropy(TradeData.fromEvents(s, dir))
+        .signEntropyScan(TradeData.fromEvents(s, dir))
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"))
     },
@@ -486,6 +486,11 @@ object SparkEntry {
         .dedupParagraphs(s.read.parquet(s"$dir/documents.parquet"), chunkWords = 10)
         .orderBy(col("doc_id"))
     },
+    "dup_spans" -> { (s, dir) =>
+      Dedup
+        .dupSpans(s.read.parquet(s"$dir/documents.parquet"), window = 8)
+        .orderBy(col("doc_id"))
+    },
     "dedup_minhash" -> { (s, dir) =>
       Dedup
         .minhashLsh(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
@@ -640,24 +645,22 @@ object SparkEntry {
     },
     "repetition_score" -> { (s, dir) =>
       // Gopher-style intra-doc repetition: dup n-gram fractions +
-      // most-frequent 3-gram coverage, all map-side array arithmetic
-      val t = col("text")
+      // most-frequent 3-gram coverage. ONE tokenization + ONE
+      // compiled pass per row (NgramStatsExpr); bit-equal to the
+      // declarative dupNgramFrac/topNgram composition (spec-pinned)
+      val st = TextAnalysis.repetitionStats(col("text"))
       s.read
         .parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), st.as("st"))
         .select(
           col("doc_id"),
-          TextAnalysis.tokenCountWs(t).cast("long").as("n_tokens"),
-          size(array_distinct(filter(TextAnalysis.tokens(t), x => x =!= ""))).cast("long").as("n_distinct_tokens"),
-          TextAnalysis.dupNgramFrac(t, 2).as("dup_2gram_frac"),
-          TextAnalysis.dupNgramFrac(t, 3).as("dup_3gram_frac"),
-          TextAnalysis.topNgram(t, 3).getField("cnt").cast("long").as("top_3gram_count"),
-          TextAnalysis.topNgram(t, 3).getField("gram").as("top_3gram"),
-          when(TextAnalysis.tokenCountWs(t) === 0, lit(0.0))
-            .otherwise(
-              (TextAnalysis.topNgram(t, 3).getField("cnt") * 3).cast("double") /
-                TextAnalysis.tokenCountWs(t).cast("double")
-            )
-            .as("top_3gram_token_frac"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_distinct_tokens").as("n_distinct_tokens"),
+          col("st.dup_2gram_frac").as("dup_2gram_frac"),
+          col("st.dup_3gram_frac").as("dup_3gram_frac"),
+          col("st.top_3gram_count").as("top_3gram_count"),
+          col("st.top_3gram").as("top_3gram"),
+          col("st.top_3gram_token_frac").as("top_3gram_token_frac"),
         )
         .orderBy(col("doc_id"))
     },
@@ -2184,6 +2187,40 @@ object SparkEntry {
         |       coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS clean_text
         |FROM fp GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "dup_spans" ->
+      // exact-substring duplicate spans: 60-bit md5-prefix window
+      // fingerprints, global count >= 2, merged-interval coverage via
+      // the same lag-window arithmetic (W + Σ min(W, gap))
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |             ${ngramListSql("toks", 8)} AS gl
+         |      FROM d),
+         |wx AS (SELECT doc_id, unnest(gl) AS gram,
+         |              unnest(generate_series(0, len(gl) - 1)) AS pos
+         |       FROM g),
+         |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+         |      FROM wx),
+         |cnt AS (SELECT h, count(*) AS c FROM h GROUP BY h),
+         |dup AS (SELECT doc_id, pos FROM h JOIN cnt USING (h) WHERE c >= 2),
+         |cov AS (SELECT doc_id, pos,
+         |               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |                    THEN 8
+         |                    ELSE least(8, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos))
+         |               END AS contrib
+         |        FROM dup),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+         |               CAST(sum(contrib) AS BIGINT) AS dup_token_coverage
+         |        FROM cov GROUP BY doc_id)
+         |SELECT g.doc_id, g.n_tokens,
+         |       greatest(g.n_tokens - 7, 0) AS n_windows,
+         |       coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+         |       coalesce(a.dup_token_coverage, 0) AS dup_token_coverage,
+         |       CASE WHEN g.n_tokens = 0 THEN 0.0
+         |            ELSE CAST(coalesce(a.dup_token_coverage, 0) AS DOUBLE) / CAST(g.n_tokens AS DOUBLE)
+         |       END AS coverage_frac
+         |FROM g LEFT JOIN agg a ON g.doc_id = a.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
     "dedup_minhash" ->
       s"""WITH d AS (SELECT doc_id AS id, $normSql AS n FROM documents),
          |sh AS (SELECT id, $charShinglesSql AS sh FROM d),

@@ -170,19 +170,128 @@ object Bars {
       bar_id: Long,
   )
 
+  /** One completed overflow-mode bar (the fused scan's output row;
+    * field order mirrors `symbol +: barCols`).
+    */
+  private[operators] final case class OverflowBar(
+      symbol: String,
+      ts_start: java.sql.Timestamp,
+      ts_end: java.sql.Timestamp,
+      open: Double,
+      high: Double,
+      low: Double,
+      close: Double,
+      volume: Long,
+      vwap: Double,
+      n_trades: Long,
+  )
+
   /** Volume bars with overflow semantics (bar_groups
     * allow_splits=false, /root/reference/src/bars.rs:53): the whole
     * trade joins the open bar; the bar closes when its total reaches
     * barSize and the next trade starts a fresh bar. The reset-cumsum
     * is inherently sequential per (symbol,date) — a streaming
-    * per-partition scan with O(1) state after one hash repartition,
-    * the same shape as [[dollarBars]].
+    * per-partition scan with O(1) state after one hash repartition.
+    *
+    * The OHLCV aggregation is FUSED into the scan (rows arrive
+    * bar-contiguous, so open/close are the first/last trade and vwap
+    * accumulates exact cents·size in a long): one exchange total,
+    * instead of scan → second full-tick shuffle → hash agg. Bit-equal
+    * to the groupBy form ([[volumeBarsOverflowAgg]], pinned in
+    * CoreOperatorsSpec): min/max/Σ over doubles and longs are the
+    * same values in any order, and vwap's two double divisions see
+    * identical exact-integer operands.
     */
   private def volumeBarsOverflow(
       df: DataFrame,
       barSize: Long,
       splitByDate: Boolean,
       c: TradingCols,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dateExpr = if (splitByDate) to_date(col(c.ts)) else to_date(lit("1970-01-01"))
+    df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        dateExpr.as("date"),
+        col(c.ts).as("ts"),
+        col(c.price).cast("double").as("price"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .repartition(col("symbol"), col("date"))
+      .sortWithinPartitions(col("symbol"), col("date"), col("ts"), col("trade_id"))
+      .as[(String, java.sql.Date, java.sql.Timestamp, Double, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[OverflowBar] {
+          private val out = scala.collection.mutable.ArrayDeque.empty[OverflowBar]
+          private var curSym: String = null
+          private var curDateMs = Long.MinValue
+          private var n = 0L
+          private var tsStart: java.sql.Timestamp = null
+          private var tsEnd: java.sql.Timestamp = null
+          private var open = 0.0
+          private var high = 0.0
+          private var low = 0.0
+          private var close = 0.0
+          private var vol = 0L
+          private var centVol = 0L // Σ cents·size, exact
+
+          private def closeBar(): Unit = {
+            out.append(
+              OverflowBar(curSym, tsStart, tsEnd, open, high, low, close, vol,
+                centVol.toDouble / 100.0 / vol.toDouble, n)
+            )
+            n = 0L; vol = 0L; centVol = 0L
+          }
+
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (sym, date, ts, price, size, _) = it.next()
+              if (curSym != null && (sym != curSym || date.getTime != curDateMs) && n > 0L) {
+                closeBar()
+              }
+              curSym = sym
+              curDateMs = date.getTime
+              if (n == 0L) { tsStart = ts; open = price; high = price; low = price }
+              else {
+                if (price > high) high = price
+                if (price < low) low = price
+              }
+              tsEnd = ts
+              close = price
+              n += 1L
+              vol += size
+              centVol += math.round(price * 100) * size
+              if (vol >= barSize) closeBar()
+            }
+            if (out.isEmpty && n > 0L && !it.hasNext) closeBar()
+          }
+
+          override def hasNext: Boolean = {
+            if (out.isEmpty) advance()
+            out.nonEmpty
+          }
+
+          override def next(): OverflowBar = {
+            if (!hasNext) throw new NoSuchElementException
+            out.removeHead()
+          }
+        }
+      }
+      .toDF(("symbol" +: barCols(c)): _*)
+  }
+
+  /** The pre-fusion groupBy formulation of [[volumeBarsOverflow]] —
+    * kept as the declarative twin the fused scan is pinned against.
+    */
+  private[graft] def volumeBarsOverflowAgg(
+      df: DataFrame,
+      barSize: Long,
+      splitByDate: Boolean,
+      c: TradingCols = TradingCols.default,
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

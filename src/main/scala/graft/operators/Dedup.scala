@@ -155,6 +155,83 @@ object Dedup {
       )
   }
 
+  /** Duplicate-SPAN detection (exact-substring dedup, the Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"
+    * granularity): every `window`-token sliding gram is fingerprinted
+    * (60-bit md5 prefix); a gram whose fingerprint occurs >= 2 times
+    * ANYWHERE in the corpus (another doc or the same doc) marks a
+    * duplicated span. Per doc, reports the duplicated-window count
+    * and the token COVERAGE of the union of duplicated windows —
+    * merged-interval arithmetic via one lag window: a run of
+    * overlapping duplicated grams at positions p_0 < p_1 < ... covers
+    * W + Σ min(W, p_i − p_{i−1}) tokens, exactly.
+    *
+    * Scale: explode is map-side (gram fingerprints, not gram text, on
+    * the wire); shuffle 1 = fingerprint count (windowed count, not
+    * collect — a boilerplate gram repeated 10^6 times never builds a
+    * 10^6-element array); shuffle 2 = doc_id (lag + per-doc sums).
+    * The per-doc totals never shuffle: the dup aggregate joins back
+    * onto a map-side scan of the corpus. Everything is exact integer
+    * arithmetic until the final coverage_frac division.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      window: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    require(window >= 2, s"dup-span window must be >= 2 tokens, got $window")
+    val w = window
+    val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      size(tk).cast("long").as("n_tokens"),
+      TextAnalysis.ngramsOfTokens(tk, w).as("grams"),
+    )
+    val windows = base
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"),
+      )
+    val counted = windows.withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = counted
+      .where(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"))
+      .withColumn(
+        "contrib",
+        when(lag(col("pos"), 1).over(wDoc).isNull, lit(w.toLong))
+          .otherwise(least(lit(w.toLong), col("pos") - lag(col("pos"), 1).over(wDoc))),
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(col("contrib")).cast("long").as("dup_token_coverage"),
+      )
+    base
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        greatest(col("n_tokens") - lit((w - 1).toLong), lit(0L)).as("n_windows"),
+      )
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_token_coverage"), lit(0L)).as("dup_token_coverage"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(
+            coalesce(col("dup_token_coverage"), lit(0L)).cast("double") /
+              col("n_tokens").cast("double")
+          )
+          .as("coverage_frac"),
+      )
+  }
+
   /** Near-duplicate pairs via shingle→minhash→band→bucket-join, with
     * exact Jaccard verification of the LSH candidates.
     *

@@ -302,4 +302,131 @@ object Microstructure {
       entropyRate(3).as("h3"),
     )
   }
+
+  private case class EntropyDayRow(
+      symbol: String,
+      date: java.sql.Date,
+      n_ticks: Long,
+      h1: Double,
+      h2: Double,
+      h3: Double,
+  )
+
+  /** Production path for [[signEntropy]]: ONE repartition on
+    * (symbol, date) + sort-within-partitions, then a single streaming
+    * pass that derives the tick-rule u/d character AND accumulates
+    * the k-gram counters inline — O(1) state per group (14 counters
+    * for the binary alphabet + last sign + two lag codes), no
+    * collect_list array, no array_sort, no interpreted fold.
+    *
+    * Bit-identical to the declarative form (pinned in
+    * CoreOperatorsSpec): the k-gram counts are exact integers, and
+    * the entropy accumulates term-by-term in ascending gram order —
+    * exactly the order the sorted-array fold visits (d < u in binary
+    * UTF8 order = counter index order), with the same
+    * ((-p)·ln p)/ln 2 term tree (StrictMath.log == Catalyst LOG).
+    */
+  def signEntropyScan(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    import df.sparkSession.implicits._
+    val ln2 = math.log(2.0)
+    df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .repartition(col("symbol"), col("date"))
+      .sortWithinPartitions(col("symbol"), col("date"), col("ts"), col("trade_id"))
+      .as[(String, java.sql.Date, java.sql.Timestamp, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[EntropyDayRow] {
+          private var pending: EntropyDayRow = null
+          private var curSym: String = null
+          private var curDate: java.sql.Date = null
+          private var nTicks = 0L
+          private var prevPc = 0L
+          private var lastSgn = 1
+          private var lag1 = -1 // code of previous char, -1 = none
+          private var lag2 = -1 // code of char before that
+          private val c1 = new Array[Long](2)
+          private val c2 = new Array[Long](4)
+          private val c3 = new Array[Long](8)
+
+          private def entropy(counts: Array[Long], nGrams: Long, k: Int): Double = {
+            if (nTicks < k) return 0.0
+            val nd = nGrams.toDouble
+            var acc = 0.0
+            var g = 0
+            while (g < counts.length) {
+              val cnt = counts(g)
+              if (cnt > 0L) {
+                val p = cnt.toDouble / nd
+                acc += (-p) * StrictMath.log(p) / ln2
+              }
+              g += 1
+            }
+            acc / k.toDouble
+          }
+
+          private def flush(): EntropyDayRow = {
+            val out = EntropyDayRow(
+              curSym,
+              curDate,
+              nTicks,
+              entropy(c1, nTicks, 1),
+              entropy(c2, nTicks - 1, 2),
+              entropy(c3, nTicks - 2, 3),
+            )
+            nTicks = 0L
+            lastSgn = 1
+            lag1 = -1
+            lag2 = -1
+            java.util.Arrays.fill(c1, 0L)
+            java.util.Arrays.fill(c2, 0L)
+            java.util.Arrays.fill(c3, 0L)
+            out
+          }
+
+          private def advance(): Unit = {
+            while (pending == null && it.hasNext) {
+              val (sym, date, _, pc, _) = it.next()
+              if (curSym != null && (sym != curSym || date.getTime != curDate.getTime)) {
+                pending = flush()
+              }
+              curSym = sym
+              curDate = date
+              if (nTicks > 0L) {
+                val d = pc - prevPc
+                if (d != 0L) lastSgn = if (d > 0L) 1 else -1
+              }
+              prevPc = pc
+              val code = if (lastSgn > 0) 1 else 0 // u=1, d=0; 'd' < 'u'
+              c1(code) += 1L
+              if (lag1 >= 0) c2((lag1 << 1) | code) += 1L
+              if (lag2 >= 0) c3((lag2 << 2) | (lag1 << 1) | code) += 1L
+              lag2 = lag1
+              lag1 = code
+              nTicks += 1L
+            }
+            if (pending == null && nTicks > 0L) pending = flush()
+          }
+
+          override def hasNext: Boolean = {
+            if (pending == null) advance()
+            pending != null
+          }
+
+          override def next(): EntropyDayRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val out = pending
+            pending = null
+            out
+          }
+        }
+      }
+      .toDF()
+  }
 }

@@ -165,6 +165,15 @@ object TextAnalysis {
     struct(folded.getField("cnt").as("cnt"), folded.getField("gram").as("gram"))
   }
 
+  /** All repetition metrics (token counts, dup 2/3-gram fractions,
+    * top 3-gram + coverage) as ONE struct from ONE compiled pass over
+    * one tokenization — bit-identical to composing [[dupNgramFrac]] /
+    * [[topNgram]], which re-tokenize per metric and fold interpreted
+    * lambdas per element (equality pinned in PipelineOpsSpec).
+    */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextExprs.ngramStats(filter(tokens(text), t => t =!= ""))
+
   /** Rolling polynomial hash of the token stream (content-defined
     * fingerprint usable for shift-resistant chunk signatures):
     * h = Σ token_first8(md5) mod p, order-sensitive via 31^i weights.

@@ -48,6 +48,32 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(one.map(_.getAs[Long]("volume")).toSeq == Seq(8L))
   }
 
+  test("volume bars overflow: fused scan == groupBy twin, bit-exact on real ticks") {
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val key = Seq("symbol", "ts_start", "ts_end")
+    val want = graft.operators.Bars
+      .volumeBarsOverflowAgg(t, barSize = 500L, splitByDate = true, graft.api.TradingCols.default)
+      .orderBy(key.head, key.tail: _*)
+      .collect()
+    val got = Bars
+      .volumeBars(t, barSize = 500L, allowSplits = false)
+      .orderBy(key.head, key.tail: _*)
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      (0 until g.length).foreach { i =>
+        (g.get(i), w.get(i)) match {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(
+              java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+              s"col $i of ${g.get(0)} ${g.get(1)}",
+            )
+          case (a, b) => assert(a == b, s"col $i of ${g.get(0)} ${g.get(1)}")
+        }
+      }
+    }
+  }
+
   // --- dollar bars, split mode (bar_groups(price*size, splits=true)):
   // boundaries at exact dollar multiples, straddling value split ---
   test("dollar bars split mode cuts the dollar value at exact boundaries") {
@@ -776,5 +802,48 @@ class CoreOperatorsSpec extends SparkSpec {
       (0L, 6L, 4L, 2L, 2.0 / 10.0),
       (1L, 0L, 4L, 4L, 6.0 / 14.0),
     ))
+  }
+
+  test("sign entropy: streaming scan == declarative, bit-exact") {
+    import graft.operators.Microstructure
+    // multi-symbol, multi-day deterministic walk with flats (sign
+    // carry), a one-tick day (h2=h3=0), and a two-tick day (h3=0)
+    def ts(day: Int, min: Long) =
+      new java.sql.Timestamp(day.toLong * 86400000L + 36000000L + min * 60000L)
+    val rows = for {
+      sym <- Seq("A", "B")
+      day <- 1 to 3
+      i <- 0 until (if (day == 2 && sym == "B") 1 else if (day == 3 && sym == "B") 2 else 40)
+    } yield {
+      val drift = ((i * 7 + day * 3 + sym.hashCode) % 5) - 2 // -2..2 incl. 0 flats
+      (sym, ts(day, i.toLong), 100.0 + drift * 0.01 + i * 0.001, 1L, i.toLong)
+    }
+    val t = rows
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+      .unionByName( // real tick data too
+        graft.sources.TradeData
+          .fromEvents(spark, "/root/testdata/sf0.001")
+          .select("symbol", "ts", "price", "size", "trade_id")
+      )
+    val want = Microstructure
+      .signEntropy(t)
+      .orderBy("symbol", "date")
+      .collect()
+    val got = Microstructure
+      .signEntropyScan(t)
+      .orderBy("symbol", "date")
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getDate(1) == w.getDate(1))
+      assert(g.getLong(2) == w.getLong(2), s"n_ticks of ${g.getString(0)} ${g.getDate(1)}")
+      (3 to 5).foreach { i =>
+        assert(
+          java.lang.Double.doubleToLongBits(g.getDouble(i)) ==
+            java.lang.Double.doubleToLongBits(w.getDouble(i)),
+          s"h${i - 2} of ${g.getString(0)} ${g.getDate(1)}: ${g.getDouble(i)} vs ${w.getDouble(i)}",
+        )
+      }
+    }
   }
 }

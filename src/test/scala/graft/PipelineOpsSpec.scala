@@ -521,6 +521,105 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tie.getInt(0) == 3 && tie.getString(1) == "a b a")
   }
 
+  test("dup spans: shared 8-token windows flagged, merged-interval coverage exact") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    val d = docs(
+      s"$shared tail0 tail1 tail2",     // doc 0: windows 0..4; window 0 duplicated
+      s"head0 head1 $shared",           // doc 1: windows 0..2; window 2 duplicated
+      "unique words only in this document here now", // 8 tokens, 1 window, no dup
+      "a b c",                          // shorter than the window: 0 windows
+      s"$shared $shared",               // doc 4: intra-doc repeat; windows 0 and 8 dup at least
+    )
+    val out = operators.Dedup.dupSpans(d, window = 8).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 0: 11 tokens -> 4 windows; only window at pos 0 matches doc 1/4
+    assert(byId(0L).getLong(1) == 11L && byId(0L).getLong(2) == 4L)
+    assert(byId(0L).getLong(3) == 1L && byId(0L).getLong(4) == 8L)
+    assert(byId(0L).getDouble(5) == 8.0 / 11.0)
+    // doc 1: 10 tokens -> 3 windows; the span sits at pos 2
+    assert(byId(1L).getLong(3) == 1L && byId(1L).getLong(4) == 8L)
+    // doc 2: one window, globally unique
+    assert(byId(2L).getLong(2) == 1L && byId(2L).getLong(3) == 0L && byId(2L).getLong(4) == 0L)
+    // doc 3: no windows at all
+    assert(byId(3L).getLong(2) == 0L && byId(3L).getDouble(5) == 0.0)
+    // doc 4: 16 tokens, 9 windows, ALL duplicated (every window of
+    // "s s" repeats the 8-cycle: window i == window i+8... only i=0
+    // pairs with i=8; windows 1..7 appear once here and nowhere else
+    // EXCEPT they also slide across the boundary — each window i in
+    // 1..7 is a rotation, distinct from window 0 — so dups are pos 0
+    // and pos 8 (identical to each other and to docs 0/1's span).
+    // coverage: pos 0 contributes 8, pos 8 contributes min(8, 8) = 8.
+    assert(byId(4L).getLong(1) == 16L && byId(4L).getLong(2) == 9L)
+    assert(byId(4L).getLong(3) == 2L && byId(4L).getLong(4) == 16L)
+    assert(byId(4L).getDouble(5) == 1.0)
+  }
+
+  test("repetitionStats (native one-pass) == declarative composition, bit-exact") {
+    val d = docs(
+      "a b a b a b",
+      "x y z",
+      "c c c c",
+      "q",
+      "",
+      "a b a b a b a", // 3-gram tie: "a b a" vs "b a b" -> smallest wins
+      "the cat sat on the mat the cat sat on the hat",
+      "one two three four five six seven eight nine ten",
+      "zz zz zz yy yy zz zz",
+    ).unionByName(
+      // real corpus text too — messier tokens than the constructed docs
+      spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id") + 1000L, col("text"), col("source"))
+        .toDF("doc_id", "text", "source")
+    )
+    val t = col("text")
+    val declarative = d
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(t).cast("long").as("n_tokens"),
+        size(array_distinct(filter(TextAnalysis.tokens(t), x => x =!= ""))).cast("long").as("n_distinct_tokens"),
+        TextAnalysis.dupNgramFrac(t, 2).as("dup_2gram_frac"),
+        TextAnalysis.dupNgramFrac(t, 3).as("dup_3gram_frac"),
+        TextAnalysis.topNgram(t, 3).getField("cnt").cast("long").as("top_3gram_count"),
+        TextAnalysis.topNgram(t, 3).getField("gram").as("top_3gram"),
+        when(TextAnalysis.tokenCountWs(t) === 0, lit(0.0))
+          .otherwise(
+            (TextAnalysis.topNgram(t, 3).getField("cnt") * 3).cast("double") /
+              TextAnalysis.tokenCountWs(t).cast("double")
+          )
+          .as("top_3gram_token_frac"),
+      )
+      .orderBy("doc_id")
+      .collect()
+    val native = d
+      .select(col("doc_id"), TextAnalysis.repetitionStats(t).as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_tokens"),
+        col("st.n_distinct_tokens"),
+        col("st.dup_2gram_frac"),
+        col("st.dup_3gram_frac"),
+        col("st.top_3gram_count"),
+        col("st.top_3gram"),
+        col("st.top_3gram_token_frac"),
+      )
+      .orderBy("doc_id")
+      .collect()
+    assert(native.length == declarative.length)
+    native.zip(declarative).foreach { case (n, dec) =>
+      (0 until 8).foreach { i =>
+        (n.get(i), dec.get(i)) match {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(
+              java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+              s"field $i of doc ${n.get(0)}",
+            )
+          case (a, b) => assert(a == b, s"field $i of doc ${n.get(0)}")
+        }
+      }
+    }
+  }
+
   test("decontamination flags docs sharing an n-gram with the benchmark") {
     val corpus = docs(
       "the quick brown fox jumps",   // shares "quick brown fox"
