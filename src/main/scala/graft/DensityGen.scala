@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tick-DENSITY scale generator: N× the events table with the copies
+  * packed into the SAME (symbol, day) windows, not day-shifted like
+  * [[ScaleGen]] (whose copies grow the chunk axis at constant
+  * per-chunk density).
+  *
+  * This is the scale axis that breaks pair-materializing plans: an
+  * event×path interval join grows O(density²·days) pair rows, while
+  * chunked scans grow O(density·days·log). A liquid symbol at 100 TB
+  * is exactly this shape — more ticks per horizon window, not more
+  * calendar.
+  *
+  * Copy i of a tick: event_id shifted by i·(maxId+1); ts shifted by
+  * i microseconds (same day, sub-tick interleave); price perturbed a
+  * few deterministic cents so price structure does not degenerate
+  * into exact duplicates. Only events.parquet is written — the bar /
+  * label / microstructure benches read nothing else.
+  *
+  * Usage: runMain graft.DensityGen <srcSfDir> <dstDir> [copies=10]
+  */
+object DensityGen {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$src/events.parquet")
+    val ev: DataFrame = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val maxEvId = ev.agg(max("event_id")).head().getLong(0) + 1
+    val out = (0 until copies)
+      .map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * maxEvId))
+          .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(i.toLong)))
+          .withColumn(
+            "value",
+            // keep prices strictly positive (sf0.1 has ticks at $0.01)
+            when(col("value").isNotNull && col("value") > 0.1,
+              col("value") + lit(((i % 7) - 3) * 0.01)).otherwise(col("value")),
+          )
+      }
+      .reduce(_ unionByName _)
+    out.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    val n = spark.read.parquet(s"$dst/events.parquet").count()
+    println(s"[densitygen] wrote $n events to $dst (copies=$copies)")
+    spark.stop()
+  }
+}

@@ -190,7 +190,7 @@ object Labels {
       volSpan: Int = 100,
       c: TradingCols = TradingCols.default,
   ): DataFrame = singleFrame(df, c) { df =>
-    tripleBarrierCore(df, horizon, ptMult, slMult, volSpan, constTarget, c)
+    tripleBarrierCoreScan(df, horizon, ptMult, slMult, volSpan, constTarget, c)
       .select(col(c.symbol), col(c.ts), col("trgt"), col("t1"), col("pt_ts"), col("sl_ts"))
   }
 
@@ -220,7 +220,10 @@ object Labels {
       signOnVertical: Boolean = false,
       c: TradingCols = TradingCols.default,
   ): DataFrame = singleFrame(df, c) { df =>
-    val agg = tripleBarrierCore(df, horizon, ptMult, slMult, volSpan, constTarget, c)
+    val agg =
+      if (sys.env.contains("GRAFT_TB_JOINCORE"))
+        tripleBarrierCore(df, horizon, ptMult, slMult, volSpan, constTarget, c)
+      else tripleBarrierCoreScan(df, horizon, ptMult, slMult, volSpan, constTarget, c)
     val ptFirst = col("pt_ts").isNotNull && (col("sl_ts").isNull || col("pt_ts") <= col("sl_ts"))
     val slFirst = col("sl_ts").isNotNull && !ptFirst
     val verticalLabel =
@@ -242,7 +245,21 @@ object Labels {
     * tripleBarrier: per event, the earliest pt/sl crossing ticks and
     * realized returns plus the vertical-barrier return.
     */
-  private def tripleBarrierCore(
+  private[graft] def parseHorizonMicros(horizon: String): Long = {
+    val parts = horizon.split("\\s+")
+    val n = parts(0).toLong
+    val unit = parts(1).toLowerCase
+    val perUnit = unit match {
+      case u if u.startsWith("hour")   => 3600000000L
+      case u if u.startsWith("minute") => 60000000L
+      case u if u.startsWith("day")    => 86400000000L
+      case u if u.startsWith("second") => 1000000L
+      case _ => throw new IllegalArgumentException(s"unsupported horizon unit: $unit")
+    }
+    n * perUnit
+  }
+
+  private[graft] def tripleBarrierCore(
       df: DataFrame,
       horizon: String,
       ptMult: Double,
@@ -251,19 +268,7 @@ object Labels {
       constTarget: Option[Double],
       c: TradingCols,
   ): DataFrame = {
-    val horizonMicros = {
-      val parts = horizon.split("\\s+")
-      val n = parts(0).toLong
-      val unit = parts(1).toLowerCase
-      val perUnit = unit match {
-        case u if u.startsWith("hour")   => 3600000000L
-        case u if u.startsWith("minute") => 60000000L
-        case u if u.startsWith("day")    => 86400000000L
-        case u if u.startsWith("second") => 1000000L
-        case _ => throw new IllegalArgumentException(s"unsupported horizon unit: $unit")
-      }
-      n * perUnit
-    }
+    val horizonMicros = parseHorizonMicros(horizon)
 
     val lastTs = df
       .groupBy(col(c.symbol))
@@ -312,6 +317,245 @@ object Labels {
         min_by(col("__ret"), col("__pt_u")).as("__pt_ret"),
         min_by(col("__ret"), col("__sl_u")).as("__sl_ret"),
         max_by(col("__ret"), col("__u")).as("__v_ret"),
+      )
+  }
+
+  /** One event's first-crossing result from the scan core (field
+    * order mirrors the join core's groupBy output).
+    */
+  private[graft] final case class TbScanRow(
+      symbol: String,
+      ts_us: Long,
+      price: Double,
+      trgt: Double,
+      t1_us: Long,
+      pt_us: Option[Long],
+      sl_us: Option[Long],
+      pt_ret: Option[Double],
+      sl_ret: Option[Double],
+      v_ret: Option[Double],
+  )
+
+  /** Production path for the event×path crossing aggregation: a
+    * day-chunked halo scan with per-chunk SEGMENT-TREE crossing
+    * search, O((n + q)·log n) per chunk instead of the interval
+    * join's O(n × ticks-per-horizon) pair materialization — the pair
+    * count grows with tick DENSITY (at 100 TB a liquid symbol has
+    * 10^5+ ticks per horizon window, a 10^5× row blow-up the join
+    * form shuffles and hash-aggregates; the scan shuffles each tick
+    * ~twice: once to its own day chunk, once as the previous day's
+    * halo).
+    *
+    * Per chunk: ticks sorted by (ts, trade_id); max/min segment trees
+    * over price; each event binary-searches its (ts, t1] range and
+    * descends leftmost-true for the first pt/sl crossing. Valid
+    * because return = p/p0 − 1 is monotone in p under IEEE rounding
+    * (p0 > 0), so "subtree max crosses up / subtree min crosses down"
+    * exactly characterizes "some tick in the subtree crosses" — the
+    * found tick evaluates the identical double predicate the join
+    * form evaluates per pair, and the emitted returns are the same
+    * pu/p0 − 1 expression tree, so the result is BIT-identical to
+    * [[tripleBarrierCore]] (pinned in CoreOperatorsSpec) and the
+    * DuckDB oracles are unchanged.
+    *
+    * Ties: (symbol, ts) is unique in the canonical trades view
+    * (duplicate-ts events would make the join form's min_by/max_by
+    * pick an arbitrary same-timestamp crossing; the scan picks the
+    * (ts, trade_id)-first one — a superset of the join form's
+    * guarantee, identical whenever ts is unique).
+    */
+  private[graft] def tripleBarrierCoreScan(
+      df: DataFrame,
+      horizon: String,
+      ptMult: Double,
+      slMult: Double,
+      volSpan: Int,
+      constTarget: Option[Double],
+      c: TradingCols,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hUs = parseHorizonMicros(horizon)
+    val dayUs = 86400000000L
+    val hDays = ((hUs + dayUs - 1) / dayUs).toInt
+
+    val lastTs = df.groupBy(col(c.symbol)).agg(max(col(c.ts)).as("__last_ts"))
+    val tid: Column =
+      if (df.columns.contains(c.tradeId)) col(c.tradeId).cast("long") else lit(0L)
+    val withTarget = constTarget match {
+      case Some(x) =>
+        df.select(col(c.symbol), col(c.ts), col(c.price), tid.as("__tid"))
+          .withColumn("trgt", lit(x))
+      case None =>
+        val vol = dailyVol(df, volSpan, c)
+          .withColumnRenamed("daily_return_volatility", "trgt")
+        df.select(col(c.symbol), col(c.ts), col(c.price), tid.as("__tid"))
+          .join(vol, Seq(c.symbol, c.ts), "left")
+    }
+    val annotated = withTarget
+      .join(broadcast(lastTs), Seq(c.symbol))
+      .withColumn("__t1", least(col(c.ts) + expr(s"INTERVAL $horizon"), col("__last_ts")))
+      .withColumn("__tsus", expr(s"unix_micros(${c.ts})"))
+      .withColumn("__d", expr(s"unix_micros(${c.ts}) div ${dayUs}L"))
+      .select(
+        col(c.symbol).as("sym"),
+        explode(
+          filter(
+            transform(sequence(lit(0), lit(hDays)), k => col("__d") - k.cast("long")),
+            ch => (ch === col("__d")) || (col("__tsus") < (ch + lit(1L)) * lit(dayUs) + lit(hUs)),
+          )
+        ).as("chunk"),
+        col("__tsus").as("tsus"),
+        col(c.price).cast("double").as("price"),
+        col("__tid").as("tid"),
+        col("trgt"),
+        col("__d").as("homeDay"),
+        expr("unix_micros(__t1)").as("t1us"),
+      )
+      // halo copies are path-only: they are events in their HOME chunk
+      .withColumn("trgt", when(col("chunk") === col("homeDay"), col("trgt")))
+      .drop("homeDay")
+
+    annotated
+      .repartition(col("sym"), col("chunk"))
+      .sortWithinPartitions(col("sym"), col("chunk"), col("tsus"), col("tid"))
+      .as[(String, Long, Long, Double, Long, Option[Double], Long)]
+      .mapPartitions { it =>
+        val pt = ptMult
+        val sl = slMult
+        new Iterator[TbScanRow] {
+          private val out = scala.collection.mutable.ArrayDeque.empty[TbScanRow]
+          private var curSym: String = null
+          private var curChunk = 0L
+          private val tsA = new scala.collection.mutable.ArrayBuffer[Long]
+          private val prA = new scala.collection.mutable.ArrayBuffer[Double]
+          private val tgA = new scala.collection.mutable.ArrayBuffer[Double] // NaN = not an event
+          private val t1A = new scala.collection.mutable.ArrayBuffer[Long]
+
+          private def process(): Unit = {
+            val n = tsA.length
+            if (n == 0) return
+            val ts = tsA.toArray
+            val pr = prA.toArray
+            val tg = tgA.toArray
+            val t1 = t1A.toArray
+            var sz = 1
+            while (sz < n) sz <<= 1
+            val mx = Array.fill(2 * sz)(Double.NegativeInfinity)
+            val mn = Array.fill(2 * sz)(Double.PositiveInfinity)
+            var i = 0
+            while (i < n) { mx(sz + i) = pr(i); mn(sz + i) = pr(i); i += 1 }
+            i = sz - 1
+            while (i >= 1) {
+              mx(i) = math.max(mx(2 * i), mx(2 * i + 1))
+              mn(i) = math.min(mn(2 * i), mn(2 * i + 1))
+              i -= 1
+            }
+            // first index with ts > x
+            def upperBound(x: Long): Int = {
+              var lo = 0
+              var hi = n
+              while (lo < hi) {
+                val m = (lo + hi) >>> 1
+                if (ts(m) <= x) lo = m + 1 else hi = m
+              }
+              lo
+            }
+            // leftmost index in [l, r] whose price satisfies pred,
+            // pruned by subtree max (crossing up) or min (crossing down)
+            def leftmost(l: Int, r: Int, useMax: Boolean, pred: Double => Boolean): Int = {
+              def go(node: Int, nl: Int, nr: Int): Int = {
+                if (nr < l || nl > r) return -1
+                if (!pred(if (useMax) mx(node) else mn(node))) return -1
+                if (nl == nr) return nl
+                val m = (nl + nr) >>> 1
+                val lf = go(2 * node, nl, m)
+                if (lf >= 0) lf else go(2 * node + 1, m + 1, nr)
+              }
+              go(1, 0, sz - 1)
+            }
+            var lastTsSeen = Long.MinValue
+            val seenPrices = new java.util.HashSet[java.lang.Double]()
+            i = 0
+            while (i < n) {
+              val t = tg(i)
+              if (!java.lang.Double.isNaN(t) && t > 0.0) {
+                // the join core groups by (symbol, ts, price, trgt, t1):
+                // duplicate event keys collapse to one output row
+                if (ts(i) != lastTsSeen) { lastTsSeen = ts(i); seenPrices.clear() }
+                if (seenPrices.add(pr(i))) {
+                  val lo = upperBound(ts(i))
+                  val hi = upperBound(t1(i)) - 1
+                  if (lo <= hi) { // events with an empty (ts, t1] path drop out (inner join)
+                    val p0 = pr(i)
+                    if (p0 == 0.0) {
+                      // degenerate event price: every pair return is null
+                      out.append(TbScanRow(curSym, ts(i), p0, t, t1(i), None, None, None, None, None))
+                    } else {
+                      val thrP = t * pt
+                      val thrS = (-t) * sl
+                      val kp = leftmost(lo, hi, useMax = true, p => (p / p0 - 1.0) >= thrP)
+                      val ks = leftmost(lo, hi, useMax = false, p => (p / p0 - 1.0) <= thrS)
+                      out.append(
+                        TbScanRow(
+                          curSym,
+                          ts(i),
+                          p0,
+                          t,
+                          t1(i),
+                          if (kp >= 0) Some(ts(kp)) else None,
+                          if (ks >= 0) Some(ts(ks)) else None,
+                          if (kp >= 0) Some(pr(kp) / p0 - 1.0) else None,
+                          if (ks >= 0) Some(pr(ks) / p0 - 1.0) else None,
+                          Some(pr(hi) / p0 - 1.0),
+                        )
+                      )
+                    }
+                  }
+                }
+              }
+              i += 1
+            }
+            tsA.clear(); prA.clear(); tgA.clear(); t1A.clear()
+          }
+
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (sym, chunk, tsus, price, _, trgt, t1us) = it.next()
+              if (curSym != null && (sym != curSym || chunk != curChunk)) process()
+              curSym = sym
+              curChunk = chunk
+              tsA += tsus
+              prA += price
+              tgA += trgt.getOrElse(Double.NaN)
+              t1A += t1us
+            }
+            if (out.isEmpty && !it.hasNext) process()
+          }
+
+          override def hasNext: Boolean = {
+            if (out.isEmpty) advance()
+            out.nonEmpty
+          }
+
+          override def next(): TbScanRow = {
+            if (!hasNext) throw new NoSuchElementException
+            out.removeHead()
+          }
+        }
+      }
+      .toDF()
+      .select(
+        col("symbol").as(c.symbol),
+        timestamp_micros(col("ts_us")).as(c.ts),
+        col("price").as(c.price),
+        col("trgt"),
+        timestamp_micros(col("t1_us")).as("t1"),
+        timestamp_micros(col("pt_us")).as("pt_ts"),
+        timestamp_micros(col("sl_us")).as("sl_ts"),
+        col("pt_ret").as("__pt_ret"),
+        col("sl_ret").as("__sl_ret"),
+        col("v_ret").as("__v_ret"),
       )
   }
 

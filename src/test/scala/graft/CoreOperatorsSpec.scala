@@ -804,6 +804,42 @@ class CoreOperatorsSpec extends SparkSpec {
     ))
   }
 
+  test("triple barrier: segment-tree scan core == interval-join core, bit-exact") {
+    import graft.api.TradingCols
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    // const-target AND vol-target variants; 4h (intra-day halo) and
+    // 26h (multi-day halo) horizons
+    val cases = Seq(
+      ("4 hours", Some(0.02)),
+      ("26 hours", Some(0.01)),
+      ("4 hours", None),
+    )
+    for ((horizon, const) <- cases) {
+      val want = Labels
+        .tripleBarrierCore(t, horizon, 1.0, 1.0, 100, const, TradingCols.default)
+        .orderBy("symbol", "ts", "price")
+        .collect()
+      val got = Labels
+        .tripleBarrierCoreScan(t, horizon, 1.0, 1.0, 100, const, TradingCols.default)
+        .orderBy("symbol", "ts", "price")
+        .collect()
+      assert(got.length == want.length && got.nonEmpty, s"row count for ($horizon, $const)")
+      got.zip(want).foreach { case (g, w) =>
+        (0 until g.length).foreach { i =>
+          (g.get(i), w.get(i)) match {
+            case (a: java.lang.Double, b: java.lang.Double) =>
+              assert(
+                java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+                s"($horizon, $const) col $i of ${g.get(0)} ${g.get(1)}: $a vs $b",
+              )
+            case (a, b) =>
+              assert(a == b, s"($horizon, $const) col $i of ${g.get(0)} ${g.get(1)}: $a vs $b")
+          }
+        }
+      }
+    }
+  }
+
   test("sign entropy: streaming scan == declarative, bit-exact") {
     import graft.operators.Microstructure
     // multi-symbol, multi-day deterministic walk with flats (sign
