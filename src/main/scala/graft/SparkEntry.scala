@@ -580,6 +580,17 @@ object SparkEntry {
         )
         .orderBy(col("id_a"), col("id_b"))
     },
+    "semantic_dedup" -> { (s, dir) =>
+      // explicit seed centroids + no k-means, like ann_ivf_topk: the
+      // oracle replays exactly this; production callers omit the
+      // params and get sqrt(N) cells with spherical k-means rounds
+      Similarity
+        .semanticDedup(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          threshold = 0.3, nCells = 16, kmeansIters = 0,
+        )
+        .orderBy(col("vec_id"))
+    },
     "multimodal_meta" -> { (s, dir) =>
       Multimodal
         .metadata(Multimodal.attachPayload(s.read.parquet(s"$dir/documents.parquet")))
@@ -1677,13 +1688,18 @@ object SparkEntry {
          |conc AS (
          |  SELECT symbol, ts, trade_id, CAST(count(*) AS BIGINT) AS c
          |  FROM pairs GROUP BY symbol, ts, trade_id),
-         |w AS (
-         |  SELECT p.symbol, p.event_id,
-         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(p.ts), tid := p.trade_id, x := p.ret / c.c))), q -> q.x), (x, y) -> x + y) AS s,
-         |         CAST(count(*) AS BIGINT) AS n_ticks
+         |w1 AS (
+         |  SELECT p.symbol, p.event_id, epoch_us(p.ts) // 86400000000 AS chunk,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(p.ts), tid := p.trade_id, x := p.ret / c.c))), q -> q.x), (x, y) -> x + y) AS part,
+         |         CAST(count(*) AS BIGINT) AS n
          |  FROM pairs p
          |  JOIN conc c ON c.symbol = p.symbol AND c.ts = p.ts AND c.trade_id = p.trade_id
-         |  GROUP BY p.symbol, p.event_id)
+         |  GROUP BY p.symbol, p.event_id, chunk),
+         |w AS (
+         |  SELECT symbol, event_id,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(ch := chunk, x := part))), q -> q.x), (x, y) -> x + y) AS s,
+         |         CAST(sum(n) AS BIGINT) AS n_ticks
+         |  FROM w1 GROUP BY symbol, event_id)
          |SELECT symbol, event_id, abs(s) AS attribution, n_ticks
          |FROM w
          |ORDER BY symbol, event_id""".stripMargin,
@@ -1699,13 +1715,18 @@ object SparkEntry {
          |conc AS (
          |  SELECT symbol, ts, trade_id, CAST(count(*) AS BIGINT) AS c
          |  FROM pairs GROUP BY symbol, ts, trade_id),
-         |w AS (
-         |  SELECT p.symbol, p.event_id,
-         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(p.ts), tid := p.trade_id, x := 1.0 / c.c))), q -> q.x), (x, y) -> x + y) AS sinv,
-         |         CAST(count(*) AS BIGINT) AS n_ticks
+         |w1 AS (
+         |  SELECT p.symbol, p.event_id, epoch_us(p.ts) // 86400000000 AS chunk,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(p.ts), tid := p.trade_id, x := 1.0 / c.c))), q -> q.x), (x, y) -> x + y) AS part,
+         |         CAST(count(*) AS BIGINT) AS n
          |  FROM pairs p
          |  JOIN conc c ON c.symbol = p.symbol AND c.ts = p.ts AND c.trade_id = p.trade_id
-         |  GROUP BY p.symbol, p.event_id)
+         |  GROUP BY p.symbol, p.event_id, chunk),
+         |w AS (
+         |  SELECT symbol, event_id,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(ch := chunk, x := part))), q -> q.x), (x, y) -> x + y) AS sinv,
+         |         CAST(sum(n) AS BIGINT) AS n_ticks
+         |  FROM w1 GROUP BY symbol, event_id)
          |SELECT symbol, event_id, sinv / CAST(n_ticks AS DOUBLE) AS avg_uniqueness, n_ticks
          |FROM w
          |ORDER BY symbol, event_id""".stripMargin,
@@ -2397,6 +2418,29 @@ object SparkEntry {
          |  JOIN nrm eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+    "semantic_dedup" ->
+      // SemDeDup replay: seed centroids (id < 16), nearest-centroid
+      // assignment with the smallest-cent_id tiebreak, in-cell pairs,
+      // keep-first (min lower-id match) + max cosine
+      s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS nv FROM embeddings),
+         |cents AS (SELECT id AS cent_id, nv AS cv FROM nv WHERE id < 16),
+         |assign AS (
+         |  SELECT id, nv, cent_id AS cell FROM (
+         |    SELECT nv.id, nv.nv, c.cent_id,
+         |           row_number() OVER (PARTITION BY nv.id
+         |                              ORDER BY ${dotNormSql("nv.nv", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM nv, cents c)
+         |  WHERE r = 1),
+         |dups AS (
+         |  SELECT bid AS id, min(aid) AS dup_of, max(s) AS max_sim FROM (
+         |    SELECT a.id AS aid, b.id AS bid, ${dotNormSql("a.nv", "b.nv")} AS s
+         |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id) p
+         |  WHERE s >= 0.3 GROUP BY bid)
+         |SELECT av.id AS vec_id, av.cell,
+         |       CAST(d.dup_of IS NOT NULL AS INTEGER) AS is_dup,
+         |       d.dup_of, d.max_sim
+         |FROM assign av LEFT JOIN dups d ON d.id = av.id
+         |ORDER BY av.id""".stripMargin,
     "multimodal_meta" ->
       s"""WITH m AS (
          |  SELECT doc_id, 'application/octet-' || source AS mime, encode(text) AS content

@@ -611,7 +611,206 @@ object Labels {
     * `* N / Σw` step) is the caller's: it is a two-value global
     * reduction whose float order the caller controls.
     */
+  /** One (event, day-chunk) partial fold from the weight scan. */
+  private[graft] final case class WeightPartial(
+      symbol: String,
+      event_id: Long,
+      chunk: Long,
+      part: Double,
+      n: Long,
+  )
+
+  /** Shared scan core behind [[uniquenessWeights]] and
+    * [[returnAttribution]]: per event, the ordered fold of
+    * value/concurrency over the ticks its [t0, t1] interval covers —
+    * WITHOUT materializing event×tick pairs. The pair form shuffles
+    * O(q × ticks-per-interval) rows (quadratic in tick density:
+    * measured 212-330 s at 100× density, §6e); this scan ships each
+    * tick to its (symbol, day) chunk once and each event to the ≤
+    * 1+interval/day chunks it touches, computes per-tick concurrency
+    * by two binary searches over the chunk's event boundary arrays
+    * (c_u = #{t0 ≤ u} − #{t1 < u}), folds each event's in-chunk tick
+    * range in (ts, trade_id) order in compiled code, and emits ONE
+    * partial row per (event, chunk).
+    *
+    * Fold tree contract: total = left-fold over per-chunk partials in
+    * chunk order, each partial a left-fold from 0.0. For an event
+    * whose interval sits inside one day (the common case) this is
+    * BIT-identical to the flat pair-form fold (0.0 + p == p for the
+    * p ≥ 0.0 / p ≠ -0.0 terms these operators produce); straddlers
+    * get the regrouped tree, which the DuckDB oracles replay exactly
+    * (per-chunk ordered list_reduce, then a chunk-ordered
+    * list_reduce of partials).
+    *
+    * @param ticks  (symbol: string, tsus: long, tid: long, v: double)
+    * @param events (symbol: string, t0us: long, t1us: long, event_id: long)
+    * @return (symbol, event_id, s: chunk-folded Σ v/c, n_ticks)
+    */
+  private def intervalConcFold(ticks: DataFrame, events: DataFrame): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val dayUs = 86400000000L
+    // kind 0 = event (a = t0us, b = t1us, id = event_id, v unused)
+    // kind 1 = tick  (a = tsus,  b = 0,    id = trade_id, v = value)
+    val evRows = events
+      .where(col("t1us") >= col("t0us"))
+      .select(
+        col("symbol"),
+        explode(sequence(expr(s"t0us div ${dayUs}L"), expr(s"t1us div ${dayUs}L"))).as("chunk"),
+        lit(0).as("kind"),
+        col("t0us").as("a"),
+        col("t1us").as("b"),
+        col("event_id").cast("long").as("id"),
+        lit(0.0).as("v"),
+      )
+    val tkRows = ticks.select(
+      col("symbol"),
+      expr(s"tsus div ${dayUs}L").as("chunk"),
+      lit(1).as("kind"),
+      col("tsus").as("a"),
+      lit(0L).as("b"),
+      col("tid").as("id"),
+      col("v"),
+    )
+    evRows
+      .unionByName(tkRows)
+      .repartition(col("symbol"), col("chunk"))
+      .sortWithinPartitions(col("symbol"), col("chunk"), col("kind"), col("a"), col("id"))
+      .as[(String, Long, Int, Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        new Iterator[WeightPartial] {
+          private val out = scala.collection.mutable.ArrayDeque.empty[WeightPartial]
+          private var curSym: String = null
+          private var curChunk = 0L
+          private val e0 = new scala.collection.mutable.ArrayBuffer[Long] // t0, sorted (arrival order)
+          private val e1 = new scala.collection.mutable.ArrayBuffer[Long] // t1, arrival order
+          private val eid = new scala.collection.mutable.ArrayBuffer[Long]
+          private val ts = new scala.collection.mutable.ArrayBuffer[Long]
+          private val tv = new scala.collection.mutable.ArrayBuffer[Double]
+
+          private def process(): Unit = {
+            val q = e0.length
+            val n = ts.length
+            if (q > 0 && n > 0) {
+              val t0s = e0.toArray // already ascending (sort key (kind, a, id))
+              val t1arr = e1.toArray
+              val t1s = t1arr.clone()
+              java.util.Arrays.sort(t1s)
+              val tsA = ts.toArray
+              val tvA = tv.toArray
+              // c_u = #{t0 <= u} - #{t1 < u}, both by binary search
+              def countLe(arr: Array[Long], x: Long): Int = {
+                var lo = 0
+                var hi = arr.length
+                while (lo < hi) {
+                  val m = (lo + hi) >>> 1
+                  if (arr(m) <= x) lo = m + 1 else hi = m
+                }
+                lo
+              }
+              def countLt(arr: Array[Long], x: Long): Int = {
+                var lo = 0
+                var hi = arr.length
+                while (lo < hi) {
+                  val m = (lo + hi) >>> 1
+                  if (arr(m) < x) lo = m + 1 else hi = m
+                }
+                lo
+              }
+              val cArr = new Array[Double](n) // concurrency as double divisor
+              var j = 0
+              while (j < n) {
+                cArr(j) = (countLe(t0s, tsA(j)) - countLt(t1s, tsA(j))).toDouble
+                j += 1
+              }
+              var i = 0
+              while (i < q) {
+                val lo = countLt(tsA, t0s(i)) // first tick with ts >= t0 (inclusive start)
+                val hi = countLe(tsA, t1arr(i)) - 1 // last tick with ts <= t1
+                if (lo <= hi) {
+                  var acc = 0.0
+                  var k = lo
+                  while (k <= hi) {
+                    acc += tvA(k) / cArr(k)
+                    k += 1
+                  }
+                  out.append(WeightPartial(curSym, eid(i), curChunk, acc, (hi - lo + 1).toLong))
+                }
+                i += 1
+              }
+            }
+            e0.clear(); e1.clear(); eid.clear(); ts.clear(); tv.clear()
+          }
+
+          private def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (sym, chunk, kind, a, b, id, v) = it.next()
+              if (curSym != null && (sym != curSym || chunk != curChunk)) process()
+              curSym = sym
+              curChunk = chunk
+              if (kind == 0) { e0 += a; e1 += b; eid += id }
+              else { ts += a; tv += v }
+            }
+            if (out.isEmpty && !it.hasNext) process()
+          }
+
+          override def hasNext: Boolean = {
+            if (out.isEmpty) advance()
+            out.nonEmpty
+          }
+
+          override def next(): WeightPartial = {
+            if (!hasNext) throw new NoSuchElementException
+            out.removeHead()
+          }
+        }
+      }
+      .toDF()
+      .groupBy(col("symbol"), col("event_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("chunk"), col("part")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("part"),
+        ).as("s"),
+        sum(col("n")).cast("long").as("n_ticks"),
+      )
+  }
+
   def returnAttribution(
+      trades: DataFrame,
+      events: DataFrame,
+      bucket: String = "10 minutes",
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val w = Window.partitionBy(col(c.symbol)).orderBy(col(c.ts), col(c.tradeId))
+    val ticks = trades
+      .select(
+        col(c.symbol).as("symbol"),
+        unix_micros(col(c.ts)).as("tsus"),
+        col(c.tradeId).cast("long").as("tid"),
+        log(col(c.price) / lag(col(c.price), 1).over(w)).as("v"),
+      )
+      .where(col("v").isNotNull)
+    val ev = events.select(
+      col("symbol"),
+      unix_micros(col("t0")).as("t0us"),
+      unix_micros(col("t1")).as("t1us"),
+      col("event_id"),
+    )
+    intervalConcFold(ticks, ev)
+      .select(
+        col("symbol"),
+        col("event_id"),
+        abs(col("s")).as("attribution"),
+        col("n_ticks"),
+      )
+  }
+
+  /** Pair-materializing twin of [[returnAttribution]] (quadratic in
+    * tick density — kept for the equality pin and A/B benching).
+    */
+  private[graft] def returnAttributionPairs(
       trades: DataFrame,
       events: DataFrame,
       bucket: String = "10 minutes",
@@ -671,6 +870,36 @@ object Labels {
   }
 
   def uniquenessWeights(
+      trades: DataFrame,
+      events: DataFrame,
+      bucket: String = "10 minutes",
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val ticks = trades.select(
+      col(c.symbol).as("symbol"),
+      unix_micros(col(c.ts)).as("tsus"),
+      col(c.tradeId).cast("long").as("tid"),
+      lit(1.0).as("v"),
+    )
+    val ev = events.select(
+      col("symbol"),
+      unix_micros(col("t0")).as("t0us"),
+      unix_micros(col("t1")).as("t1us"),
+      col("event_id"),
+    )
+    intervalConcFold(ticks, ev)
+      .select(
+        col("symbol"),
+        col("event_id"),
+        (col("s") / col("n_ticks").cast("double")).as("avg_uniqueness"),
+        col("n_ticks"),
+      )
+  }
+
+  /** Pair-materializing twin of [[uniquenessWeights]] (quadratic in
+    * tick density — kept for the equality pin and A/B benching).
+    */
+  private[graft] def uniquenessWeightsPairs(
       trades: DataFrame,
       events: DataFrame,
       bucket: String = "10 minutes",

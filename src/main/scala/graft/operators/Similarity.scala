@@ -339,4 +339,66 @@ object Similarity {
       .agg(first(col("s")).as("score"))
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with spherical k-means, then WITHIN each cluster
+    * mark every vector whose cosine to a LOWER-id cluster member
+    * reaches `threshold` as a duplicate of the smallest such id —
+    * keep-first semantics, like the exact/minhash dedup operators.
+    *
+    * Scale: the centroid table is broadcast (≤ 64k rows); assignment
+    * is one map-side broadcast join + max_by partial agg (one row per
+    * vector enters the exchange); the pair stage joins only WITHIN a
+    * cell, so the pair count is Σ|cell|² — the SemDeDup contract:
+    * cell count (default √N) bounds the expected cell size, and a
+    * pathological hot cell is a data-distribution signal, not a plan
+    * defect. No all-pairs structure anywhere.
+    *
+    * Output: one row per vector — (vec_id, cell, is_dup, dup_of,
+    * max_sim); dup_of/max_sim null for keepers.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      nCells: Int = 0,
+      kmeansIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(16, math.min(65536, math.round(math.sqrt(emb.count().toDouble)).toInt))
+    val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
+      .select(col("id"), col("nv"))
+    val cents = (0 until kmeansIters).foldLeft(
+      nv.where(col("id") < cells).select(col("id").as("cent_id"), col("nv").as("cv"))
+    ) { (c, _) => kmeansRound(nv, c) }
+    val assigned = graft.sources.Checkpoint.table(
+      nv.join(broadcast(cents), lit(true))
+        .withColumn("cs", dotNorm(col("nv"), col("cv")))
+        .groupBy(col("id"))
+        .agg(
+          first(col("nv")).as("nv"),
+          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+        )
+        .select(col("id"), col("nv"), col("cell")),
+      "semdedup-assign",
+    )
+    val dups = assigned
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("s", dotNorm(col("a.nv"), col("b.nv")))
+      .where(col("s") >= threshold)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("dup_of"), max(col("s")).as("max_sim"))
+    assigned
+      .join(dups, Seq("id"), "left")
+      .select(
+        col("id").as("vec_id"),
+        col("cell"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"),
+        col("dup_of"),
+        col("max_sim"),
+      )
+  }
 }

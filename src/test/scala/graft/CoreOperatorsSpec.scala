@@ -726,6 +726,53 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(solo == 1.0)
   }
 
+  test("weight scans == pair-materializing twins (bit-exact within a day)") {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val ev = t
+      .where(col("trade_id") % 50 === 0)
+      .select(
+        col("symbol"),
+        col("ts").as("t0"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"),
+        col("trade_id").as("event_id"),
+      )
+    val sameDay = unix_micros(col("t0")) / lit(86400000000L) === unix_micros(col("t1")) / lit(86400000000L)
+    for ((name, scan, pairsForm) <- Seq(
+        ("uniqueness",
+         Labels.uniquenessWeights(t, ev),
+         Labels.uniquenessWeightsPairs(t, ev)),
+        ("attribution",
+         Labels.returnAttribution(t, ev),
+         Labels.returnAttributionPairs(t, ev)),
+      )) {
+      val got = scan.orderBy("symbol", "event_id").collect()
+      val want = pairsForm.orderBy("symbol", "event_id").collect()
+      assert(got.length == want.length && got.nonEmpty, s"$name row count")
+      // which events sit inside one day (bit-exact contract)?
+      val oneDay = ev
+        .select(col("event_id"), sameDay.as("sd"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1))
+        .toMap
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1), s"$name keys")
+        assert(g.getLong(3) == w.getLong(3), s"$name n_ticks of event ${g.getLong(1)}")
+        val (a, b) = (g.getDouble(2), w.getDouble(2))
+        if (oneDay(g.getLong(1))) {
+          assert(
+            java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+            s"$name event ${g.getLong(1)} (single-day): $a vs $b",
+          )
+        } else {
+          // straddlers: regrouped fold tree — equal to 1 ulp-ish
+          assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)),
+            s"$name event ${g.getLong(1)} (straddler): $a vs $b")
+        }
+      }
+    }
+  }
+
   test("meta-label: 1 iff the primary side captured the touch return") {
     import org.apache.spark.sql.functions._
     def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)

@@ -351,4 +351,53 @@ class ExplainSpec extends SparkSpec {
       )
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("triple-barrier scan core: one chunk exchange, broadcast last-ts, no pair join") {
+    import graft.api.TradingCols
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.Labels
+      .tripleBarrierCoreScan(t, "4 hours", 1.0, 1.0, 100, Some(0.02), TradingCols.default)
+      .queryExecution.executedPlan.toString
+    // exchanges: the lastTs aggregation + the (sym, chunk) repartition
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), "per-symbol last-ts must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no event x path pair join may appear")
+  }
+
+  test("weight chunked-fold scan: two exchanges, zero joins") {
+    import org.apache.spark.sql.functions._
+    val t = TradeData.fromEvents(spark, dir)
+    val ev = t
+      .where(col("trade_id") % 50 === 0)
+      .select(col("symbol"), col("ts").as("t0"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"), col("trade_id").as("event_id"))
+    val p = graft.operators.Labels.uniquenessWeights(t, ev)
+      .queryExecution.executedPlan.toString
+    // union -> (symbol, chunk) repartition; partials -> (symbol, event) agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Join"), "the pair-materializing join must be gone")
+  }
+
+  test("dup spans: windowed gram count (no collect), no cartesian structure") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Dedup.dupSpans(d, window = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "the global gram count must be a window, not a collect")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // fingerprint window + doc coverage window/agg + the totals join
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5, p)
+  }
+
+  test("semantic dedup: checkpointed assignment feeds both pair sides, no cartesian") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
+      .queryExecution.executedPlan.toString
+    // the centroid cross join runs once INSIDE the assignment
+    // checkpoint; the visible plan must scan that parquet table (both
+    // pair sides + the final rollup), never re-derive assignments or
+    // cartesian the corpus
+    assert(p.contains("graft-ckpt-semdedup-assign"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -269,6 +269,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(part.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("semantic dedup: in-cluster near-dups marked keep-first, cross-cluster kept") {
+    // two tight clusters + one isotropic outlier; near-dups only
+    // within a cluster
+    val base1 = Array.fill(64)(1.0f)
+    val base2 = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    def jitter(base: Array[Float], seed: Int, eps: Float): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      base.map(x => x + eps * r.nextGaussian().toFloat)
+    }
+    val vecs = Seq(
+      0L -> base1,
+      1L -> jitter(base1, 1, 0.05f), // dup of 0
+      2L -> jitter(base1, 2, 0.05f), // dup of 0 (keep-first: min id)
+      3L -> base2,
+      4L -> jitter(base2, 4, 0.05f), // dup of 3
+      5L -> Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f), // orthogonal-ish outlier
+    )
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = operators.Similarity
+      .semanticDedup(emb, threshold = 0.95, nCells = 2, kmeansIters = 2)
+      .orderBy("vec_id")
+      .collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getInt(2) == 0) // keeper
+    assert(byId(1L).getInt(2) == 1 && byId(1L).getLong(3) == 0L)
+    assert(byId(2L).getInt(2) == 1 && byId(2L).getLong(3) == 0L)
+    assert(byId(3L).getInt(2) == 0)
+    assert(byId(4L).getInt(2) == 1 && byId(4L).getLong(3) == 3L)
+    assert(byId(5L).getInt(2) == 0)
+    // max_sim of a dup is a real cosine above the threshold
+    assert(byId(1L).getDouble(4) >= 0.95)
+    // every vector appears exactly once
+    assert(out.length == 6)
+  }
+
   test("auto LSH params: sub-1% candidates with >=0.8 near-dup recall on clustered vectors") {
     // clustered corpus — the regime LSH is FOR: near-duplicates at
     // cosine ~0.95 (members of a cluster), everything else isotropic
