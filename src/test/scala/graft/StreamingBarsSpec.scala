@@ -218,6 +218,67 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming triple-barrier equals batch on in-stream-closed events, bit-exact") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sbarrier").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingBarrier
+      .labels(stream, horizon = "4 hours", constTarget = 0.02)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_barrier")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_barrier").collect()
+    assert(streamed.nonEmpty)
+    val batch = graft.operators.Labels
+      .tripleBarrier(trades, horizon = "4 hours", constTarget = Some(0.02))
+      .collect()
+    val batchByKey = batch.map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime) -> r
+    }.toMap
+    // batch caps t1 at the symbol's last tick and emits end-of-data
+    // verticals; the stream only closes windows a later tick proves
+    // closed. Every streamed row must therefore appear in batch with
+    // identical fields (t1 uncapped by construction of the filter).
+    val lastTs = trades
+      .groupBy("symbol").agg(org.apache.spark.sql.functions.max("ts").as("m"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    var checked = 0
+    streamed.foreach { s =>
+      val key = (s.getString(0), s.getTimestamp(1).getTime)
+      val b = batchByKey.getOrElse(key, fail(s"stream row $key missing from batch"))
+      if (s.getTimestamp(3).getTime <= lastTs(key._1)) { // t1 within data: contracts coincide
+        assert(s.getDouble(2) == b.getAs[Double]("trgt"))
+        assert(s.getTimestamp(3) == b.getAs[java.sql.Timestamp]("t1"), s"t1 of $key")
+        assert(s.getTimestamp(4) == b.getAs[java.sql.Timestamp]("touch_ts"), s"touch_ts of $key")
+        assert(s.getInt(6) == b.getAs[Int]("label"), s"label of $key")
+        val sr = if (s.isNullAt(5)) null else java.lang.Double.valueOf(s.getDouble(5))
+        val br = b.getAs[java.lang.Double]("touch_return")
+        assert(
+          (sr == null && br == null) ||
+            java.lang.Double.doubleToLongBits(sr) == java.lang.Double.doubleToLongBits(br),
+          s"touch_return of $key: $sr vs $br",
+        )
+        checked += 1
+      }
+    }
+    assert(checked > 100, s"only $checked comparable events")
+    // and every batch event whose window closed in-stream was emitted
+    val streamKeys = streamed.map(s => (s.getString(0), s.getTimestamp(1).getTime)).toSet
+    val missing = batch.count { b =>
+      val sym = b.getString(0)
+      val t1 = b.getAs[java.sql.Timestamp]("t1").getTime
+      t1 < lastTs(sym) && !streamKeys.contains((sym, b.getTimestamp(1).getTime))
+    }
+    assert(missing == 0, s"$missing in-stream-closed batch events not emitted")
+  }
+
   test("streaming sadf equals batch sadf scan bit-exactly") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-ssadf").toString
