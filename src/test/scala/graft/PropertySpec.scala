@@ -351,6 +351,77 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("chunked weight fold == pair form on random multi-day intervals") {
+    // random walks + random event intervals spanning 0-3 day chunks —
+    // exercises every halo/boundary case the 1h queries don't
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val dayUs = 86400000L // millis here; ts in millis
+      val ticks = (0 until 400).map { i =>
+        val sym = if (i % 2 == 0) "A" else "B"
+        // uneven spacing, ~2.5 days per symbol
+        val t = 1700000000000L + (i / 2).toLong * 1080000L + rng.nextInt(60000)
+        (sym, new java.sql.Timestamp(t), 50.0 + rng.nextInt(1000) / 10.0, 1L, i.toLong)
+      }
+      val df = ticks.toDF("symbol", "ts", "price", "size", "trade_id")
+      val evs = (0 until 40).map { j =>
+        val sym = if (j % 2 == 0) "A" else "B"
+        val t0 = 1700000000000L + rng.nextInt(2 * dayUs.toInt).toLong
+        val len = rng.nextInt(2 * dayUs.toInt).toLong + 1000L
+        (sym, new java.sql.Timestamp(t0), new java.sql.Timestamp(t0 + len), j.toLong + 1000L)
+      }
+      val ev = evs.toDF("symbol", "t0", "t1", "event_id")
+      for ((scan, pairsForm) <- Seq(
+          (operators.Labels.uniquenessWeights(df, ev), operators.Labels.uniquenessWeightsPairs(df, ev)),
+          (operators.Labels.returnAttribution(df, ev), operators.Labels.returnAttributionPairs(df, ev)),
+        )) {
+        val got = scan.orderBy("symbol", "event_id").collect()
+        val want = pairsForm.orderBy("symbol", "event_id").collect()
+        assert(got.length == want.length, s"seed $seed row count")
+        got.zip(want).foreach { case (g, w) =>
+          assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+          assert(g.getLong(3) == w.getLong(3), s"seed $seed n_ticks event ${g.getLong(1)}")
+          // regrouped fold: ulp-level agreement on straddlers, exact otherwise
+          val (a, b) = (g.getDouble(2), w.getDouble(2))
+          assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)),
+            s"seed $seed event ${g.getLong(1)}: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("barrier scan core == join core on random walks with extreme thresholds") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val ticks = (0 until 300).map { i =>
+        val sym = if (i % 3 == 0) "X" else "Y"
+        val t = 1700000000000L + (i / 2).toLong * 600000L + rng.nextInt(30000)
+        (sym, new java.sql.Timestamp(t), 100.0 * math.exp((rng.nextGaussian() * 0.05)), 1L, i.toLong)
+      }
+      val df = ticks.toDF("symbol", "ts", "price", "size", "trade_id")
+      // tiny threshold (every tick crosses fast) and huge (mostly verticals)
+      for (trgt <- Seq(0.0001, 0.5)) {
+        val want = operators.Labels
+          .tripleBarrierCore(df, "6 hours", 1.0, 1.0, 100, Some(trgt), graft.api.TradingCols.default)
+          .orderBy("symbol", "ts", "price").collect()
+        val got = operators.Labels
+          .tripleBarrierCoreScan(df, "6 hours", 1.0, 1.0, 100, Some(trgt), graft.api.TradingCols.default)
+          .orderBy("symbol", "ts", "price").collect()
+        assert(got.length == want.length, s"seed $seed trgt $trgt rows")
+        got.zip(want).foreach { case (g, w) =>
+          (0 until g.length).foreach { i =>
+            (g.get(i), w.get(i)) match {
+              case (a: java.lang.Double, b: java.lang.Double) =>
+                assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+                  s"seed $seed trgt $trgt col $i")
+              case (a, b) => assert(a == b, s"seed $seed trgt $trgt col $i: $a vs $b")
+            }
+          }
+        }
+      }
+    }
+  }
+
   // Gen is used for value-level generators where Spark isn't needed
   test("hashBucket distributes uniformly enough (chi-square sanity)") {
     val keys = Gen.listOfN(4000, Gen.choose(0L, Long.MaxValue)).sample.get
