@@ -675,6 +675,11 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     },
+    "quality_classifier" -> { (s, dir) =>
+      TextAnalysis
+        .classifierScore(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    },
     "decontaminate" -> { (s, dir) =>
       // benchmark = every 97th doc (broadcast side); 3-gram overlap
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2697,6 +2702,28 @@ object SparkEntry {
          |            ELSE CAST(coalesce(top.c, 0) * 3 AS DOUBLE) / CAST(g.n_tokens AS DOUBLE) END AS top_3gram_token_frac
          |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
          |ORDER BY g.doc_id""".stripMargin,
+    "quality_classifier" ->
+      // hashed-ngram linear scorer: integer weight sums (associative,
+      // engine-exact), one affine+sigmoid double step at the end
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
+         |x AS (SELECT doc_id, unnest(gl) AS gram FROM g),
+         |wv AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5('w:' || CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS VARCHAR)), 1, 8))::BIGINT AS w
+         |  FROM x),
+         |a AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS n
+         |      FROM wv GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n, 0) AS n_grams,
+         |       CASE WHEN a.n IS NULL THEN 0.0
+         |            ELSE CAST(a.wsum - a.n * 2147483648 AS DOUBLE) / CAST(a.n * 2147483648 AS DOUBLE)
+         |       END AS raw,
+         |       CASE WHEN a.n IS NULL THEN 0.5
+         |            ELSE 1.0 / (1.0 + exp(-(CAST(a.wsum - a.n * 2147483648 AS DOUBLE) / CAST(a.n * 2147483648 AS DOUBLE))))
+         |       END AS score
+         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH d0 AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),

@@ -165,6 +165,53 @@ object TextAnalysis {
     struct(folded.getField("cnt").as("cnt"), folded.getField("gram").as("gram"))
   }
 
+  /** fastText-style hashed-n-gram linear classifier score (the
+    * CCNet / quality-filter pipeline stage): unigrams + bigrams →
+    * hashing trick into `buckets` feature ids → per-bucket weight →
+    * sigmoid(mean weight). The weights here are a DETERMINISTIC
+    * md5-derived stand-in for a trained model (no training corpus
+    * ships in this environment); the Spark-side structure is the
+    * deliverable and is exactly what a real exported linear model
+    * needs: map-side feature hashing, and — the engine-exactness
+    * trick — weights kept as raw INTEGER hash values so the per-doc
+    * sum is an associative BIGINT (map-side partials, any partition
+    * order) with ONE final affine+sigmoid double step, instead of an
+    * order-sensitive double Σ.
+    *
+    * raw = (Σ w_int − n·2³¹) / (n·2³¹) ∈ (−1, 1);  score = σ(raw).
+    */
+  def classifierScore(docs: DataFrame, buckets: Int = 4096, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tk = filter(tokens(col(textCol)), t => t =!= "")
+    val grams = concat(tk, ngramsOfTokens(tk, 2))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
+      .select(
+        col("doc_id"),
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong)).as("b"),
+      )
+      .select(
+        col("doc_id"),
+        conv(substring(md5(concat(lit("w:"), col("b"))), 1, 8), 16, 10).cast("long").as("w"),
+      )
+    val half = 2147483648L // 2^31: the weight-space midpoint
+    val agg = exploded
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).cast("long").as("wsum"), count(lit(1)).as("n_grams"))
+    val raw = (col("wsum") - col("n_grams") * lit(half)).cast("double") /
+      (col("n_grams") * lit(half)).cast("double")
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("n_grams").isNull, lit(0.0)).otherwise(raw).as("raw"),
+        when(col("n_grams").isNull, lit(0.5))
+          .otherwise(lit(1.0) / (lit(1.0) + exp(-raw)))
+          .as("score"),
+      )
+  }
+
   /** All repetition metrics (token counts, dup 2/3-gram fractions,
     * top 3-gram + coverage) as ONE struct from ONE compiled pass over
     * one tokenization — bit-identical to composing [[dupNgramFrac]] /

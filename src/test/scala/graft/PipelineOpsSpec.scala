@@ -269,6 +269,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(part.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
   }
 
+  test("classifier score: hashed-ngram integer sums, sigmoid bounds, empty-doc neutral") {
+    val d = docs(
+      "alpha beta gamma",  // 3 unigrams + 2 bigrams = 5 grams
+      "",                  // no grams -> raw 0.0, score 0.5
+      "alpha beta gamma",  // identical text -> identical score
+    )
+    val out = operators.TextAnalysis.classifierScore(d).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5L)
+    assert(out(1).getLong(1) == 0L && out(1).getDouble(2) == 0.0 && out(1).getDouble(3) == 0.5)
+    assert(out(2).getDouble(3) == out(0).getDouble(3), "deterministic: same text, same score")
+    assert(out.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0))
+    assert(out.forall(r => math.abs(r.getDouble(2)) < 1.0))
+    // partition-order invariance: the integer sum is associative
+    val repart = operators.TextAnalysis.classifierScore(d.repartition(7)).orderBy("doc_id").collect()
+    out.zip(repart).foreach { case (a, b) =>
+      assert(
+        java.lang.Double.doubleToLongBits(a.getDouble(3)) ==
+          java.lang.Double.doubleToLongBits(b.getDouble(3))
+      )
+    }
+  }
+
   test("semantic dedup: in-cluster near-dups marked keep-first, cross-cluster kept") {
     // two tight clusters + one isotropic outlier; near-dups only
     // within a cluster
