@@ -349,8 +349,10 @@ object Similarity {
     * Scale: the centroid table is broadcast (≤ 64k rows); assignment
     * is one map-side broadcast join + max_by partial agg (one row per
     * vector enters the exchange); the pair stage joins only WITHIN a
-    * cell, so the pair count is Σ|cell|² — the SemDeDup contract:
-    * cell count (default √N) bounds the expected cell size, and a
+    * cell, so the pair count is Σ|cell|². The default cell count is
+    * N/256 — a FIXED target cell size, so total expected pairs are
+    * ~N·256/2, linear in the corpus (a √N cell count, IVF's probe
+    * optimum, would give N^1.5 pairs — the wrong trade for dedup). A
     * pathological hot cell is a data-distribution signal, not a plan
     * defect. No all-pairs structure anywhere.
     *
@@ -367,7 +369,7 @@ object Similarity {
   ): DataFrame = {
     val cells =
       if (nCells > 0) nCells
-      else math.max(16, math.min(65536, math.round(math.sqrt(emb.count().toDouble)).toInt))
+      else math.max(16, math.min(65536, (emb.count() / 256L).toInt))
     val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
       .select(col("id"), col("nv"))
     val cents = (0 until kmeansIters).foldLeft(
