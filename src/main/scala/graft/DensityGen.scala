@@ -51,9 +51,14 @@ object DensityGen {
           .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(i.toLong)))
           .withColumn(
             "value",
-            // keep prices strictly positive (sf0.1 has ticks at $0.01)
-            when(col("value").isNotNull && col("value") > 0.1,
-              col("value") + lit(((i % 7) - 3) * 0.01)).otherwise(col("value")),
+            // copy 0 is the unperturbed base; each other copy gets a
+            // DISTINCT whole-cent shift (i·$0.01) so no two copies
+            // share a price path (an i%k scheme collides at copies>k
+            // and re-creates the exact-duplicate structure this
+            // perturbation exists to avoid). Prices <= $0.10 are left
+            // alone (sf0.1 has $0.01 ticks; shifts stay positive).
+            when(col("value").isNotNull && col("value") > 0.1 && lit(i) > 0,
+              col("value") + lit(i * 0.01)).otherwise(col("value")),
           )
       }
       .reduce(_ unionByName _)

@@ -264,7 +264,11 @@ object Bars {
               close = price
               n += 1L
               vol += size
-              centVol += math.round(price * 100) * size
+              // HALF_UP like the twin's Catalyst round(): math.round
+              // alone rounds -234.5 toward +inf (-234) where round()
+              // gives -235 — mirror it for negative prices
+              centVol += (if (price >= 0) math.round(price * 100)
+                          else -math.round(-price * 100)) * size
               if (vol >= barSize) closeBar()
             }
             if (out.isEmpty && n > 0L && !it.hasNext) closeBar()

@@ -379,17 +379,22 @@ object Labels {
     val dayUs = 86400000000L
     val hDays = ((hUs + dayUs - 1) / dayUs).toInt
 
-    val lastTs = df.groupBy(col(c.symbol)).agg(max(col(c.ts)).as("__last_ts"))
+    // degenerate-data guard (the volumeBarsOverflow precedent): null
+    // prices/timestamps cannot ride a primitive-Double scan tuple —
+    // the canonical trades view drops them at the source, this is the
+    // operator-level backstop
+    val clean = df.na.drop(Seq(c.price, c.ts))
+    val lastTs = clean.groupBy(col(c.symbol)).agg(max(col(c.ts)).as("__last_ts"))
     val tid: Column =
       if (df.columns.contains(c.tradeId)) col(c.tradeId).cast("long") else lit(0L)
     val withTarget = constTarget match {
       case Some(x) =>
-        df.select(col(c.symbol), col(c.ts), col(c.price), tid.as("__tid"))
+        clean.select(col(c.symbol), col(c.ts), col(c.price), tid.as("__tid"))
           .withColumn("trgt", lit(x))
       case None =>
-        val vol = dailyVol(df, volSpan, c)
+        val vol = dailyVol(clean, volSpan, c)
           .withColumnRenamed("daily_return_volatility", "trgt")
-        df.select(col(c.symbol), col(c.ts), col(c.price), tid.as("__tid"))
+        clean.select(col(c.symbol), col(c.ts), col(c.price), tid.as("__tid"))
           .join(vol, Seq(c.symbol, c.ts), "left")
     }
     val annotated = withTarget
@@ -444,7 +449,17 @@ object Labels {
             val mx = Array.fill(2 * sz)(Double.NegativeInfinity)
             val mn = Array.fill(2 * sz)(Double.PositiveInfinity)
             var i = 0
-            while (i < n) { mx(sz + i) = pr(i); mn(sz + i) = pr(i); i += 1 }
+            while (i < n) {
+              // a NaN price must never enable a crossing (NaN
+              // comparisons are false in the join core) and must not
+              // poison subtree aggregates (math.max(NaN, x) = NaN
+              // would false-prune whole ranges): map it to the
+              // never-crossing sentinel in each tree
+              val pv = pr(i)
+              mx(sz + i) = if (java.lang.Double.isNaN(pv)) Double.NegativeInfinity else pv
+              mn(sz + i) = if (java.lang.Double.isNaN(pv)) Double.PositiveInfinity else pv
+              i += 1
+            }
             i = sz - 1
             while (i >= 1) {
               mx(i) = math.max(mx(2 * i), mx(2 * i + 1))
@@ -494,8 +509,26 @@ object Labels {
                     } else {
                       val thrP = t * pt
                       val thrS = (-t) * sl
-                      val kp = leftmost(lo, hi, useMax = true, p => (p / p0 - 1.0) >= thrP)
-                      val ks = leftmost(lo, hi, useMax = false, p => (p / p0 - 1.0) <= thrS)
+                      // the tree descent's pruning is only valid when
+                      // p/p0 − 1 is monotone NON-DECREASING in p, i.e.
+                      // p0 > 0 (the data policy); a negative or NaN p0
+                      // falls back to the exact linear scan, which
+                      // evaluates the same per-pair predicates the
+                      // join core does (NaN comparisons are false)
+                      var kp = -1
+                      var ks = -1
+                      if (p0 > 0.0) {
+                        kp = leftmost(lo, hi, useMax = true, p => (p / p0 - 1.0) >= thrP)
+                        ks = leftmost(lo, hi, useMax = false, p => (p / p0 - 1.0) <= thrS)
+                      } else {
+                        var k = lo
+                        while (k <= hi && (kp < 0 || ks < 0)) {
+                          val r = pr(k) / p0 - 1.0
+                          if (kp < 0 && r >= thrP) kp = k
+                          if (ks < 0 && r <= thrS) ks = k
+                          k += 1
+                        }
+                      }
                       out.append(
                         TbScanRow(
                           curSym,
@@ -777,6 +810,10 @@ object Labels {
       )
   }
 
+  /** @param bucket used only by the pair-materializing twin
+    *               ([[returnAttributionPairs]]); the chunked-fold
+    *               scan has no bucket parameter.
+    */
   def returnAttribution(
       trades: DataFrame,
       events: DataFrame,
@@ -869,6 +906,10 @@ object Labels {
       )
   }
 
+  /** @param bucket used only by the pair-materializing twin
+    *               ([[uniquenessWeightsPairs]]); the chunked-fold
+    *               scan has no bucket parameter.
+    */
   def uniquenessWeights(
       trades: DataFrame,
       events: DataFrame,

@@ -372,8 +372,13 @@ object Similarity {
       else math.max(16, math.min(65536, (emb.count() / 256L).toInt))
     val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
       .select(col("id"), col("nv"))
+    // seeds = the `cells` smallest ids (NOT `id < cells`, which is
+    // empty when the id space is sparse or offset — global/hashed ids
+    // would silently produce zero cells and an empty result).
+    // Identical to `id < cells` on dense 0-based corpora, so the
+    // pinned oracle is unchanged.
     val cents = (0 until kmeansIters).foldLeft(
-      nv.where(col("id") < cells).select(col("id").as("cent_id"), col("nv").as("cv"))
+      nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
     ) { (c, _) => kmeansRound(nv, c) }
     val assigned = graft.sources.Checkpoint.table(
       nv.join(broadcast(cents), lit(true))

@@ -137,8 +137,17 @@ object StreamingBarrier {
           } else i += 1
         } else i += 1
       }
-      // 3. this tick opens its own event
-      open.append(OpenEvent(uUs, t.price, uUs + hUs))
+      // 3. this tick opens its own event — unless an identical
+      // (ts, price) event is already open (duplicate prints at the
+      // same microsecond collapse to ONE batch row via the core's
+      // groupBy key; mirror that so parity holds on dup-tick feeds)
+      var j = open.length - 1
+      var dup = false
+      while (j >= 0 && open(j).tsUs == uUs && !dup) { // FIFO: same-ts events sit at the tail
+        if (open(j).price == t.price) dup = true
+        j -= 1
+      }
+      if (!dup) open.append(OpenEvent(uUs, t.price, uUs + hUs))
       lastTsUs = uUs
       lastPrice = t.price
       hasLast = true

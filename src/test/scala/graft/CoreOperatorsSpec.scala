@@ -887,6 +887,48 @@ class CoreOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("barrier scan survives degenerate prices: negative, NaN, null, zero") {
+    import graft.api.TradingCols
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val rows = Seq(
+      ("D", ts(0L), java.lang.Double.valueOf(-10.0), 1L, 0L),  // negative event price
+      ("D", ts(1L), java.lang.Double.valueOf(-11.0), 1L, 1L),  // ret vs -10: +0.1 -> pt
+      ("D", ts(2L), java.lang.Double.valueOf(5.0), 1L, 2L),
+      ("D", ts(3L), java.lang.Double.valueOf(Double.NaN), 1L, 3L), // NaN path tick
+      ("D", ts(4L), java.lang.Double.valueOf(0.0), 1L, 4L),    // zero event price
+      ("D", ts(5L), null.asInstanceOf[java.lang.Double], 1L, 5L), // null price
+      ("D", ts(6L), java.lang.Double.valueOf(6.0), 1L, 6L),
+    )
+    val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+    // must not crash; and on the non-null subset the scan must agree
+    // with the join core run over the same na-dropped frame
+    val clean = df.na.drop(Seq("price"))
+    val want = Labels
+      .tripleBarrierCore(clean, "2 hours", 1.0, 1.0, 100, Some(0.05), TradingCols.default)
+      .orderBy("ts", "price")
+      .collect()
+    val got = Labels
+      .tripleBarrierCoreScan(df, "2 hours", 1.0, 1.0, 100, Some(0.05), TradingCols.default)
+      .orderBy("ts", "price")
+      .collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      (0 until g.length).foreach { i =>
+        (g.get(i), w.get(i)) match {
+          case (a: java.lang.Double, b: java.lang.Double) =>
+            assert(
+              java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+              s"col $i of ts ${g.get(1)}: $a vs $b",
+            )
+          case (a, b) => assert(a == b, s"col $i of ts ${g.get(1)}: $a vs $b")
+        }
+      }
+    }
+    // the negative-price event found its crossing (linear fallback)
+    val neg = got.find(_.getDouble(2) == -10.0).get
+    assert(neg.getAs[java.sql.Timestamp]("pt_ts") != null)
+  }
+
   test("sign entropy: streaming scan == declarative, bit-exact") {
     import graft.operators.Microstructure
     // multi-symbol, multi-day deterministic walk with flats (sign

@@ -324,6 +324,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byId(1L).getDouble(4) >= 0.95)
     // every vector appears exactly once
     assert(out.length == 6)
+    // sparse/offset id spaces must still seed centroids (smallest-ids
+    // rule, not id < cells): shift every id by 1M and re-run
+    val shifted = vecs.map { case (id, v) => (id + 1000000L, v) }.toDF("vec_id", "embedding")
+    val out2 = operators.Similarity
+      .semanticDedup(shifted, threshold = 0.95, nCells = 2, kmeansIters = 2)
+      .orderBy("vec_id")
+      .collect()
+    assert(out2.length == 6, "sparse ids must not produce an empty result")
+    assert(out2.map(_.getInt(2)).toSeq == out.map(_.getInt(2)).toSeq)
   }
 
   test("auto LSH params: sub-1% candidates with >=0.8 near-dup recall on clustered vectors") {
