@@ -675,6 +675,27 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     },
+    "domain_stats" -> { (s, dir) =>
+      // 7 synthetic domains + a no-url bucket: doc_id%5==0 stays
+      // url-free (domain ""), the rest get https://site<id%7>.example
+      val aug = s
+        .read
+        .parquet(s"$dir/documents.parquet")
+        .withColumn(
+          "text",
+          when(col("doc_id") % 5 === 0, col("text"))
+            .otherwise(
+              concat(
+                col("text"),
+                lit(" via https://site"),
+                (col("doc_id") % 7).cast("string"),
+                lit(".example/p/"),
+                col("doc_id").cast("string"),
+              )
+            ),
+        )
+      operators.TextCleaning.domainStats(aug).orderBy(col("domain"))
+    },
     "quality_classifier" -> { (s, dir) =>
       TextAnalysis
         .classifierScore(s.read.parquet(s"$dir/documents.parquet"))
@@ -2702,6 +2723,28 @@ object SparkEntry {
          |            ELSE CAST(coalesce(top.c, 0) * 3 AS DOUBLE) / CAST(g.n_tokens AS DOUBLE) END AS top_3gram_token_frac
          |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
          |ORDER BY g.doc_id""".stripMargin,
+    "domain_stats" ->
+      // first-url host bucketing + order-free integer aggregates only
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0 THEN text
+         |              ELSE text || ' via https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)
+         |         END AS text
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |         lower(regexp_extract(text, '${operators.TextCleaning.UrlHostRe}', 1)) AS domain,
+         |         CAST(len(list_filter(str_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t != '')) AS BIGINT) AS toks,
+         |         CAST(len(regexp_extract_all(text, '${operators.TextCleaning.UrlRe}')) AS BIGINT) AS urls
+         |  FROM aug)
+         |SELECT domain,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |       CAST(sum(urls) AS BIGINT) AS total_urls,
+         |       min(doc_id) AS min_doc_id,
+         |       max(doc_id) AS max_doc_id
+         |FROM x GROUP BY domain
+         |ORDER BY domain""".stripMargin,
     "quality_classifier" ->
       // hashed-ngram linear scorer: integer weight sums (associative,
       // engine-exact), one affine+sigmoid double step at the end

@@ -14,6 +14,9 @@ object TextCleaning {
 
   /** Shared with the DuckDB oracle — keep RE2-safe. */
   val UrlRe = "https?://[^\\s]+"
+
+  /** Capture group = the host of the FIRST url in the text. */
+  val UrlHostRe = "https?://([^\\s/:?#]+)"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
   val AnyRe = s"$UrlRe|$EmailRe|$PhoneRe"
@@ -62,4 +65,37 @@ object TextCleaning {
     */
   def maskPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("masked_text", maskText(col(textCol)))
+
+  /** Per-domain corpus statistics (the C4/RefinedWeb-style grouping
+    * domain-level filtering decisions key on): docs bucket by the
+    * host of their FIRST url (lowercased; "" = no url), then ONE
+    * aggregation with exact/order-free statistics only — doc count,
+    * Σ whitespace tokens (integer), min/max doc_id, and url density
+    * as exact integer url-count sums. No order-sensitive double Σ:
+    * mean-quality-per-domain style metrics belong to a second pass
+    * joining a per-doc score, where the caller picks the fold.
+    *
+    * Scale: regexp_extract is a codegen'd map-side scan; the single
+    * groupBy(domain) aggregation combines map-side. Domain skew
+    * (one giant host) only skews one aggregation key — counters,
+    * not row buffers.
+    */
+  def domainStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        lower(regexp_extract(col(textCol), UrlHostRe, 1)).as("domain"),
+        TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("__toks"),
+        regexp_count(col(textCol), lit(UrlRe)).cast("long").as("__urls"),
+      )
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).cast("long").as("total_tokens"),
+        sum(col("__urls")).cast("long").as("total_urls"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+      )
+  }
 }
