@@ -24,9 +24,29 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val probes: Map[String, () => Unit] = Map(
       "semantic_dedup_default" -> { () =>
-        operators.Similarity
+        import org.apache.spark.sql.functions._
+        val out = operators.Similarity
           .semanticDedup(spark.read.parquet(s"$sfDir/embeddings.parquet"))
-          .write.format("noop").mode("overwrite").save()
+          .cache()
+        out.write.format("noop").mode("overwrite").save()
+        // the scale claim is "in-cell pairs ~ N*256/2 at any N" — log
+        // the actual bound Σ|cell|·(|cell|−1)/2 so the docstring's
+        // linearity is a measured number, not an assertion
+        val row = out
+          .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+          .agg(
+            sum(col("c")).as("n"),
+            count(lit(1)).as("cells"),
+            expr("sum(c * (c - 1) div 2)").as("pair_bound"),
+            max(col("c")).as("max_cell"),
+          )
+          .head()
+        println(
+          s"""{"probe_detail":"semantic_dedup_default","n":${row.getLong(0)},""" +
+            s""""cells":${row.getLong(1)},"pair_bound":${row.getLong(2)},""" +
+            s""""max_cell":${row.getLong(3)}}"""
+        )
+        out.unpersist()
       },
       "dup_spans_w16" -> { () =>
         operators.Dedup

@@ -583,7 +583,8 @@ object SparkEntry {
     "semantic_dedup" -> { (s, dir) =>
       // explicit seed centroids + no k-means, like ann_ivf_topk: the
       // oracle replays exactly this; production callers omit the
-      // params and get sqrt(N) cells with spherical k-means rounds
+      // params and get N/256 target-size cells with spherical k-means
+      // rounds (two-level coarse/fine assignment past 4096 cells)
       Similarity
         .semanticDedup(
           s.read.parquet(s"$dir/embeddings.parquet"),

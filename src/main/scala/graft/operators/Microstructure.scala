@@ -303,7 +303,11 @@ object Microstructure {
     )
   }
 
-  private case class EntropyDayRow(
+  // private[graft], not private: a JVM-private case class makes Janino
+  // unable to call the accessors, silently dropping the output
+  // projection to interpreted mode (same class of bug as the r6b
+  // BarRow fix). Qualified private compiles to public accessors.
+  private[graft] case class EntropyDayRow(
       symbol: String,
       date: java.sql.Date,
       n_ticks: Long,

@@ -346,13 +346,23 @@ object Similarity {
     * reaches `threshold` as a duplicate of the smallest such id —
     * keep-first semantics, like the exact/minhash dedup operators.
     *
-    * Scale: the centroid table is broadcast (≤ 64k rows); assignment
-    * is one map-side broadcast join + max_by partial agg (one row per
-    * vector enters the exchange); the pair stage joins only WITHIN a
-    * cell, so the pair count is Σ|cell|². The default cell count is
-    * N/256 — a FIXED target cell size, so total expected pairs are
-    * ~N·256/2, linear in the corpus (a √N cell count, IVF's probe
-    * optimum, would give N^1.5 pairs — the wrong trade for dedup). A
+    * Scale: the default cell count is N/256 — a FIXED target cell
+    * size at ANY corpus size (no cap), so total expected in-cell
+    * pairs are ~N·256/2, linear in the corpus (a √N cell count,
+    * IVF's probe optimum, would give N^1.5 pairs — the wrong trade
+    * for dedup). Assignment cost is kept sub-brute-force by a
+    * TWO-LEVEL split past [[directAssignMax]] cells: √cells coarse
+    * centroids are broadcast (a few thousand rows at 1B vectors) and
+    * argmax-assigned map-side, then each vector meets only its coarse
+    * cell's ~√cells fine centroids through an equi-join on the coarse
+    * key — 2·N·√cells dots total instead of N·cells (65k dots/vector
+    * at the old 64k cap). The fine join's intermediate rows collapse
+    * to one row per vector via max_by partial aggregation BEFORE any
+    * exchange (all of a vector's candidate rows share its coarse
+    * partition). At ≤ [[directAssignMax]] cells (small corpora, and
+    * every explicit-nCells oracle form) the single broadcast
+    * cross-join assignment is cheaper and exact — that path is
+    * unchanged. The pair stage joins only WITHIN a cell either way; a
     * pathological hot cell is a data-distribution signal, not a plan
     * defect. No all-pairs structure anywhere.
     *
@@ -369,28 +379,31 @@ object Similarity {
   ): DataFrame = {
     val cells =
       if (nCells > 0) nCells
-      else math.max(16, math.min(65536, (emb.count() / 256L).toInt))
+      else math.max(16, (emb.count() / 256L).min(Int.MaxValue.toLong).toInt)
     val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
       .select(col("id"), col("nv"))
-    // seeds = the `cells` smallest ids (NOT `id < cells`, which is
-    // empty when the id space is sparse or offset — global/hashed ids
-    // would silently produce zero cells and an empty result).
-    // Identical to `id < cells` on dense 0-based corpora, so the
-    // pinned oracle is unchanged.
-    val cents = (0 until kmeansIters).foldLeft(
-      nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
-    ) { (c, _) => kmeansRound(nv, c) }
-    val assigned = graft.sources.Checkpoint.table(
-      nv.join(broadcast(cents), lit(true))
-        .withColumn("cs", dotNorm(col("nv"), col("cv")))
-        .groupBy(col("id"))
-        .agg(
-          first(col("nv")).as("nv"),
-          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+    val assigned =
+      if (cells <= directAssignMax) {
+        // seeds = the `cells` smallest ids (NOT `id < cells`, which is
+        // empty when the id space is sparse or offset — global/hashed
+        // ids would silently produce zero cells and an empty result).
+        // Identical to `id < cells` on dense 0-based corpora, so the
+        // pinned oracle is unchanged.
+        val cents = (0 until kmeansIters).foldLeft(
+          nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
+        ) { (c, _) => kmeansRound(nv, c) }
+        graft.sources.Checkpoint.table(
+          nv.join(broadcast(cents), lit(true))
+            .withColumn("cs", dotNorm(col("nv"), col("cv")))
+            .groupBy(col("id"))
+            .agg(
+              first(col("nv")).as("nv"),
+              max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+            )
+            .select(col("id"), col("nv"), col("cell")),
+          "semdedup-assign",
         )
-        .select(col("id"), col("nv"), col("cell")),
-      "semdedup-assign",
-    )
+      } else twoLevelAssign(nv, cells, kmeansIters)
     val dups = assigned
       .as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -407,5 +420,105 @@ object Similarity {
         col("dup_of"),
         col("max_sim"),
       )
+  }
+
+  /** Above this cell count, [[semanticDedup]] switches from the exact
+    * single-level broadcast assignment (N·cells dots, centroid table
+    * broadcast whole) to the two-level coarse/fine split (2·N·√cells
+    * dots, only √cells centroids broadcast). 4096 cells ≈ a 1M-vector
+    * corpus at the N/256 default — below it brute-force assignment is
+    * both cheaper and exact.
+    */
+  private[graft] val directAssignMax = 4096
+
+  /** Two-level centroid assignment: √cells coarse centroids assign
+    * map-side (broadcast argmax), then each vector meets only its
+    * coarse cell's fine centroids via an equi-join on the coarse key.
+    * Global cell id = coarse · finePer + fine (disjoint by
+    * construction). Returns (id, nv, cell) — same contract as the
+    * single-level assignment checkpoint.
+    *
+    * Both levels seed deterministically from the smallest member ids
+    * and refine with `kmeansIters` spherical k-means rounds; the fine
+    * rounds stay scoped within their coarse cell (the per-round
+    * assignment is the same coarse-key equi-join, so no round is ever
+    * N·cells work).
+    */
+  private def twoLevelAssign(nv: DataFrame, cells: Int, kmeansIters: Int): DataFrame = {
+    val coarse = math.max(16, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val finePer = math.max(1, math.ceil(cells.toDouble / coarse).toInt)
+    val ccents = (0 until kmeansIters).foldLeft(
+      nv.orderBy(col("id")).limit(coarse).select(col("id").as("cent_id"), col("nv").as("cv"))
+    ) { (c, _) => kmeansRound(nv, c) }
+    // coarse label per vector — map-side (√cells-row broadcast), one
+    // partial-agg exchange on id; checkpointed because every fine
+    // round AND the final assignment re-scan it
+    val members = graft.sources.Checkpoint.table(
+      nv.join(broadcast(ccents), lit(true))
+        .withColumn("cs", dotNorm(col("nv"), col("cv")))
+        .groupBy(col("id"))
+        .agg(
+          first(col("nv")).as("nv"),
+          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("coarse"),
+        )
+        .select(col("id"), col("nv"), col("coarse")),
+      "semdedup-coarse",
+    )
+    // fine seeds: per coarse cell, its `finePer` smallest member ids
+    // (deterministic, non-empty for every non-empty coarse cell)
+    val wCell = Window.partitionBy(col("coarse")).orderBy(col("id"))
+    val seeds = members
+      .withColumn("r", row_number().over(wCell))
+      .where(col("r") <= finePer)
+      .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
+    val fcents = (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) }
+    graft.sources.Checkpoint.table(
+      members
+        .join(fcents, Seq("coarse"))
+        .withColumn("cs", dotNorm(col("nv"), col("cv")))
+        .groupBy(col("id"))
+        .agg(
+          first(col("nv")).as("nv"),
+          max_by(
+            col("coarse").cast("long") * finePer + col("fine"),
+            struct(col("cs"), -col("fine")),
+          ).as("cell"),
+        )
+        .select(col("id"), col("nv"), col("cell")),
+      "semdedup-assign",
+    )
+  }
+
+  /** One spherical k-means round scoped WITHIN coarse cells: assign
+    * each member to its nearest fine centroid among its own coarse
+    * cell's centroids (equi-join on the coarse key — never N·cells),
+    * average members per (coarse, fine), re-normalize onto the
+    * sphere. Mirrors [[kmeansRound]] with a compound cell key.
+    */
+  private def fineKmeansRound(members: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = members
+      .join(cents, Seq("coarse"))
+      .withColumn("cs", dotNorm(col("nv"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        first(col("nv")).as("nv"),
+        first(col("coarse")).as("coarse"),
+        max_by(col("fine"), struct(col("cs"), -col("fine"))).as("fine"),
+      )
+    val means = assigned
+      .select(col("coarse"), col("fine"), posexplode(col("nv")).as(Seq("pos", "x")))
+      .groupBy(col("coarse"), col("fine"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("coarse"), col("fine"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m"),
+        ).as("mv")
+      )
+    means
+      .withColumn("__nrm", sqrt(dot(col("mv"), col("mv"))))
+      .where(col("__nrm") > 0)
+      .select(col("coarse"), col("fine"), transform(col("mv"), x => x / col("__nrm")).as("cv"))
   }
 }

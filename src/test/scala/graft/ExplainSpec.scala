@@ -378,14 +378,22 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("Join"), "the pair-materializing join must be gone")
   }
 
-  test("dup spans: windowed gram count (no collect), no cartesian structure") {
+  test("dup spans: gram count is a partial aggregation + semi-join, not a window") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val p = graft.operators.Dedup.dupSpans(d, window = 8)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("Window"), "the global gram count must be a window, not a collect")
+    val q = graft.operators.Dedup.dupSpans(d, window = 8)
+    val p = q.queryExecution.executedPlan.toString
+    // The global gram count must partial-aggregate map-side (a
+    // Window.partitionBy(h) count buffers a 10^6-copy boilerplate gram
+    // on ONE task — the r8 hot-gram flag). Plan shape: a partial
+    // HashAggregate on h below the exchange, a LeftSemi join back onto
+    // the gram stream, and the only Window left is the per-doc lag.
+    assert(p.contains("partial_count"), "gram count must have a map-side partial phase: " + p)
+    assert(p.contains("LeftSemi"), "dup hashes must semi-join the gram stream: " + p)
+    val windowNodes = "Window ".r.findAllIn(p).length
+    assert(windowNodes <= 1, s"only the per-doc lag window may remain ($windowNodes found): " + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // fingerprint window + doc coverage window/agg + the totals join
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5, p)
+    // gram-count agg + semi-join + doc window/agg + the totals join
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 6, p)
   }
 
   test("semantic dedup: checkpointed assignment feeds both pair sides, no cartesian") {

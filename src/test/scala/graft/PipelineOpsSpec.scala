@@ -335,6 +335,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2.map(_.getInt(2)).toSeq == out.map(_.getInt(2)).toSeq)
   }
 
+  test("semantic dedup two-level assignment: exact duplicates found past directAssignMax cells") {
+    // nCells > directAssignMax forces the coarse/fine split. Exact
+    // duplicate vectors are invariant to the assignment scheme: an
+    // identical vector scores identically against every centroid, so
+    // the deterministic argmax puts both copies in the same coarse AND
+    // fine cell — the within-cell pair stage must flag the higher id.
+    val dim = 32
+    val rnd = new scala.util.Random(11)
+    val uniques = (0 until 300).map { i =>
+      (i.toLong * 2, Array.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val dups = uniques.take(40).map { case (id, v) => (id + 1, v.clone()) }
+    val emb = (uniques ++ dups).toDF("vec_id", "embedding")
+    val cellsRequested = graft.operators.Similarity.directAssignMax + 1000
+    val out = operators.Similarity
+      .semanticDedup(emb, threshold = 0.999, nCells = cellsRequested, kmeansIters = 1)
+      .orderBy("vec_id")
+      .collect()
+    assert(out.length == 340, "every vector exactly once")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // every cloned vector is flagged as a dup of its even-id original
+    dups.foreach { case (id, _) =>
+      assert(byId(id).getInt(2) == 1, s"clone $id must be flagged")
+      assert(byId(id).getLong(3) == id - 1, s"clone $id must point at its original")
+      assert(byId(id).getDouble(4) >= 0.999)
+      assert(byId(id).getLong(1) == byId(id - 1).getLong(1), "clone shares its original's cell")
+    }
+    // originals never flag against their (higher-id) clones
+    uniques.take(40).foreach { case (id, _) => assert(byId(id).getInt(2) == 0) }
+    // deterministic: a re-run under a different input partitioning is
+    // row-identical (seeding is smallest-ids, argmax ties break on id)
+    val out2 = operators.Similarity
+      .semanticDedup(emb.repartition(13), threshold = 0.999, nCells = cellsRequested, kmeansIters = 1)
+      .orderBy("vec_id")
+      .collect()
+    out.zip(out2).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+      assert(a.getInt(2) == b.getInt(2))
+    }
+  }
+
   test("auto LSH params: sub-1% candidates with >=0.8 near-dup recall on clustered vectors") {
     // clustered corpus — the regime LSH is FOR: near-duplicates at
     // cosine ~0.95 (members of a cluster), everything else isotropic
