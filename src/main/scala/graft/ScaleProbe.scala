@@ -48,6 +48,47 @@ object ScaleProbe {
         )
         out.unpersist()
       },
+      "minhash_diag" -> { () =>
+        import org.apache.spark.sql.functions._
+        import graft.operators.Dedup
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val base = docs.select(
+          col("doc_id").as("id"),
+          graft.functions.TextExprs
+            .shingleHashes(graft.operators.TextAnalysis.normText(col("text")), 5).as("hsl"),
+        ).cache()
+        val nDocs = base.count()
+        val reps = base.groupBy(col("hsl")).agg(min(col("id")).as("id"), count(lit(1)).as("k")).cache()
+        val nReps = reps.count()
+        val maxCluster = reps.agg(max("k")).head().getLong(0)
+        val sig = reps.select(
+          col("id"),
+          graft.functions.TextExprs.minhashSig(
+            col("hsl"), 16, Dedup.MinhashP,
+            (0 until 16).map(Dedup.minhashA), (0 until 16).map(Dedup.minhashB)).as("sig"),
+        )
+        val buckets = sig
+          .select(col("id"), explode(Dedup.bandHashes(col("sig"), 16, 4)).as("band"))
+          .groupBy("band").agg(count(lit(1)).as("s"))
+          .agg(
+            expr("sum(s * (s - 1) div 2)").as("cand_bound"),
+            max(col("s")).as("max_bucket"),
+            count(lit(1)).as("n_buckets"),
+          ).head()
+        val cappedBound = sig
+          .select(col("id"), explode(Dedup.bandHashes(col("sig"), 16, 4)).as("band"))
+          .groupBy("band").agg(count(lit(1)).as("s"))
+          .where(col("s") <= 4096)
+          .agg(expr("sum(s * (s - 1) div 2)")).head().getLong(0)
+        val nOut = Dedup.minhashLsh(spark.read.parquet(s"$sfDir/documents.parquet"), threshold = 0.5).count()
+        println(
+          s"""{"probe_detail":"minhash_diag","docs":$nDocs,"reps":$nReps,""" +
+            s""""max_cluster":$maxCluster,"cand_bound":${buckets.getLong(0)},""" +
+            s""""capped_cand_bound":$cappedBound,"out_pairs":$nOut,""" +
+            s""""max_bucket":${buckets.getLong(1)},"n_buckets":${buckets.getLong(2)}}"""
+        )
+        base.unpersist(); reps.unpersist()
+      },
       "dup_spans_w16" -> { () =>
         operators.Dedup
           .dupSpans(spark.read.parquet(s"$sfDir/documents.parquet"), window = 16)

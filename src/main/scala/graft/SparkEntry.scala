@@ -837,8 +837,17 @@ object SparkEntry {
     s"""hsx AS (SELECT id, list_distinct(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hsl FROM sh),
        |sig AS (SELECT id, $minhashSigSql AS sig FROM hsx),
        |bands AS (SELECT id, unnest($bandsSql) AS band FROM sig),
+       |-- bucket cap (Dedup.lshJaccardPairs maxBucket=4096): a band
+       |-- value shared by >4096 DISTINCT shingle sets is dropped; the
+       |-- Spark side counts representatives, which equals the distinct-
+       |-- hsl count here because identical sets share every band value
+       |okband AS (SELECT band FROM (
+       |  SELECT band, count(DISTINCT x.hsl) AS s
+       |  FROM bands JOIN hsx x ON bands.id = x.id GROUP BY band)
+       |  WHERE s <= 4096),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |         FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id
+       |         WHERE a.band IN (SELECT band FROM okband)),
        |pairs AS (
        |  SELECT id_a, id_b,
        |         CAST(len(list_intersect(x.hsl, y.hsl)) AS DOUBLE) /

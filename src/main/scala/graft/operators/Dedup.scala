@@ -110,9 +110,15 @@ object Dedup {
     * segment size at scale (a pathological 1 GB single-paragraph doc
     * cannot produce a 1 GB shuffle row).
     *
-    * Scale: one shuffle on the paragraph fingerprint (row_number
-    * groups are duplicate-cluster-sized), one shuffle back on doc_id
-    * for reassembly. Both keys are high-cardinality and skew-free.
+    * Scale: the globally-first occurrence per fingerprint is a
+    * groupBy min(struct(doc_id, idx)) joined back on the fingerprint
+    * — NOT a row_number window: partial (map-side) aggregation
+    * collapses a corpus-hot boilerplate paragraph (10^6+ copies of
+    * one fingerprint in web data) to one row per input partition
+    * before the exchange, where a window would buffer every copy on
+    * one task (the dupSpans hot-gram fix, same pattern). The join
+    * back is streaming-only skew (AQE splits it); reassembly is one
+    * shuffle on doc_id, bounded by doc length.
     *
     * Returns one row per doc: (doc_id, n_paras, n_dups, clean_text).
     */
@@ -132,22 +138,30 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i * chunkWords + 1, lit(chunkWords))),
         )
       } else split(col(textCol), sep)
-    val exploded = docs.select(
-      col(idCol).as("doc_id"),
-      posexplode(paras).as(Seq("idx", "para")),
-    )
-    val ranked = exploded.withColumn(
-      "rn",
-      row_number().over(Window.partitionBy(md5(col("para"))).orderBy("doc_id", "idx")),
-    )
-    ranked
+    val exploded = docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(paras).as(Seq("idx", "para")),
+      )
+      .withColumn("ph", md5(col("para")))
+    // globally-first occurrence per fingerprint = lexicographic min of
+    // (doc_id, idx) — identical to row_number(orderBy doc_id, idx)==1
+    val firsts = exploded
+      .groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    exploded
+      .join(firsts, Seq("ph"))
+      .withColumn(
+        "is_first",
+        col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx"),
+      )
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
-        count(when(col("rn") > 1, lit(1))).as("n_dups"),
+        count(when(!col("is_first"), lit(1))).as("n_dups"),
         array_join(
           transform(
-            array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("para"))))),
+            array_sort(collect_list(when(col("is_first"), struct(col("idx"), col("para"))))),
             s => s.getField("para"),
           ),
           joinSep,
@@ -246,6 +260,35 @@ object Dedup {
   /** Near-duplicate pairs via shingle→minhash→band→bucket-join, with
     * exact Jaccard verification of the LSH candidates.
     *
+    * Scale: web duplication is dominated by byte-identical mirrors —
+    * the same page on 10^4 hosts, the same boilerplate-only stub
+    * 10^6 times. Those docs have IDENTICAL hsl arrays, identical
+    * minhash signatures, and pairwise Jaccard exactly 1.0, so running
+    * them through LSH individually builds C(k,2) candidate pairs per
+    * k-copy cluster, each dragging two full shingle arrays through the
+    * verification joins (the docdens100 probe fills local disk this
+    * way). Instead: collapse identical hsl arrays to one
+    * REPRESENTATIVE (groupBy on the array — min(id) partial-aggregates
+    * map-side, so a 10^6-copy cluster collapses before the exchange),
+    * run LSH + verification on representatives only, then expand
+    * member pairs back by id arithmetic — intra-cluster pairs are
+    * emitted directly at Jaccard 1.0, cross-cluster rep pairs fan out
+    * to member combinations carrying the rep pair's Jaccard. The
+    * expansion is pure (id, id, double) rows — output-bound, no
+    * arrays. Output is bit-identical to the uncollapsed plan (pinned
+    * in PipelineOpsSpec). Near-dup-but-not-identical clusters still
+    * verify C(k,2) candidates — inherent to an exact-Jaccard PAIR
+    * surface whose output is itself C(k,2); the cluster surface
+    * ([[clusters]]) is the scale-preferred API for that shape.
+    *
+    * `maxBucket` bounds the one remaining super-linear input shape:
+    * band buckets whose minhashes are swallowed by a corpus-hot
+    * prefix (boilerplate) collect thousands of mutually-dissimilar
+    * docs; those buckets are dropped (see inline note). The cap is a
+    * declared part of the candidate semantics — deterministic and
+    * oracle-replayable, and sized so no honest near-dup geometry hits
+    * it (exact dups collapse to reps first).
+    *
     * @param shingled pre-hashed docs: columns (id, hsl: array<long>)
     */
   def lshJaccardPairs(
@@ -253,6 +296,7 @@ object Dedup {
       nHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.5,
+      maxBucket: Int = 4096,
   ): DataFrame = {
     // Checkpoint barriers are load-bearing twice over: (a) hsl/sig are
     // reused by several consumers and must be stored columns
@@ -262,8 +306,20 @@ object Dedup {
     // consumer scans (pruned to its columns), not an executor cache —
     // see graft.sources.Checkpoint.
     val base = graft.sources.Checkpoint.table(shingled, "lsh-shingles")
+    // id → representative (minimum id sharing this exact hsl array)
+    val members = graft.sources.Checkpoint.table(
+      base
+        .join(base.groupBy(col("hsl")).agg(min(col("id")).as("rid")), Seq("hsl"))
+        .select(col("id"), col("rid"), (size(col("hsl")) > 0).as("nonempty")),
+      "lsh-members",
+    )
+    val reps = base.join(
+      members.where(col("id") === col("rid")).select(col("id")),
+      Seq("id"),
+      "left_semi",
+    )
     val sigd = graft.sources.Checkpoint.table(
-      base.select(
+      reps.select(
         col("id"),
         graft.functions.TextExprs
           .minhashSig(
@@ -279,16 +335,36 @@ object Dedup {
     )
     val withBands = sigd
       .select(col("id"), explode(bandHashes(col("sig"), nHashes, bands)).as("band"))
-    val cand = withBands
+    // Drop adversarially hot buckets: a band value shared by more
+    // than `maxBucket` DISTINCT representatives is boilerplate-
+    // dominated noise (the shared prefix's min-hashes swallow the
+    // whole band for short docs; the members are mutually DISsimilar
+    // — measured 7,090 reps in one bucket = 25M false candidates on
+    // the docdens10 probe). True near-dup pairs co-occur in their
+    // other, content-determined bands. Exact-dup mega-clusters are
+    // immune: they collapsed to ONE rep above. groupBy partial-aggs
+    // map-side; the cnt<=cap set semi-joins back (the dupSpans
+    // de-skew pattern). Deterministic, so the DuckDB oracle replays
+    // it exactly.
+    val okBands = withBands
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") <= maxBucket)
+      .select(col("band"))
+    val pruned = withBands.join(okBands, Seq("band"), "left_semi")
+    val cand = pruned
       .as("a")
-      .join(withBands.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .join(pruned.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact Jaccard over the md5-hashed shingle space (long compares,
-    // not string compares; 2^-32 collision rate, engine-identical)
-    cand
-      .join(base.select(col("id").as("id_a"), col("hsl").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("hsl").as("sh_b")), "id_b")
+    // not string compares; 2^-32 collision rate, engine-identical).
+    // shuffle_hash, not sort-merge: the probe side carries full
+    // shingle arrays — hashing the (small) rep table avoids sorting
+    // array-fat rows twice.
+    val repPairs = cand
+      .join(base.select(col("id").as("id_a"), col("hsl").as("sh_a")).hint("shuffle_hash"), "id_a")
+      .join(base.select(col("id").as("id_b"), col("hsl").as("sh_b")).hint("shuffle_hash"), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -296,6 +372,29 @@ object Dedup {
       )
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // intra-cluster expansion: identical sets are Jaccard 1.0 exactly
+    // (array_intersect == array_union on the deduped hash space); the
+    // empty-set guard preserves the uncollapsed plan's NaN-drop
+    val intra = members
+      .where(col("nonempty"))
+      .as("a")
+      .join(
+        members.where(col("nonempty")).as("b"),
+        col("a.rid") === col("b.rid") && col("a.id") < col("b.id"),
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= threshold)
+    // cross-cluster expansion: every member pair inherits its rep
+    // pair's Jaccard (identical sets ⇒ identical intersections)
+    val inter = repPairs
+      .join(members.select(col("rid").as("id_a"), col("id").as("ma")).hint("shuffle_hash"), "id_a")
+      .join(members.select(col("rid").as("id_b"), col("id").as("mb")).hint("shuffle_hash"), "id_b")
+      .select(
+        least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("jaccard"),
+      )
+    intra.unionByName(inter)
   }
 
   /** MinHash+LSH near-dup pairs on character 5-shingles. */
@@ -304,6 +403,7 @@ object Dedup {
       threshold: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text",
+      maxBucket: Int = 4096,
   ): DataFrame = {
     lshJaccardPairs(
       docs.select(
@@ -311,6 +411,7 @@ object Dedup {
         graft.functions.TextExprs.shingleHashes(normText(col(textCol)), 5).as("hsl"),
       ),
       threshold = threshold,
+      maxBucket = maxBucket,
     )
   }
 

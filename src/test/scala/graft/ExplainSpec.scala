@@ -142,15 +142,22 @@ class ExplainSpec extends SparkSpec {
     assert(!ep.contains("props") && !ep.contains("user_id"), s"passenger columns not pruned:\n$ep")
   }
 
-  test("AQE splits a pathological hot band bucket in the LSH candidate join") {
-    // §6 claims LSH bands hash-distribute docs with AQE skew-join as
-    // the backstop. Plant the worst case — 30% of the corpus exactly
-    // identical, so ONE band value holds 30% of all docs in every
-    // band — and pin that (a) the candidate join completes and finds
-    // every hot pair, and (b) AQE's skew handling actually engages on
-    // this plan shape (thresholds lowered to make toy data look big;
-    // broadcast disabled to force the sort-merge path a 100 TB corpus
-    // would take).
+  test("LSH candidate join: bucket cap bounds a pathological hot band") {
+    // The candidate join's skew bound is structural, not adaptive:
+    // byte-identical copies collapse to one representative before
+    // banding, and a band value shared by more than maxBucket DISTINCT
+    // reps is dropped (boilerplate-dominated buckets of mutually
+    // dissimilar docs). Within the cap, a hot bucket costs at most
+    // C(maxBucket, 2) streamed candidate rows inside its partition —
+    // bounded by construction, which is why the old AQE-skew assertion
+    // is gone (the capped semi-join now shares a stage with the band
+    // self-join, so there is no shuffle boundary for AQE to split;
+    // AQE remains the backstop on the array verification joins).
+    // Plant the worst case — 30% of the corpus near-identical but
+    // DISTINCT (a shared body dominating every band) — and pin that
+    // (a) every hot pair is found under the default cap, and (b) a
+    // cap below the bucket size drops the bucket instead of joining
+    // it (broadcast disabled to force the path a 100 TB corpus takes).
     import spark.implicits._
     import graft.operators.Dedup
     val saved = Seq(
@@ -164,18 +171,40 @@ class ExplainSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      // DISTINCT near-identical docs (byte-identical copies would
+      // collapse to one representative and never reach the band join):
+      // a long shared body dominates every minhash band, so the hot
+      // docs share band values while keeping distinct shingle sets —
+      // a hot bucket of 120 DISTINCT reps, below the maxBucket cap.
       val nHot = 120
+      val body =
+        "identical hot duplicate document text shared by many many rows here and padded " +
+          "with a long enough boilerplate body that the shared shingles dominate every " +
+          "minhash band value across all one hundred twenty near identical documents " +
+          "in this pathological skew probe corpus"
       val docs = (0 until 400).map { i =>
         val text =
-          if (i < nHot) "identical hot duplicate document text shared by many many rows here"
+          if (i < nHot) s"$body tail$i"
           else s"unique document number $i with its own distinct words ${i * 7} ${i * 13} ${i * 29}"
         (i.toLong, text)
       }.toDF("doc_id", "text")
       val pairs = Dedup.minhashLsh(docs, threshold = 0.9)
       val got = pairs.collect()
-      assert(got.length >= nHot * (nHot - 1) / 2, s"expected all hot pairs, got ${got.length}")
+      // each hot pair is a candidate unless BOTH of its bands draw a
+      // tail-shingle min (P ~ 5e-4 per pair; deterministic md5 makes
+      // the realized count stable) — 7000 of the 7140 is a safe floor
+      assert(got.length >= 7000, s"expected ~all hot pairs, got ${got.length}")
       val plan = pairs.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"), s"AQE skew handling did not engage:\n$plan")
+      assert(plan.contains("LeftSemi"), s"bucket-cap semi-join missing:\n$plan")
+      // a cap below the hot-bucket size must DROP the bucket, not join
+      // it: only sub-cap buckets remain (tail-shingle subsets — e.g.
+      // docs sharing a "tail1…" shingle min), an order of magnitude
+      // fewer pairs than the uncapped run
+      val capped = Dedup.minhashLsh(docs, threshold = 0.9, maxBucket = 50).collect()
+      assert(
+        capped.length * 10 <= got.length,
+        s"oversized bucket must be dropped: capped=${capped.length} vs full=${got.length}",
+      )
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -77,6 +77,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") > 0.7)
   }
 
+  test("minhash LSH exact-dup collapse: cluster pairs expand bit-identical") {
+    // Three byte-identical copies (ids 0,1,2), one near-dup (id 3),
+    // one unrelated (id 4). The rep collapse must emit every
+    // intra-cluster pair at exactly 1.0 AND fan the rep's near-dup
+    // score out to every member with the identical double.
+    val base =
+      "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single afternoon"
+    val nearDup = base.replace("afternoon", "evening")
+    val other =
+      "completely different content about spark query optimization and distributed shuffle exchanges at petabyte scale"
+    val out = Dedup
+      .minhashLsh(docs(base, base, base, nearDup, other), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L), (2L, 3L)))
+    Seq((0L, 1L), (0L, 2L), (1L, 2L)).foreach { p => assert(pairs(p) == 1.0, s"$p") }
+    // all members inherit the rep's near-dup jaccard bit-for-bit
+    val j = pairs((0L, 3L))
+    assert(j > 0.7 && j < 1.0)
+    Seq((1L, 3L), (2L, 3L)).foreach { p =>
+      assert(
+        java.lang.Double.doubleToLongBits(pairs(p)) == java.lang.Double.doubleToLongBits(j),
+        s"$p",
+      )
+    }
+  }
+
   test("word-ngram jaccard catches token-level overlap") {
     // identical token stream -> identical signature in every band ->
     // guaranteed candidate with jaccard 1.0 (near-identical pairs are
