@@ -388,10 +388,9 @@ object SparkEntry {
     "token_count_bpe" -> { (s, dir) =>
       // real byte-level BPE: fit merges on the corpus histogram
       // (deterministic: frequency then lexicographic tiebreak), then
-      // count map-side. No SQL oracle — the greedy rank-ordered merge
-      // loop is not SQL-expressible; correctness is pinned in
-      // BpeSpec against hand-computed merges (driver records the
-      // rows-only check).
+      // count map-side. Oracled since r9: the trainer's merge loop
+      // unrolls into generated materialized CTEs (see bpeOracleSql);
+      // BpeSpec additionally pins training vs hand-computed merges.
       val d = s.read.parquet(s"$dir/documents.parquet")
       val merges = operators.Bpe.train(d, numMerges = 200)
       operators.Bpe.tokenCount(d, merges).orderBy(col("doc_id"))
@@ -803,6 +802,93 @@ object SparkEntry {
   }
 
   private val tblListSql = "[0, 1, 2, 3]"
+
+  /** Full BPE replay in DuckDB: the greedy rank-ordered merge loop is
+    * not expressible as a fixed SQL query, but `oracleSql` is a
+    * GENERATED string — so the trainer's `numMerges` iterations unroll
+    * into one materialized CTE per step (pair-count → deterministic
+    * argmax → merge), and the encoder applies the same merges to every
+    * distinct doc word in rank order.
+    *
+    * Two public-knowledge equivalences make the replay exact:
+    *  - encode order: applying merges sequentially in rank order
+    *    equals the lowest-rank-first loop in `BpeCore.encodeWord`,
+    *    because a merge's output token only participates in pairs
+    *    learned at LATER ranks (the constituent pair precedes any
+    *    composite pair in training), so a later merge can never create
+    *    an occurrence of an earlier one.
+    *  - merge-in-place: with tokens joined on a DOUBLE separator
+    *    (s = ⟂⟂t1⟂⟂t2⟂⟂, ⟂ outside the token alphabet) the single
+    *    pattern replace(s, '⟂a⟂⟂b⟂', '⟂ab⟂') consumes only the INNER
+    *    halves of each boundary, so adjacent matches share no
+    *    characters and one left-to-right non-overlapping replace() ==
+    *    `BpeCore.mergeInPlace` (a flanking SINGLE separator would
+    *    miss every second occurrence in an 'abab' run and mis-merge
+    *    odd 'aaaaa' runs — the double boundary is load-bearing).
+    *
+    * Byte tokens: the corpus is audited pure printable ASCII (no
+    * multi-byte codepoints, whitespace = ' '), so char == UTF-8 byte
+    * and the regex '(.)' split reproduces `BpeCore.byteTokens`.
+    * MATERIALIZED is required: DuckDB inlines plain CTEs, and each
+    * step references its predecessor twice → exponential expansion.
+    */
+  private def bpeOracleSql(numMerges: Int = 200, minPair: Long = 2L, maxWords: Int = 50000): String = {
+    val S = "␟" // ␟ SYMBOL FOR UNIT SEPARATOR — not in any byte token
+    val D = S + S
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+              |  SELECT '$D' || regexp_replace(word, '(.)', '\\1$D', 'g') AS s, cnt
+              |  FROM (
+              |    SELECT word, count(*) AS cnt FROM (
+              |      SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) t
+              |    WHERE word != '' GROUP BY word
+              |    ORDER BY cnt DESC, word LIMIT $maxWords)
+              |),
+              |e0 AS MATERIALIZED (
+              |  SELECT DISTINCT word, '$D' || regexp_replace(word, '(.)', '\\1$D', 'g') AS s FROM (
+              |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) t
+              |  WHERE word != ''
+              |)""".stripMargin
+    for (i <- 1 to numMerges) {
+      val p = i - 1
+      sb ++= s""",
+                |m$i AS MATERIALIZED (
+                |  SELECT a, b FROM (
+                |    SELECT l[j] AS a, l[j+1] AS b, sum(cnt) AS c FROM (
+                |      SELECT string_split(s, '$D') AS l, cnt FROM w$p) t,
+                |      LATERAL (SELECT unnest(generate_series(2, len(l) - 2)) AS j) g
+                |    GROUP BY 1, 2 HAVING sum(cnt) >= $minPair
+                |    ORDER BY c DESC, a, b LIMIT 1)
+                |),
+                |w$i AS MATERIALIZED (
+                |  SELECT CASE WHEN m.a IS NOT NULL
+                |    THEN replace(w.s, '$S' || m.a || '$D' || m.b || '$S', '$S' || m.a || m.b || '$S')
+                |    ELSE w.s END AS s, w.cnt
+                |  FROM w$p w LEFT JOIN m$i m ON true
+                |),
+                |e$i AS MATERIALIZED (
+                |  SELECT word, CASE WHEN m.a IS NOT NULL
+                |    THEN replace(e.s, '$S' || m.a || '$D' || m.b || '$S', '$S' || m.a || m.b || '$S')
+                |    ELSE e.s END AS s
+                |  FROM e$p e LEFT JOIN m$i m ON true
+                |)""".stripMargin
+    }
+    sb ++= s""",
+              |wordtok AS MATERIALIZED (
+              |  SELECT word, CAST(len(string_split(s, '$D')) - 2 AS BIGINT) AS n FROM e$numMerges
+              |),
+              |docagg AS MATERIALIZED (
+              |  SELECT doc_id, sum(wt.n) AS n FROM (
+              |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) d
+              |  JOIN wordtok wt USING (word)
+              |  WHERE d.word != ''
+              |  GROUP BY doc_id
+              |)
+              |SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens_bpe
+              |FROM documents d LEFT JOIN docagg a ON d.doc_id = a.doc_id
+              |ORDER BY d.doc_id""".stripMargin
+    sb.toString
+  }
 
   private val charShinglesSql =
     s"""CASE WHEN length(n) >= 5
@@ -2167,6 +2253,7 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    "token_count_bpe" -> bpeOracleSql(),
     "doc_fingerprint" ->
       s"""WITH h AS (
          |  SELECT doc_id, md5($normSql) AS fingerprint,
