@@ -23,10 +23,23 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // untimed JVM/codegen warmup on the tiny flagship input, so the
-    // first timed query measures the engine, not JIT compilation
+    // untimed JVM/codegen warmup, so the first timed query measures
+    // the engine, not JIT compilation. Two layers: a data-independent
+    // literal-range aggregate that can never fail (exercises codegen,
+    // shuffle, and the noop sink), then the tiny flagship query. A
+    // warmup failure is shouted, not swallowed — a silently-dead
+    // warmup skewed every round-9 timing.
+    spark.range(0, 4000000, 1, 32)
+      .selectExpr("id % 97 AS k", "cast(id AS double) AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.avg("v"), org.apache.spark.sql.functions.sum("v"))
+      .write.format("noop").mode("overwrite").save()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH WARMUP FAILURE (flagship query threw; timings below are JIT-colder): " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

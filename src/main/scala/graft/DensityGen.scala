@@ -39,11 +39,7 @@ object DensityGen {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$src/events.parquet")
-    val ev: DataFrame = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    val ev: DataFrame = raw.withColumn("ts", graft.sources.TradeData.normalizeTs(raw))
     val maxEvId = ev.agg(max("event_id")).head().getLong(0) + 1
     val out = (0 until copies)
       .map { i =>

@@ -56,9 +56,8 @@ object ScaleGen {
 
     // events: id + time shifts (micros timestamps on output)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read
-      .parquet(s"$src/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evRaw = spark.read.parquet(s"$src/events.parquet")
+    val ev = evRaw.withColumn("ts", graft.sources.TradeData.normalizeTs(evRaw))
     val maxEvId = ev.agg(max("event_id")).head().getLong(0) + 1
     val dayMicros = 86400000000L
     save(

@@ -20,8 +20,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("time_bars")(spark, "/root/testdata/sf0.001")
 
+  /** Timestamp columns → epoch-micros BIGINT for the oracle compare.
+    * NTZ-tolerant (second belt behind TradeData.normalizeTs): an NTZ
+    * column's wall clock is read as UTC via raw-micros subtraction,
+    * never via a session-timezone-dependent cast.
+    */
   private def usTs(names: String*): DataFrame => DataFrame = df =>
-    names.foldLeft(df)((d, n) => d.withColumn(n, unix_micros(col(n))))
+    names.foldLeft(df) { (d, n) =>
+      val e = d.schema(n).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$n`)")
+        case _ => unix_micros(col(n))
+      }
+      d.withColumn(n, e)
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

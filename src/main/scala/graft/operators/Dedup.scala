@@ -200,6 +200,17 @@ object Dedup {
       window: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text",
+      /** Size gate for the dup-hash semi join: when the `cnt >= 2`
+        * hash set (persisted + counted at call time — this makes the
+        * call eager) has at most this many rows, it is force-broadcast
+        * so the gram probe stream never shuffles; above it, the
+        * shuffle semi-join path (AQE-skew-safe, the only shape that
+        * survives billions of dup grams) is kept. 4M longs ≈ 32 MB
+        * broadcast — comfortably inside executor memory, far beyond
+        * anything a small-SF corpus produces. Set 0 to force the
+        * shuffle path.
+        */
+      maxBroadcastDupHashes: Long = 4000000L,
   ): DataFrame = {
     require(window >= 2, s"dup-span window must be >= 2 tokens, got $window")
     val w = window
@@ -216,11 +227,22 @@ object Dedup {
         col("pos").cast("long").as("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"),
       )
-    val dupHashes = windows
+    val dupHashesRaw = windows
       .groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2)
       .select(col("h"))
+    // Size-gated broadcast (the r9 verdict's prescription): persist
+    // the dup-hash set once so the gate's count() and the join reuse
+    // one computation of the gram aggregation, then broadcast iff it
+    // fits. Without the gate the r9 shape shuffled the gram stream
+    // twice (count + probe) and tripled small-scale wall time.
+    val dupHashes =
+      if (maxBroadcastDupHashes <= 0L) dupHashesRaw
+      else {
+        val cached = dupHashesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (cached.count() <= maxBroadcastDupHashes) broadcast(cached) else cached
+      }
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val covered = windows
       .join(dupHashes, Seq("h"), "left_semi")

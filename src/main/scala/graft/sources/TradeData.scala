@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.TradingCols
@@ -17,17 +17,42 @@ import graft.api.TradingCols
   */
 object TradeData {
 
+  /** Normalize a driver-written `ts` column to micro-precision
+    * `TimestampType` whose epoch micros equal the parquet's stored
+    * wall-clock value — bit-identical to DuckDB's naive
+    * `ts::TIMESTAMP`, independent of the Spark session timezone.
+    *
+    * The driver has shipped (at least) three encodings across
+    * regenerations; the engine must be total over all of them:
+    *   - TIMESTAMP(NANOS): Spark 4 only reads it via the
+    *     `nanosAsLong` legacy conf → LongType nanos, truncate to µs;
+    *   - µs, isAdjustedToUTC=false → TIMESTAMP_NTZ under Spark 4's
+    *     inferTimestampNTZ default: wall clock ≡ UTC. timestampdiff
+    *     on NTZ subtracts raw internal micros, so the conversion
+    *     never touches the session timezone (a cast NTZ→TZ would);
+    *   - µs, UTC-adjusted → TimestampType, already epoch micros.
+    */
+  def normalizeTs(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$name div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(
+          expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $name)"))
+      case org.apache.spark.sql.types.TimestampType => col(name)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported ts encoding $other for column $name — extend TradeData.normalizeTs")
+    }
+
   /** `events.parquet` → canonical trades view.
     *
-    * Timestamps are nanosecond-precision in the parquet; Spark reads
-    * them as (NTZ) timestamps truncated to micros — the oracle casts
-    * `ts::TIMESTAMP` to get the identical truncation in DuckDB.
+    * Timestamps arrive in whatever encoding the driver's current
+    * generator used (see [[normalizeTs]]); the oracle casts
+    * `ts::TIMESTAMP` to get the identical µs truncation in DuckDB.
     */
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val c = TradingCols.default
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads
-    // via nanosAsLong; truncate to micros (what DuckDB's ts::TIMESTAMP
-    // cast does too) and rebuild a proper timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Zero-price ticks are dropped at the source: a price of exactly 0
     // is not a trade, and every downstream return/label/dollar-bar
@@ -36,13 +61,7 @@ object TradeData {
     // The oracle CTE below applies the identical predicate so both
     // engines see the same tick stream.
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // the driver's events carry TIMESTAMP(NANOS) (read as long via the
-    // conf above); ScaleGen-produced events carry micros timestamps —
-    // accept both
-    val tsCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts")
-    }
+    val tsCol = normalizeTs(raw)
     raw
       .where(col("value").isNotNull && col("value") =!= 0)
       .select(
@@ -62,11 +81,7 @@ object TradeData {
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val tsCol = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts")
-    }
-    raw.withColumn("ts", tsCol)
+    raw.withColumn("ts", normalizeTs(raw))
   }
 
   /** DuckDB-side definition of the identical trades view (CTE body). */

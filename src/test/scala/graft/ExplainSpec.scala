@@ -126,9 +126,9 @@ class ExplainSpec extends SparkSpec {
     // read only the compute + kept columns, not the passengers
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val wide = spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawWide = spark.read.parquet(s"$dir/events.parquet")
+    val wide = rawWide
+      .withColumn("ts", graft.sources.TradeData.normalizeTs(rawWide))
       .withColumn("symbol", col("event_type"))
       .withColumn("price", col("value"))
       .withColumn("size", col("event_id") % 97 + 1)
