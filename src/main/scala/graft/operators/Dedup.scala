@@ -128,8 +128,25 @@ object Dedup {
       textCol: String = "text",
       sep: String = "\n{2,}",
       chunkWords: Int = 0,
+      /** Same two size gates as [[dupSpans]] (see there for the scale
+        * rationale): below the corpus-bytes gate the paragraph stream
+        * is spread across the cluster and persisted (one split would
+        * otherwise serialize the explode, and the lineage would
+        * recompute it for the probe side); below the fingerprint gate
+        * the first-occurrence table is force-broadcast so the
+        * paragraph stream never shuffles on `ph`. Above the gates:
+        * the shuffle join + recompute shapes, the only ones that
+        * survive a web-scale corpus.
+        */
+      maxBroadcastFingerprints: Long = 4000000L,
+      maxPersistCorpusBytes: Long = 2L << 30,
   ): DataFrame = {
     val joinSep = if (chunkWords > 0) " " else "\n\n"
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = corpusBytes <= maxPersistCorpusBytes
+    val docsIn =
+      if (small) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs
     val paras: Column =
       if (chunkWords > 0) {
         val toks = split(col(textCol), " ")
@@ -138,17 +155,26 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i * chunkWords + 1, lit(chunkWords))),
         )
       } else split(col(textCol), sep)
-    val exploded = docs
+    val explodedRaw = docsIn
       .select(
         col(idCol).as("doc_id"),
         posexplode(paras).as(Seq("idx", "para")),
       )
       .withColumn("ph", md5(col("para")))
+    val exploded =
+      if (small) explodedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else explodedRaw
     // globally-first occurrence per fingerprint = lexicographic min of
     // (doc_id, idx) — identical to row_number(orderBy doc_id, idx)==1
-    val firsts = exploded
+    val firstsRaw = exploded
       .groupBy(col("ph"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val firsts =
+      if (maxBroadcastFingerprints <= 0L) firstsRaw
+      else {
+        val cached = firstsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (cached.count() <= maxBroadcastFingerprints) broadcast(cached) else cached
+      }
     exploded
       .join(firsts, Seq("ph"))
       .withColumn(
@@ -211,22 +237,44 @@ object Dedup {
         * shuffle path.
         */
       maxBroadcastDupHashes: Long = 4000000L,
+      /** Second size gate, on the INPUT (plan-metadata bytes, no
+        * action): below it the exploded gram stream is persisted so
+        * the dup-hash count and the probe share one computation —
+        * building the w-token gram strings dominates small-corpus
+        * wall time and the lineage recomputes it otherwise. Above the
+        * gate, recompute-from-lineage is kept: persisting a
+        * 100 TB-derived gram stream would dwarf the cluster's
+        * storage, while a second map-side scan is embarrassingly
+        * parallel and free of any single-node bottleneck.
+        */
+      maxPersistCorpusBytes: Long = 2L << 30,
   ): DataFrame = {
     require(window >= 2, s"dup-span window must be >= 2 tokens, got $window")
     val w = window
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = corpusBytes <= maxPersistCorpusBytes
+    // A sub-gate-size corpus usually arrives as ONE file split, which
+    // serializes the gram-string build (the dominant cost) onto one
+    // core — spread it across the cluster first; the exchange moves
+    // at most maxPersistCorpusBytes. A large corpus already has
+    // thousands of splits and must never be blind-repartitioned.
+    val docsIn =
+      if (small) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      else docs
     val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
-    val base = docs.select(
+    val base = docsIn.select(
       col(idCol).as("doc_id"),
       size(tk).cast("long").as("n_tokens"),
       TextAnalysis.ngramsOfTokens(tk, w).as("grams"),
     )
-    val windows = base
+    val windowsRaw = base
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
       .select(
         col("doc_id"),
         col("pos").cast("long").as("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"),
       )
+    val windows = if (small) windowsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else windowsRaw
     val dupHashesRaw = windows
       .groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))

@@ -407,9 +407,28 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("Join"), "the pair-materializing join must be gone")
   }
 
-  test("dup spans: gram count is a partial aggregation + semi-join, not a window") {
+  test("dup spans, small corpus: broadcast semi-join over a persisted gram stream") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val q = graft.operators.Dedup.dupSpans(d, window = 8)
+    val p = q.queryExecution.executedPlan.toString
+    // Small-corpus gates engaged: the dup-hash set is force-broadcast
+    // (the gram probe never shuffles) and the exploded gram stream is
+    // persisted so count + probe share one computation of the
+    // dominant gram-string build.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "dup hashes must BROADCAST-semi-join the gram stream on small corpora: " + p)
+    assert(p.contains("InMemoryTableScan"),
+      "the probe must read the persisted gram stream, not recompute the explode: " + p)
+    val windowNodes = "Window ".r.findAllIn(p).length
+    assert(windowNodes <= 1, s"only the per-doc lag window may remain ($windowNodes found): " + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dup spans, scale path: gram count is a partial aggregation + shuffle semi-join") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // gates forced off = the shape that survives billions of dup grams
+    val q = graft.operators.Dedup
+      .dupSpans(d, window = 8, maxBroadcastDupHashes = 0L, maxPersistCorpusBytes = 0L)
     val p = q.queryExecution.executedPlan.toString
     // The global gram count must partial-aggregate map-side (a
     // Window.partitionBy(h) count buffers a 10^6-copy boilerplate gram
@@ -418,6 +437,7 @@ class ExplainSpec extends SparkSpec {
     // the gram stream, and the only Window left is the per-doc lag.
     assert(p.contains("partial_count"), "gram count must have a map-side partial phase: " + p)
     assert(p.contains("LeftSemi"), "dup hashes must semi-join the gram stream: " + p)
+    assert(!p.contains("InMemoryTableScan"), "the scale path must not persist the gram stream: " + p)
     val windowNodes = "Window ".r.findAllIn(p).length
     assert(windowNodes <= 1, s"only the per-doc lag window may remain ($windowNodes found): " + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
