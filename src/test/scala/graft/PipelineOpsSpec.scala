@@ -565,6 +565,15 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal synthesis spreads an under-split input to cluster parallelism") {
+    // a single-row-group parquet file arrives as ONE scan task; the
+    // codec stage is CPU-bound per row and must not serialize on it
+    val d = docs((0 until 40).map(i => s"d$i"): _*).coalesce(1)
+    val n = Multimodal.synthesizeImages(d).rdd.getNumPartitions
+    assert(n >= spark.sparkContext.defaultParallelism,
+      s"codec stage got $n tasks for a 1-split input")
+  }
+
   test("multimodal resize: real downscale preserves constant color and aspect") {
     import spark.implicits._
     // constant-color 20x10 → maxSide 10 → 10x5, every pixel unchanged
