@@ -144,9 +144,7 @@ object Dedup {
     val joinSep = if (chunkWords > 0) " " else "\n\n"
     val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val small = corpusBytes <= maxPersistCorpusBytes
-    val docsIn =
-      if (small) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
+    val docsIn = graft.sources.Par.spread(docs)
     val paras: Column =
       if (chunkWords > 0) {
         val toks = split(col(textCol), " ")
@@ -253,14 +251,9 @@ object Dedup {
     val w = window
     val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val small = corpusBytes <= maxPersistCorpusBytes
-    // A sub-gate-size corpus usually arrives as ONE file split, which
-    // serializes the gram-string build (the dominant cost) onto one
-    // core — spread it across the cluster first; the exchange moves
-    // at most maxPersistCorpusBytes. A large corpus already has
-    // thousands of splits and must never be blind-repartitioned.
-    val docsIn =
-      if (small) docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      else docs
+    // spread BEFORE the gram projection: an under-split corpus would
+    // build every gram string on one core (see Par.spread)
+    val docsIn = graft.sources.Par.spread(docs)
     val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
     val base = docsIn.select(
       col(idCol).as("doc_id"),
@@ -476,6 +469,10 @@ object Dedup {
       maxBucket: Int = 4096,
   ): DataFrame = {
     lshJaccardPairs(
+      // No Par.spread here: shingle hashing is ~µs/row (unlike the
+      // multimodal codecs) and the LSH band/verify joins downstream
+      // re-shuffle anyway — A/B measured the extra exchange+stage as
+      // a net 1.3-1.4x slowdown on an under-split corpus.
       docs.select(
         col(idCol).as("id"),
         graft.functions.TextExprs.shingleHashes(normText(col(textCol)), 5).as("hsl"),

@@ -141,26 +141,14 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Codec work (PNG/GIF encode + decode) is CPU-bound per ROW at
-    * scan time, so the stage needs at least cluster-parallelism
-    * tasks. A single-row-group parquet file (the driver's testdata
-    * regeneration produces exactly that) arrives as ONE non-empty
-    * scan task — byte-range splitting cannot divide a row group — and
-    * would serialize every codec call onto one core. At 100 TB the
-    * input has thousands of splits and this is a no-op; the
-    * repartition only ever fires on under-split inputs, where the
-    * exchange it adds is tiny by construction.
+  /** Per-doc real PNG payloads (deterministic from doc_id). Codec
+    * work is CPU-bound per row — graft.sources.Par.spread guards the
+    * stage's parallelism against under-split inputs.
     */
-  private def ensureMinParallelism(df: DataFrame): DataFrame = {
-    val minTasks = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < minTasks) df.repartition(minTasks) else df
-  }
-
-  /** Per-doc real PNG payloads (deterministic from doc_id). */
   def synthesizeImages(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    ensureMinParallelism(docs.select(col(idCol).cast("long")))
+    graft.sources.Par.spread(docs.select(col(idCol).cast("long")))
       .as[Long]
       .mapPartitions(_.map(id => MediaRow(id, synthPng(id), "image/png")))
   }
@@ -169,7 +157,7 @@ object Multimodal {
   def synthesizeVideos(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    ensureMinParallelism(docs.select(col(idCol).cast("long")))
+    graft.sources.Par.spread(docs.select(col(idCol).cast("long")))
       .as[Long]
       .mapPartitions(_.map(id => MediaRow(id, synthGif(id), "image/gif")))
   }

@@ -17,6 +17,27 @@ import org.apache.spark.sql.DataFrame
   * barrier the interpreted-HOF CSE hazard needs (see Dedup) — no
   * eager count() required.
   */
+/** Minimum-parallelism guard for CPU-heavy map stages. */
+object Par {
+
+  /** Ensure at least cluster-default parallelism. A single-row-group
+    * parquet file arrives as ONE non-empty scan task (byte-range
+    * splits cannot divide a row group), which would serialize the
+    * downstream per-row work — shingle hashing, codec calls, minhash
+    * signatures — onto one core. No-op when the input is already
+    * well-split, so nothing changes on a real multi-split corpus.
+    *
+    * Apply BEFORE attaching the expensive projection: a repartition
+    * ABOVE it would still evaluate the projection on the under-split
+    * side of the exchange (exchanges do not push projections down
+    * through themselves).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val minTasks = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < minTasks) df.repartition(minTasks) else df
+  }
+}
+
 object Checkpoint {
 
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -425,6 +425,9 @@ class ExplainSpec extends SparkSpec {
   }
 
   test("dup spans, scale path: gram count is a partial aggregation + shuffle semi-join") {
+    // the small-path test above persists an identical-plan gram
+    // stream; CacheManager would substitute it here by plan equality
+    spark.catalog.clearCache()
     val d = spark.read.parquet(s"$dir/documents.parquet")
     // gates forced off = the shape that survives billions of dup grams
     val q = graft.operators.Dedup
