@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] holds every executor thread's working set plus the
+  // size-gated persists (dup_spans/dedup_paragraph gram caches,
+  // broadcast tables) in ONE heap; 8g left G1 collecting constantly
+  // and added ±15% per-query noise to the bench (measured r10:
+  // 103.8-106.5s at 8g vs 97.2s at 24g, same code/data).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

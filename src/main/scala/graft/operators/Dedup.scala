@@ -369,11 +369,27 @@ object Dedup {
     // consumer scans (pruned to its columns), not an executor cache —
     // see graft.sources.Checkpoint.
     val base = graft.sources.Checkpoint.table(shingled, "lsh-shingles")
-    // id → representative (minimum id sharing this exact hsl array)
+    // id → representative (minimum id sharing this exact hsl array).
+    // The collapse groups and joins on __hk, a 64-bit fingerprint of
+    // the whole set DERIVED FROM THE CHECKPOINT (a codegen'd xxhash64
+    // over the stored array — never attached to `shingled` itself,
+    // where a second reference to the interpreted shingle HOF would
+    // recompute it; measured 1.3-2.8 s). The exchanges then move
+    // ~16 bytes/doc instead of the full multi-KB shingle arrays
+    // (twice — at corpus scale the array-keyed exchange would move
+    // more bytes than the corpus itself). Two DISTINCT shingle sets
+    // colliding in __hk would merge their clusters; at 2^-64 per pair
+    // that is the same acceptance class as the md5 shingle hashing
+    // above (2^-32).
+    val keyed = base.select(
+      col("id"),
+      xxhash64(col("hsl")).as("__hk"),
+      (size(col("hsl")) > 0).as("__ne"),
+    )
     val members = graft.sources.Checkpoint.table(
-      base
-        .join(base.groupBy(col("hsl")).agg(min(col("id")).as("rid")), Seq("hsl"))
-        .select(col("id"), col("rid"), (size(col("hsl")) > 0).as("nonempty")),
+      keyed
+        .join(keyed.groupBy(col("__hk")).agg(min(col("id")).as("rid")), Seq("__hk"))
+        .select(col("id"), col("rid"), col("__ne").as("nonempty")),
       "lsh-members",
     )
     val reps = base.join(
@@ -721,11 +737,25 @@ object Dedup {
     // count() on a fresh parquet checkpoint is a footer read, not a
     // data scan
     var edgeCount = edges.count()
+    // Per-round lineage barrier: the round output must be
+    // materialized (iterative plans grow exponentially in the
+    // optimizer), but a parquet round-trip costs ~0.5 s of fixed
+    // scheduling per round — the dominant cost of the whole operator
+    // on a small graph (log² n rounds of sub-second joins). Below the
+    // gate (16 B/edge → ~64 MB) the round is localCheckpoint'ed:
+    // same truncation, executor-memory storage, no FS round-trip.
+    // Above it — any web-scale dup graph — rounds stay on the shared
+    // FS, where they belong: executor loss cannot kill a multi-hour
+    // CC run, and memory holds no O(edges) state.
+    val inMemRoundMaxEdges = 4000000L
+    def roundBarrier(df: DataFrame, name: String, priorEdges: Long): DataFrame =
+      if (priorEdges <= inMemRoundMaxEdges) df.localCheckpoint()
+      else graft.sources.Checkpoint.table(df, name)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val next = graft.sources.Checkpoint.table(smallStar(largeStar(edges)), s"cc-$round")
+      val next = roundBarrier(smallStar(largeStar(edges)), s"cc-$round", edgeCount)
       val nextCount = next.count()
       // both sides are distinct sets, so equal cardinality plus
       // one-sided containment implies set equality — one except job
