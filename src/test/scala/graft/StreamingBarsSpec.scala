@@ -449,4 +449,143 @@ class StreamingBarsSpec extends SparkSpec {
       ).count() == 0
     )
   }
+
+  test("streaming frac_diff equals the batch window form bit-for-bit") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sfd").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingFracDiff
+      .fracDiff(stream, d = 0.5, threshold = 1e-3)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_fd")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_fd")
+    val batch = trades.withColumn(
+      "frac_diff",
+      graft.functions.FracDiff
+        .fracDiff(col("price"), 0.5, 1e-3, Seq(col("symbol")), Seq(col("ts"), col("trade_id"))),
+    )
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed
+      .as("s")
+      .join(batch.as("b"), Seq("symbol", "trade_id"))
+    assert(joined.count() == batch.count())
+    // same weight literals accumulated in the same IEEE order:
+    // EQUAL doubles, not approximately equal (null <=> null)
+    assert(
+      joined
+        .where(!(col("s.frac_diff") <=> col("b.frac_diff")))
+        .count() == 0
+    )
+    assert(streamed.where(col("frac_diff").isNotNull).count() > 0)
+  }
+
+  test("streaming frac_diff state carry: a mid-symbol batch split changes nothing") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamingFracDiff.{processGroup, FdState}
+    import graft.streaming.StatefulBars.Tick
+    val ws = graft.functions.FracDiff.weights(0.5, 1e-3)
+    val ticks = (1 to 100).map { i =>
+      Tick("A", java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), 100.0 + (i % 7) * 0.25, 1L, i.toLong)
+    }
+
+    def run(chunks: Seq[Seq[Tick]]): Seq[Option[Double]] = {
+      var st: Option[FdState] = None
+      chunks.flatMap { chunk =>
+        val gs = TestGroupState.create[FdState](
+          org.apache.spark.api.java.Optional.ofNullable(st.orNull),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          0L,
+          org.apache.spark.api.java.Optional.empty[Long](),
+          false,
+        )
+        val out = processGroup(ws)("A", chunk.iterator, gs).toSeq
+        st = if (gs.exists) Some(gs.get) else None
+        out.map(_.frac_diff)
+      }
+    }
+
+    val whole = run(Seq(ticks))
+    // split inside the warm-up window AND inside the steady state
+    for (cut <- Seq(5, ws.length - 1, ws.length + 3, 60)) {
+      val split = run(Seq(ticks.take(cut), ticks.drop(cut)))
+      assert(split == whole, s"state carry diverged at split $cut")
+    }
+    assert(whole.count(_.isDefined) == 100 - (ws.length - 1))
+  }
+
+  test("streaming daily_vol equals the batch EWM scan bit-for-bit") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sdvol").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDailyVol
+      .dailyVol(stream, span = 100)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dvol")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_dvol")
+    val batch = graft.operators.Labels.dailyVol(trades, span = 100)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed
+      .as("s")
+      .join(batch.as("b"), Seq("symbol", "ts"))
+    assert(joined.count() == batch.count())
+    // identical as-of lookback + identical EWM moment arithmetic:
+    // EQUAL doubles (null <=> null on the warm-up prefix)
+    assert(
+      joined
+        .where(!(col("s.daily_return_volatility") <=> col("b.daily_return_volatility")))
+        .count() == 0
+    )
+    assert(streamed.where(col("daily_return_volatility").isNotNull).count() > 0)
+  }
+
+  test("streaming daily_vol state carry: a mid-symbol batch split changes nothing") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.StreamingDailyVol.{processGroup, VolState}
+    import graft.streaming.StatefulBars.Tick
+    // 30-second spacing with a 10-minute lookback: ticks 21+ have a
+    // lookback price, crossing the warm-up boundary inside the run
+    val ticks = (1 to 90).map { i =>
+      Tick("A", java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 2}%02d:${30 * (i % 2)}%02d"), 100.0 + (i % 11) * 0.5, 1L, i.toLong)
+    }
+    val lookbackUs = 10L * 60 * 1000000
+
+    def run(chunks: Seq[Seq[Tick]]): Seq[Option[Double]] = {
+      var st: Option[VolState] = None
+      chunks.flatMap { chunk =>
+        val gs = TestGroupState.create[VolState](
+          org.apache.spark.api.java.Optional.ofNullable(st.orNull),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+          0L,
+          org.apache.spark.api.java.Optional.empty[Long](),
+          false,
+        )
+        val out = processGroup(100, lookbackUs)("A", chunk.iterator, gs).toSeq
+        st = if (gs.exists) Some(gs.get) else None
+        out.map(_.daily_return_volatility)
+      }
+    }
+
+    val whole = run(Seq(ticks))
+    assert(whole.take(20).forall(_.isEmpty) && whole.drop(21).forall(_.isDefined))
+    for (cut <- Seq(7, 20, 21, 55)) {
+      val split = run(Seq(ticks.take(cut), ticks.drop(cut)))
+      assert(split == whole, s"state carry diverged at split $cut")
+    }
+  }
 }
