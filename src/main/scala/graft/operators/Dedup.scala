@@ -694,6 +694,7 @@ object Dedup {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxRounds: Int = 25,
+      smallGraphMaxEdges: Long = 4000000L,
   ): DataFrame = {
     // canonical orientation (u > v); contraction preserves it
     val init = pairs
@@ -737,6 +738,41 @@ object Dedup {
     // count() on a fresh parquet checkpoint is a footer read, not a
     // data scan
     var edgeCount = edges.count()
+    val inMemRoundMaxEdges = 4000000L
+    // Small-graph fast path: a dup graph that fits the same 4M-edge
+    // gate as the in-memory rounds below (≤64 MB of (u,v) longs) is
+    // union-found on the driver in one collect — the log²n distributed
+    // rounds cost ~0.5-1 s of fixed scheduling EACH (join+agg+barrier+
+    // convergence probe) regardless of data size, which dominates the
+    // whole operator on small graphs. The collect is bounded by the
+    // gate (same acceptance class as the fitted-BPE-model collect);
+    // web-scale graphs take the distributed rounds, where per-round
+    // cost is data-bound and fault tolerance matters.
+    val longIds = Seq(aCol, bCol).forall(c =>
+      pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    if (edgeCount <= smallGraphMaxEdges && longIds) {
+      import pairs.sparkSession.implicits._
+      val es = edges.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        // union by min keeps the root the component minimum directly
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+      es.foreach { case (u, v) => nodes += u; nodes += v }
+      val out = nodes.iterator.map(n => (n, find(n))).toSeq
+      return out.toDF("id", "component")
+    }
     // Per-round lineage barrier: the round output must be
     // materialized (iterative plans grow exponentially in the
     // optimizer), but a parquet round-trip costs ~0.5 s of fixed
@@ -747,7 +783,6 @@ object Dedup {
     // Above it — any web-scale dup graph — rounds stay on the shared
     // FS, where they belong: executor loss cannot kill a multi-hour
     // CC run, and memory holds no O(edges) state.
-    val inMemRoundMaxEdges = 4000000L
     def roundBarrier(df: DataFrame, name: String, priorEdges: Long): DataFrame =
       if (priorEdges <= inMemRoundMaxEdges) df.localCheckpoint()
       else graft.sources.Checkpoint.table(df, name)

@@ -105,6 +105,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: driver union-find equals distributed star contraction") {
+    // two chains, one triangle, one isolated pair — chains are the
+    // adversarial shape for label propagation and the reason both
+    // paths must agree on min-id labeling
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),        // chain → component 1
+      (10L, 11L), (11L, 10L), (10L, 12L), (11L, 12L), // triangle (+dup edge)
+      (20L, 21L),                           // pair
+      (30L, 30L),                           // self-loop: dropped entirely
+    ).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L),
+    )
+    assert(fast == want)
+    assert(dist == want)
+  }
+
   test("word-ngram jaccard catches token-level overlap") {
     // identical token stream -> identical signature in every band ->
     // guaranteed candidate with jaccard 1.0 (near-identical pairs are
