@@ -129,7 +129,7 @@ object Ewm {
     val pruned =
       if (keep.isEmpty) df
       else df.select((keyCols ++ orderCols ++ Seq(valueCol) ++ keep).distinct.map(col): _*)
-    val chunked = graft.sources.Checkpoint.table(
+    val chunked = graft.sources.Checkpoint.tableGated(
       pruned.withColumn("__chunk", chunkCol),
       "ewm-chunked",
     )

@@ -73,7 +73,7 @@ object FracDiff {
     val ws = weights(d, threshold)
     val nW = ws.length
 
-    val chunked = graft.sources.Checkpoint.table(df.withColumn("__chunk", chunkCol), "fd-chunked")
+    val chunked = graft.sources.Checkpoint.tableGated(df.withColumn("__chunk", chunkCol), "fd-chunked")
     val groupCols = Seq(symbolCol, "__chunk")
     val sorted = chunked
       .repartition(groupCols.map(col): _*)

@@ -368,7 +368,7 @@ object Dedup {
     // than the corpus, so they live in a columnar parquet table each
     // consumer scans (pruned to its columns), not an executor cache —
     // see graft.sources.Checkpoint.
-    val base = graft.sources.Checkpoint.table(shingled, "lsh-shingles")
+    val base = graft.sources.Checkpoint.tableGated(shingled, "lsh-shingles")
     // id → representative (minimum id sharing this exact hsl array).
     // The collapse groups and joins on __hk, a 64-bit fingerprint of
     // the whole set DERIVED FROM THE CHECKPOINT (a codegen'd xxhash64
@@ -386,7 +386,7 @@ object Dedup {
       xxhash64(col("hsl")).as("__hk"),
       (size(col("hsl")) > 0).as("__ne"),
     )
-    val members = graft.sources.Checkpoint.table(
+    val members = graft.sources.Checkpoint.tableGated(
       keyed
         .join(keyed.groupBy(col("__hk")).agg(min(col("id")).as("rid")), Seq("__hk"))
         .select(col("id"), col("rid"), col("__ne").as("nonempty")),
@@ -397,7 +397,7 @@ object Dedup {
       Seq("id"),
       "left_semi",
     )
-    val sigd = graft.sources.Checkpoint.table(
+    val sigd = graft.sources.Checkpoint.tableGated(
       reps.select(
         col("id"),
         graft.functions.TextExprs
@@ -507,7 +507,7 @@ object Dedup {
   ): DataFrame = {
     // materialize tokens before the per-gram lambda iterates over
     // them (interpreted HOFs re-evaluate outer subtrees per element)
-    val tokenized = graft.sources.Checkpoint.table(
+    val tokenized = graft.sources.Checkpoint.tableGated(
       docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("toks")),
       "ngram-tokens",
     )
@@ -640,7 +640,7 @@ object Dedup {
     val wordCols = Seq.tabulate(nWords)(k => col(s"sh$k"))
     // checkpointed so the band self-join reads a few-bytes/doc parquet
     // table twice instead of recomputing simhashes per side
-    val sims = graft.sources.Checkpoint.table(
+    val sims = graft.sources.Checkpoint.tableGated(
       docs.select(
         col(idCol).as("id") +:
           Seq.tabulate(nWords)(k => element_at(simhashWide(col(textCol), bits), k + 1).as(s"sh$k")): _*
@@ -734,7 +734,7 @@ object Dedup {
         .distinct()
     }
 
-    var edges = graft.sources.Checkpoint.table(init, "cc-0")
+    var edges = graft.sources.Checkpoint.tableGated(init, "cc-0")
     // count() on a fresh parquet checkpoint is a footer read, not a
     // data scan
     var edgeCount = edges.count()

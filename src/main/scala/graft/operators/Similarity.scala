@@ -329,7 +329,7 @@ object Similarity {
     // checkpointed columnar so both self-join sides scan the same
     // parquet table (nv is 512 bytes/vector x nTables entries — too
     // large for an executor cache at corpus scale)
-    val tb = graft.sources.Checkpoint.table(
+    val tb = graft.sources.Checkpoint.tableGated(
       withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
         .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), t, p, dim)).as(Seq("tbl", "bucket"))),
       "cosine-buckets",
@@ -404,7 +404,7 @@ object Similarity {
         val cents = (0 until kmeansIters).foldLeft(
           nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
         ) { (c, _) => kmeansRound(nv, c) }
-        graft.sources.Checkpoint.table(
+        graft.sources.Checkpoint.tableGated(
           nv.join(broadcast(cents), lit(true))
             .withColumn("cs", dotNorm(col("nv"), col("cv")))
             .groupBy(col("id"))
@@ -465,7 +465,7 @@ object Similarity {
     // coarse label per vector — map-side (√cells-row broadcast), one
     // partial-agg exchange on id; checkpointed because every fine
     // round AND the final assignment re-scan it
-    val members = graft.sources.Checkpoint.table(
+    val members = graft.sources.Checkpoint.tableGated(
       nv.join(broadcast(ccents), lit(true))
         .withColumn("cs", dotNorm(col("nv"), col("cv")))
         .groupBy(col("id"))
@@ -484,7 +484,7 @@ object Similarity {
       .where(col("r") <= finePer)
       .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
     val fcents = (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) }
-    graft.sources.Checkpoint.table(
+    graft.sources.Checkpoint.tableGated(
       members
         .join(fcents, Seq("coarse"))
         .withColumn("cs", dotNorm(col("nv"), col("cv")))

@@ -71,4 +71,19 @@ object Checkpoint {
     df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
+
+  /** Size-gated barrier: same lineage-truncation + reuse semantics as
+    * [[table]], but below the gate (plan-metadata bytes of the INPUT —
+    * no action) the stage is `localCheckpoint`ed into executor memory
+    * instead of round-tripping the shared FS. The parquet shape is
+    * kept above the gate, where it belongs: a 100 TB-derived
+    * intermediate must be columnar-pruned per consumer and survive
+    * executor loss; a small-corpus one only needs the barrier, and the
+    * FS write+read+scheduling is the dominant fixed cost of the whole
+    * operator at benchmark scale.
+    */
+  def tableGated(df: DataFrame, name: String, maxBytes: Long = 2L << 30): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= maxBytes) df.localCheckpoint() else table(df, name)
+  }
 }

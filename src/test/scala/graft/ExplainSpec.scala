@@ -454,10 +454,12 @@ class ExplainSpec extends SparkSpec {
       .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
       .queryExecution.executedPlan.toString
     // the centroid cross join runs once INSIDE the assignment
-    // checkpoint; the visible plan must scan that parquet table (both
-    // pair sides + the final rollup), never re-derive assignments or
-    // cartesian the corpus
-    assert(p.contains("graft-ckpt-semdedup-assign"), p)
+    // barrier; the visible plan must scan the materialized table —
+    // parquet above the size gate, localCheckpoint RDD below it —
+    // never re-derive assignments or cartesian the corpus
+    assert(
+      p.contains("graft-ckpt-semdedup-assign") || p.contains("Scan ExistingRDD"),
+      p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 }
