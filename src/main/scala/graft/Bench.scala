@@ -52,6 +52,11 @@ object Bench {
             System.err.println(s"BENCH FAILURE in $name: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
+      // each query is fully materialized at this point: drop its
+      // persisted/localCheckpoint'ed intermediates so 80 queries'
+      // barriers don't accumulate into executor-memory/GC pressure
+      // for the later ones
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
     // stdout precision: 2 decimals keeps the line ~1.7 KB at 70

@@ -28,6 +28,9 @@ object Verify {
         nFail += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the finished query's persisted/localCheckpoint'ed
+      // barriers before the next one (see Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     System.err.println(s"[verify] summary: $nFail of ${SparkEntry.queries.size} queries failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

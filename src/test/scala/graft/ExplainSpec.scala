@@ -448,6 +448,17 @@ class ExplainSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 6, p)
   }
 
+  test("gated barrier: localCheckpoint below the size gate, parquet above") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val below = graft.sources.Checkpoint.tableGated(df, "gate-below")
+    assert(below.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"))
+    val above = graft.sources.Checkpoint.tableGated(df, "gate-above", maxBytes = 0L)
+    assert(above.queryExecution.executedPlan.toString.contains("graft-ckpt-gate-above"))
+    // both forms round-trip the rows exactly
+    assert(below.orderBy("id").collect().toSeq == above.orderBy("id").collect().toSeq)
+  }
+
   test("semantic dedup: checkpointed assignment feeds both pair sides, no cartesian") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Similarity
