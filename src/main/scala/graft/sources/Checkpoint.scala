@@ -82,8 +82,12 @@ object Checkpoint {
     * FS write+read+scheduling is the dominant fixed cost of the whole
     * operator at benchmark scale.
     */
-  def tableGated(df: DataFrame, name: String, maxBytes: Long = 2L << 30): DataFrame = {
+  def tableGated(df: DataFrame, name: String, maxBytes: Long = -1L): DataFrame = {
+    val gate =
+      if (maxBytes >= 0L) maxBytes
+      else df.sparkSession.conf
+        .getOption("spark.graft.barrierGateBytes").map(_.toLong).getOrElse(2L << 30)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes <= maxBytes) df.localCheckpoint() else table(df, name)
+    if (bytes <= gate) df.localCheckpoint() else table(df, name)
   }
 }
