@@ -63,6 +63,16 @@ object Bench {
           spark.range(0, 100).selectExpr("id AS k", "id * 3 AS z")),
         "k")
       .write.format("noop").mode("overwrite").save()
+    // string/hash kernels (md5, regex, split, lower) — the text half
+    // of the query surface
+    spark.range(0, 50000)
+      .selectExpr(
+        "md5(concat('warm ', id)) AS h",
+        "regexp_replace(concat('a b  c', id), '\\\\s+', ' ') AS r",
+        "split(concat('x y z ', id), ' ') AS s",
+        "lower(concat('ABC', id)) AS lo")
+      .selectExpr("h", "r", "size(s) AS n", "lo", "conv(substring(h, 1, 15), 16, 10) AS c")
+      .write.format("noop").mode("overwrite").save()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch {
       case e: Throwable =>
