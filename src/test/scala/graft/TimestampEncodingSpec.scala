@@ -70,7 +70,22 @@ class TimestampEncodingSpec extends SparkSpec {
     assert(ntzRead.schema("ts").dataType == TimestampNTZType,
       s"fixture (c) must round-trip as NTZ, got ${ntzRead.schema("ts").dataType}")
 
+    // (d)/(e) the two remaining parquet writer encodings Spark can
+    // produce: TIMESTAMP(MILLIS) and INT96 — both read back as
+    // TimestampType, landing in the passthrough branch; the ms
+    // truncation happens at write time so expectations truncate too
+    val msValue = usValue / 1000L * 1000L
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      for ((enc, sub) <- Seq("TIMESTAMP_MILLIS" -> "ms", "INT96" -> "int96")) {
+        spark.conf.set("spark.sql.parquet.outputTimestampType", enc)
+        writeFixture(s"$base/$sub", TimestampType,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(msValue / 1000000L, (msValue % 1000000L) * 1000L)))
+      }
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+
     val expected = Seq((7L, usValue))
+    val expectedMs = Seq((7L, msValue))
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     try {
       for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
@@ -78,6 +93,8 @@ class TimestampEncodingSpec extends SparkSpec {
         assert(readMicros(s"$base/nanos") == expected, s"nanos encoding under tz=$tz")
         assert(readMicros(s"$base/ltz") == expected, s"µs-LTZ encoding under tz=$tz")
         assert(readMicros(s"$base/ntz") == expected, s"µs-NTZ encoding under tz=$tz")
+        assert(readMicros(s"$base/ms") == expectedMs, s"ms encoding under tz=$tz")
+        assert(readMicros(s"$base/int96") == expectedMs, s"int96 encoding under tz=$tz")
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
