@@ -73,21 +73,31 @@ object Checkpoint {
   }
 
   /** Size-gated barrier: same lineage-truncation + reuse semantics as
-    * [[table]], but below the gate (plan-metadata bytes of the INPUT —
-    * no action) the stage is `localCheckpoint`ed into executor memory
-    * instead of round-tripping the shared FS. The parquet shape is
-    * kept above the gate, where it belongs: a 100 TB-derived
-    * intermediate must be columnar-pruned per consumer and survive
-    * executor loss; a small-corpus one only needs the barrier, and the
-    * FS write+read+scheduling is the dominant fixed cost of the whole
-    * operator at benchmark scale.
+    * [[table]], but below the gate the stage is `localCheckpoint`ed
+    * into executor memory instead of round-tripping the shared FS.
+    * The parquet shape is kept above the gate, where it belongs: a
+    * 100 TB-derived intermediate must be columnar-pruned per consumer
+    * and survive executor loss; a small-corpus one only needs the
+    * barrier, and the FS write+read+scheduling is the dominant fixed
+    * cost of the whole operator at benchmark scale.
+    *
+    * The gate measures the plan's LEAF scan bytes (file-metadata
+    * truth), not the derived plan's stats estimate: Spark's default
+    * per-type widths badly underestimate computed array columns (a
+    * shingle table is ~8 bytes per input CHARACTER), and an
+    * underestimate here would pin a corpus-scale intermediate into
+    * executor memory. Derived size is bounded by a small multiple of
+    * input size everywhere this gate is used, so a 2 GiB input gate
+    * bounds in-memory barriers to low tens of GiB cluster-wide.
+    * `spark.graft.barrierGateBytes` overrides (0 forces parquet).
     */
   def tableGated(df: DataFrame, name: String, maxBytes: Long = -1L): DataFrame = {
     val gate =
       if (maxBytes >= 0L) maxBytes
       else df.sparkSession.conf
         .getOption("spark.graft.barrierGateBytes").map(_.toLong).getOrElse(2L << 30)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
     if (bytes <= gate) df.localCheckpoint() else table(df, name)
   }
 }
