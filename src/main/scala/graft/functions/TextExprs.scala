@@ -286,6 +286,61 @@ case class NgramStatsExpr(child: Expression) extends UnaryExpression with Codege
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass language ID over a token array: count per-profile
+  * stopword hits, return the language of the max count (first profile
+  * wins ties). Bit-identical to the declarative per-profile
+  * `size(filter(tokens, t => array_contains(stops, t)))` score argmax:
+  * every profile's score shares the denominator max(nTok, 1), so the
+  * (score, -index) lexicographic max reduces to exact integer
+  * (count, -index) comparison — no floating point anywhere. The HOF
+  * form evaluated five interpreted filter lambdas per row, each
+  * re-deriving the token array from the raw text (no CSE across HOFs).
+  */
+case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  @transient private lazy val langs: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case ((_, stops), pi) =>
+      stops.foreach { s =>
+        val k = UTF8String.fromString(s)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(pi) else prev :+ pi)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](profiles.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val hit = lookup.get(arr.getUTF8String(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    i = 1
+    while (i < counts.length) {
+      if (counts(i) > counts(best)) best = i
+      i += 1
+    }
+    langs(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
@@ -306,4 +361,7 @@ object TextExprs {
 
   def ngramStats(tokens: Column): Column =
     toColumn(NgramStatsExpr(toExpression(tokens)))
+
+  def langIdOfTokens(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
+    toColumn(LangIdExpr(toExpression(tokens), profiles))
 }

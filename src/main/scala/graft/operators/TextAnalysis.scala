@@ -54,26 +54,17 @@ object TextAnalysis {
   /** Stopword hit-rate per language profile; argmax with profile
     * order as tiebreak.
     */
-  def langId(text: Column): Column = {
-    val nTok = tokenCountWs(text).cast("double")
-    // single-pass argmax: one struct per profile, lexicographic
-    // array_max over (score, prio, lang). Each stopHits filter-HOF is
-    // evaluated exactly once (the earlier greatest(...) + CASE-chain
-    // formulation evaluated every score twice — no CSE across the
-    // comparison). prio = -profile index keeps the first-max-wins
-    // tiebreak of the CASE chain.
-    val entries = langProfiles.zipWithIndex.map { case ((lang, stops), i) =>
-      struct(
-        (stopHits(text, stops).cast("double") / greatest(nTok, lit(1.0))).as("score"),
-        lit(-i).as("prio"),
-        lit(lang).as("lang"),
-      )
-    }
-    // null text -> null scores (the only null path); the CASE chain
-    // fell through to "und" there
+  def langId(text: Column): Column =
+    // single native pass (graft.functions.LangIdExpr): per-profile hit
+    // counts + argmax in one traversal of one tokenization. Since
+    // every profile's score = count / max(nTok, 1) shares the
+    // denominator, the lexicographic (score, prio) max of the previous
+    // declarative form reduces to exact integer (count, -index)
+    // comparison — bit-identical winner, including the zero-hit →
+    // first-profile case. The HOF form ran five interpreted filter
+    // lambdas per row, each re-deriving tokens from raw text.
     when(text.isNull, lit("und"))
-      .otherwise(array_max(array(entries: _*)).getField("lang"))
-  }
+      .otherwise(graft.functions.TextExprs.langIdOfTokens(tokens(text), langProfiles))
 
   /** Heuristic quality score in [0,1]: rewards stopword density and
     * moderate length; penalizes punctuation soup and very short docs.
@@ -183,6 +174,19 @@ object TextAnalysis {
   def classifierScore(docs: DataFrame, buckets: Int = 4096, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tk = filter(tokens(col(textCol)), t => t =!= "")
     val grams = concat(tk, ngramsOfTokens(tk, 2))
+    // per-bucket weights have only `buckets` distinct values — computed
+    // once on the driver with the same md5 formula the oracle uses and
+    // embedded as a literal lookup array, instead of re-hashing
+    // "w:"+bucket once per GRAM (2M interpreter-side md5s at sf0.1;
+    // values bit-identical, oracle unchanged)
+    val wLut = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(buckets) { b =>
+        val hex = digest.digest(s"w:$b".getBytes("UTF-8"))
+          .take(4).map(x => f"${x & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16)
+      }
+    }
     val exploded = docs
       .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
       .select(
@@ -191,7 +195,7 @@ object TextAnalysis {
       )
       .select(
         col("doc_id"),
-        conv(substring(md5(concat(lit("w:"), col("b"))), 1, 8), 16, 10).cast("long").as("w"),
+        element_at(typedLit(wLut.toSeq), (col("b") + 1).cast("int")).as("w"),
       )
     val half = 2147483648L // 2^31: the weight-space midpoint
     val agg = exploded
