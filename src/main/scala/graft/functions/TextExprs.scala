@@ -341,6 +341,85 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Space-joined word n-gram md5-prefix hashes in one native pass over
+  * the token array — replaces the interpreted zip_with/transform gram
+  * builders (one lambda call per GRAM, each concatenating strings)
+  * followed by a second hashing pass. Values are bit-identical to
+  * `conv(substring(md5(gram), 1, hexChars), 16, 10)` over the same
+  * grams, so every DuckDB oracle is unchanged.
+  *
+  * @param hexChars md5 hex prefix length (8 → 32-bit, 15 → 60-bit)
+  * @param distinct keep first occurrence of each hash value (the
+  *   wordNgrams→hashStrings composition: array_distinct on strings
+  *   then LinkedHashSet on values ≡ distinct-on-hash in order)
+  * @param shortJoinAll when fewer than n tokens, emit ONE gram of all
+  *   tokens space-joined (wordNgrams fallback; empty array → hash of
+  *   ""); when false, emit the empty array (ngramsOfTokens semantics)
+  */
+case class NgramHashExpr(
+    child: Expression,
+    n: Int,
+    hexChars: Int,
+    distinct: Boolean,
+    shortJoinAll: Boolean,
+) extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && hexChars >= 1 && hexChars <= 15)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+
+    def hashOf(b: Array[Byte]): Long = {
+      md.reset()
+      val h = md.digest(b)
+      val full = hexChars / 2
+      var v = 0L
+      var k = 0
+      while (k < full) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+      if (hexChars % 2 == 1) v = (v << 4) | ((h(full) & 0xffL) >>> 4)
+      v
+    }
+    def joined(start: Int, cnt: Int): Array[Byte] = {
+      var size = if (cnt == 0) 0 else cnt - 1
+      var k = 0
+      while (k < cnt) { size += toks(start + k).length; k += 1 }
+      val b = new Array[Byte](size)
+      var pos = 0
+      k = 0
+      while (k < cnt) {
+        if (k > 0) { b(pos) = ' '; pos += 1 }
+        val t = toks(start + k)
+        System.arraycopy(t, 0, b, pos, t.length)
+        pos += t.length
+        k += 1
+      }
+      b
+    }
+
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
+    def emit(v: Long): Unit = if (seen == null || seen.add(v)) out.add(v)
+    if (len < n) {
+      if (shortJoinAll) emit(hashOf(joined(0, len)))
+    } else {
+      i = 0
+      while (i <= len - n) { emit(hashOf(joined(i, n))); i += 1 }
+    }
+    val res = new Array[Long](out.size())
+    var j = 0
+    while (j < res.length) { res(j) = out.get(j); j += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
@@ -364,4 +443,16 @@ object TextExprs {
 
   def langIdOfTokens(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     toColumn(LangIdExpr(toExpression(tokens), profiles))
+
+  /** Distinct 32-bit n-gram hashes (wordNgrams→hashStrings twin). */
+  def wordNgramHashes(tokens: Column, n: Int): Column =
+    toColumn(NgramHashExpr(toExpression(tokens), n, 8, distinct = true, shortJoinAll = true))
+
+  /** Position-ordered 60-bit n-gram hashes (ngramsOfTokens→md5 twin). */
+  def gramHashes60(tokens: Column, n: Int): Column =
+    toColumn(NgramHashExpr(toExpression(tokens), n, 15, distinct = false, shortJoinAll = false))
+
+  /** Position-ordered 32-bit n-gram hashes (non-distinct, no fallback). */
+  def gramHashes32(tokens: Column, n: Int): Column =
+    toColumn(NgramHashExpr(toExpression(tokens), n, 8, distinct = false, shortJoinAll = false))
 }

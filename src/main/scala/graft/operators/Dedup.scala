@@ -258,15 +258,15 @@ object Dedup {
     val base = docsIn.select(
       col(idCol).as("doc_id"),
       size(tk).cast("long").as("n_tokens"),
-      TextAnalysis.ngramsOfTokens(tk, w).as("grams"),
+      // gram build + 60-bit md5-prefix hash in one native pass
+      // (NgramHashExpr); previously the zip_with gram builder ran an
+      // interpreted lambda per gram and the hex hash re-parsed per
+      // exploded row. Position order preserved, values bit-identical.
+      graft.functions.TextExprs.gramHashes60(tk, w).as("grams"),
     )
     val windowsRaw = base
-      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "gram")))
-      .select(
-        col("doc_id"),
-        col("pos").cast("long").as("pos"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"),
-      )
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
     val windows = if (small) windowsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else windowsRaw
     val dupHashesRaw = windows
       .groupBy(col("h"))
@@ -514,7 +514,14 @@ object Dedup {
     lshJaccardPairs(
       tokenized.select(
         col("id"),
-        graft.functions.TextExprs.hashStrings(wordNgrams(col("toks"), 3)).as("hsl"),
+        // one native pass: gram build + hash + distinct (the
+        // wordNgrams zip_with chain ran an interpreted lambda per
+        // gram before hashing; values bit-identical — see
+        // NgramHashExpr). coalesce replicates the null-toks path:
+        // wordNgrams(null) yielded array(""), i.e. hash of "".
+        graft.functions.TextExprs
+          .wordNgramHashes(coalesce(col("toks"), array()), 3)
+          .as("hsl"),
       ),
       threshold = threshold,
     )

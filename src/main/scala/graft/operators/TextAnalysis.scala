@@ -173,7 +173,6 @@ object TextAnalysis {
     */
   def classifierScore(docs: DataFrame, buckets: Int = 4096, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tk = filter(tokens(col(textCol)), t => t =!= "")
-    val grams = concat(tk, ngramsOfTokens(tk, 2))
     // per-bucket weights have only `buckets` distinct values — computed
     // once on the driver with the same md5 formula the oracle uses and
     // embedded as a literal lookup array, instead of re-hashing
@@ -187,15 +186,20 @@ object TextAnalysis {
         java.lang.Long.parseLong(hex, 16)
       }
     }
+    // gram build + 32-bit hash in one native pass (NgramHashExpr:
+    // unigrams are n=1 grams); bucket + weight lookup stay codegen'd
+    val hashes = concat(
+      graft.functions.TextExprs.gramHashes32(tk, 1),
+      graft.functions.TextExprs.gramHashes32(tk, 2),
+    )
     val exploded = docs
-      .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
+      .select(col(idCol).as("doc_id"), explode(hashes).as("h"))
       .select(
         col("doc_id"),
-        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"), lit(buckets.toLong)).as("b"),
-      )
-      .select(
-        col("doc_id"),
-        element_at(typedLit(wLut.toSeq), (col("b") + 1).cast("int")).as("w"),
+        element_at(
+          typedLit(wLut.toSeq),
+          (pmod(col("h"), lit(buckets.toLong)) + 1).cast("int"),
+        ).as("w"),
       )
     val half = 2147483648L // 2^31: the weight-space midpoint
     val agg = exploded
