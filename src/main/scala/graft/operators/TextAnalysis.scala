@@ -111,7 +111,7 @@ object TextAnalysis {
     * padding (concat with null is null) is dropped by a final filter,
     * which also yields the empty array for docs shorter than n.
     */
-  private[operators] def ngramsOfTokens(tk: Column, n: Int): Column = {
+  private[graft] def ngramsOfTokens(tk: Column, n: Int): Column = {
     val joined = (2 to n).foldLeft(tk) { case (acc, j) =>
       zip_with(acc, slice(tk, lit(j), size(tk)), (a, b) => concat(a, lit(" "), b))
     }

@@ -41,6 +41,64 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("native n-gram/lang-id expressions equal their declarative twins on random docs") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val words = Seq("the", "cat", "und", "der", "el", "x1", "zz", "", "a")
+      // include the edge shapes the parquet corpora never hit: empty
+      // doc, single token, exactly n-1/n tokens, null text
+      val docs = (0 until 60).map { i =>
+        val len = rng.nextInt(8)
+        (i.toLong, if (i == 59) null else (0 until len).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+
+      import graft.operators.{Dedup, TextAnalysis}
+      import graft.functions.TextExprs
+      val toks = TextAnalysis.tokens(col("text"))
+      val tk = filter(toks, t => t =!= "")
+
+      val rows = docs.select(
+        col("doc_id"),
+        TextExprs.wordNgramHashes(coalesce(toks, array()), 3).as("native_w"),
+        TextExprs.hashStrings(Dedup.wordNgrams(toks, 3)).as("twin_w"),
+        TextExprs.gramHashes60(tk, 4).as("native_g"),
+        transform(
+          TextAnalysis.ngramsOfTokens(tk, 4),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+        ).as("twin_g"),
+        TextExprs.gramHashes32(tk, 2).as("native_b"),
+        transform(
+          TextAnalysis.ngramsOfTokens(tk, 2),
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        ).as("twin_b"),
+      ).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"wordNgramHashes doc ${r.getLong(0)}")
+        assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"gramHashes60 doc ${r.getLong(0)}")
+        assert(r.getSeq[Long](5) == r.getSeq[Long](6), s"gramHashes32 doc ${r.getLong(0)}")
+      }
+
+      // lang id: native single-pass argmax vs the declarative
+      // stopword-score formulation it replaced
+      val profiles = TextAnalysis.langProfiles
+      val nTok = size(tk).cast("double")
+      val entries = profiles.zipWithIndex.map { case ((lang, stops), i) =>
+        struct(
+          (size(filter(tk, t => array_contains(array(stops.map(lit): _*), t))).cast("double") /
+            greatest(nTok, lit(1.0))).as("score"),
+          lit(-i).as("prio"),
+          lit(lang).as("lang"),
+        )
+      }
+      val li = docs.select(
+        TextAnalysis.langId(col("text")).as("native"),
+        when(col("text").isNull, lit("und"))
+          .otherwise(array_max(array(entries: _*)).getField("lang")).as("twin"),
+      ).collect()
+      li.foreach(r => assert(r.getString(0) == r.getString(1)))
+    }
+  }
+
   test("hashSplit partitions exactly (every row labeled once) at random weights") {
     forAll(seeds) { seed =>
       val rng = new scala.util.Random(seed)
