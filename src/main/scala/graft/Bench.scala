@@ -96,7 +96,7 @@ object Bench {
       // persisted/localCheckpoint'ed intermediates so 80 queries'
       // barriers don't accumulate into executor-memory/GC pressure
       // for the later ones
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
     // stdout precision: 2 decimals keeps the line ~1.7 KB at 70

@@ -30,7 +30,7 @@ object Verify {
       }
       // drop the finished query's persisted/localCheckpoint'ed
       // barriers before the next one (see Bench)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     System.err.println(s"[verify] summary: $nFail of ${SparkEntry.queries.size} queries failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
