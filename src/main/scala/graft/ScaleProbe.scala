@@ -48,6 +48,14 @@ object ScaleProbe {
         )
         out.unpersist()
       },
+      "embed_dedup_default" -> { () =>
+        // production default: autoLshParams scales planes with
+        // ceil(log2 n)+2, unlike the oracle-pinned (4,4,0) form whose
+        // bucket population grows linearly in n
+        operators.Similarity
+          .cosinePairs(spark.read.parquet(s"$sfDir/embeddings.parquet"), threshold = 0.3)
+          .write.format("noop").mode("overwrite").save()
+      },
       "minhash_diag" -> { () =>
         import org.apache.spark.sql.functions._
         import graft.operators.Dedup
