@@ -188,6 +188,117 @@ object StatefulBars {
       )
   }
 
+  /** Streaming dollar-imbalance bars: θ accumulates sign·(price
+    * cents)·size, same state machine as the batch
+    * operators.ImbalanceBars.dollarImbalanceBars (seeds and the
+    * minimum scaled to cents exactly like the batch form).
+    */
+  def dollarImbalanceBars(
+      trades: DataFrame,
+      initTicks: Double = 100.0,
+      initDollarImbalance: Double = 25.0,
+      minDollarImbalance: Double = 1.0,
+      alpha: Double = 0.1,
+  ): Dataset[ImbBar] =
+    imbalanceBarsBy(trades, initTicks, initDollarImbalance * 100.0, minDollarImbalance * 100.0, alpha)(
+      (t, sign) => sign * math.round(t.price * 100) * t.size
+    )
+
+  /** Streaming volume-imbalance bars: θ accumulates sign·size
+    * (batch twin: operators.ImbalanceBars.volumeImbalanceBars).
+    */
+  def volumeImbalanceBars(
+      trades: DataFrame,
+      initTicks: Double = 100.0,
+      initVolumeImbalance: Double = 10.0,
+      minVolumeImbalance: Double = 1.0,
+      alpha: Double = 0.1,
+  ): Dataset[ImbBar] =
+    imbalanceBarsBy(trades, initTicks, initVolumeImbalance, minVolumeImbalance, alpha)(
+      (t, sign) => sign * t.size
+    )
+
+  /** Shared θ-increment-parametrized streaming imbalance state
+    * machine (tick form keeps its original dedicated processor).
+    */
+  private def imbalanceBarsBy(
+      trades: DataFrame,
+      initTicks: Double,
+      initB: Double,
+      minB: Double,
+      alpha: Double,
+  )(inc: (Tick, Int) => Long): Dataset[ImbBar] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val ticks = trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[Tick]
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processImbalanceBy(initTicks, initB, minB, alpha, inc)
+      )
+  }
+
+  private def processImbalanceBy(
+      initTicks: Double,
+      initB: Double,
+      minB: Double,
+      alpha: Double,
+      inc: (Tick, Int) => Long,
+  )(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[ImbState],
+  ): Iterator[ImbBar] = {
+    val sorted = rows.toSeq.sortBy(t => (tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.getOrElse(
+      ImbState(hasPrev = false, 0.0, 1, initTicks, initB, 0L, null)
+    )
+    val out = Seq.newBuilder[ImbBar]
+    sorted.foreach { t =>
+      val tsUs = tsMicros(t.ts)
+      val sign =
+        if (!st.hasPrev || t.price == st.prevPrice) st.prevSign
+        else if (t.price > st.prevPrice) 1
+        else -1
+      val bar =
+        if (st.bar == null)
+          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, math.round(t.price * 100) * t.size)
+        else
+          OpenBar(
+            st.bar.n + 1, st.bar.tsStart, tsUs, st.bar.open,
+            math.max(st.bar.high, t.price), math.min(st.bar.low, t.price), t.price,
+            st.bar.volume + t.size, st.bar.pv + math.round(t.price * 100) * t.size,
+          )
+      val theta = st.theta + inc(t, sign)
+      val threshold = st.expT * math.max(math.abs(st.expB), minB)
+      if (math.abs(theta.toDouble) >= threshold) {
+        out += ImbBar(
+          symbol, microsTs(bar.tsStart), microsTs(bar.tsEnd),
+          bar.open, bar.high, bar.low, bar.close,
+          bar.volume, bar.pv.toDouble / 100.0 / bar.volume.toDouble, bar.n, theta,
+        )
+        val (expT, expB) =
+          if (alpha > 0)
+            ((1 - alpha) * st.expT + alpha * bar.n,
+             (1 - alpha) * st.expB + alpha * (theta.toDouble / bar.n))
+          else (st.expT, st.expB)
+        st = ImbState(hasPrev = true, t.price, sign, expT, expB, 0L, null)
+      } else {
+        st = ImbState(hasPrev = true, t.price, sign, st.expT, st.expB, theta, bar)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private def processImbalance(
       initTicks: Double,
       initImbalance: Double,

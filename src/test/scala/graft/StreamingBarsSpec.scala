@@ -86,6 +86,53 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming dollar/volume imbalance bars equal their batch twins") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sdimb").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    for (
+      (name, streamFn, batchDf) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.streaming.StatefulBars.ImbBar], org.apache.spark.sql.DataFrame)](
+        (
+          "stream_dimb",
+          s => graft.streaming.StatefulBars.dollarImbalanceBars(s, initTicks = 20.0),
+          graft.operators.ImbalanceBars.dollarImbalanceBars(trades, initTicks = 20.0),
+        ),
+        (
+          "stream_vimb",
+          s => graft.streaming.StatefulBars.volumeImbalanceBars(s, initTicks = 20.0),
+          graft.operators.ImbalanceBars.volumeImbalanceBars(trades, initTicks = 20.0),
+        ),
+      )
+    ) {
+      val stream = spark.readStream.schema(trades.schema).parquet(dir)
+      val q = streamFn(stream)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      val streamed = spark.table(name)
+      assert(streamed.count() == batchDf.count() && streamed.count() > 0, name)
+      val joined = streamed
+        .as("s")
+        .join(batchDf.as("b"), col("s.symbol") === col("b.symbol") && col("s.ts_start") === col("b.ts_start"))
+      assert(joined.count() == batchDf.count(), name)
+      assert(
+        joined.where(
+          col("s.theta") =!= col("b.theta") ||
+            col("s.volume") =!= col("b.volume") ||
+            col("s.n_trades") =!= col("b.n_trades") ||
+            col("s.vwap") =!= col("b.vwap")
+        ).count() == 0,
+        name,
+      )
+    }
+  }
+
   test("streaming rolling features equal the batch deque scan bit-for-bit") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-sroll").toString
