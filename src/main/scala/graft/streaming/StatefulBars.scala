@@ -218,6 +218,114 @@ object StatefulBars {
       (t, sign) => sign * t.size
     )
 
+  // ---- streaming tick run bars ----
+
+  final case class RunBar(
+      symbol: String,
+      ts_start: Timestamp,
+      ts_end: Timestamp,
+      open: Double,
+      high: Double,
+      low: Double,
+      close: Double,
+      volume: Long,
+      vwap: Double,
+      n_trades: Long,
+      up_ticks: Long,
+      down_ticks: Long,
+  )
+
+  final case class RunState(
+      hasPrev: Boolean,
+      prevPrice: Double,
+      prevSign: Int,
+      expT: Double,
+      pMax: Double,
+      up: Long,
+      down: Long,
+      bar: OpenBar, // null when no bar open
+  )
+
+  /** Streaming tick run bars: θ = max(up-run, down-run), closes at
+    * θ ≥ E[T]·max(P[up], 1−P[up]) — the batch
+    * operators.ImbalanceBars.tickRunBars state machine carried in
+    * O(1) per-symbol streaming state.
+    */
+  def tickRunBars(
+      trades: DataFrame,
+      initTicks: Double = 100.0,
+      initPmax: Double = 0.55,
+      alpha: Double = 0.1,
+  ): Dataset[RunBar] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val ticks = trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[Tick]
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processRuns(initTicks, initPmax, alpha)
+      )
+  }
+
+  private def processRuns(
+      initTicks: Double,
+      initPmax: Double,
+      alpha: Double,
+  )(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[RunState],
+  ): Iterator[RunBar] = {
+    val sorted = rows.toSeq.sortBy(t => (tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.getOrElse(
+      RunState(hasPrev = false, 0.0, 1, initTicks, initPmax, 0L, 0L, null)
+    )
+    val out = Seq.newBuilder[RunBar]
+    sorted.foreach { t =>
+      val tsUs = tsMicros(t.ts)
+      val sign =
+        if (!st.hasPrev || t.price == st.prevPrice) st.prevSign
+        else if (t.price > st.prevPrice) 1
+        else -1
+      val bar =
+        if (st.bar == null)
+          OpenBar(1, tsUs, tsUs, t.price, t.price, t.price, t.price, t.size, math.round(t.price * 100) * t.size)
+        else
+          OpenBar(
+            st.bar.n + 1, st.bar.tsStart, tsUs, st.bar.open,
+            math.max(st.bar.high, t.price), math.min(st.bar.low, t.price), t.price,
+            st.bar.volume + t.size, st.bar.pv + math.round(t.price * 100) * t.size,
+          )
+      val up = st.up + (if (sign > 0) 1L else 0L)
+      val down = st.down + (if (sign > 0) 0L else 1L)
+      if (math.max(up, down).toDouble >= st.expT * st.pMax) {
+        out += RunBar(
+          symbol, microsTs(bar.tsStart), microsTs(bar.tsEnd),
+          bar.open, bar.high, bar.low, bar.close,
+          bar.volume, bar.pv.toDouble / 100.0 / bar.volume.toDouble, bar.n, up, down,
+        )
+        val (expT, pMax) =
+          if (alpha > 0)
+            ((1 - alpha) * st.expT + alpha * bar.n,
+             (1 - alpha) * st.pMax + alpha * (math.max(up, down).toDouble / bar.n))
+          else (st.expT, st.pMax)
+        st = RunState(hasPrev = true, t.price, sign, expT, pMax, 0L, 0L, null)
+      } else {
+        st = RunState(hasPrev = true, t.price, sign, st.expT, st.pMax, up, down, bar)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   /** Shared θ-increment-parametrized streaming imbalance state
     * machine (tick form keeps its original dedicated processor).
     */

@@ -133,6 +133,39 @@ class StreamingBarsSpec extends SparkSpec {
     }
   }
 
+  test("streaming tick run bars equal batch tick run bars") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-srun").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StatefulBars
+      .tickRunBars(stream, initTicks = 20.0)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_run")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_run")
+    val batch = graft.operators.ImbalanceBars.tickRunBars(trades, initTicks = 20.0)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed
+      .as("s")
+      .join(batch.as("b"), col("s.symbol") === col("b.symbol") && col("s.ts_start") === col("b.ts_start"))
+    assert(joined.count() == batch.count())
+    assert(
+      joined.where(
+        col("s.up_ticks") =!= col("b.up_ticks") ||
+          col("s.down_ticks") =!= col("b.down_ticks") ||
+          col("s.volume") =!= col("b.volume") ||
+          col("s.vwap") =!= col("b.vwap")
+      ).count() == 0
+    )
+  }
+
   test("streaming rolling features equal the batch deque scan bit-for-bit") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-sroll").toString
