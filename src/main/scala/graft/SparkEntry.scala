@@ -255,6 +255,23 @@ object SparkEntry {
         .uniquenessWeights(t, ev)
         .orderBy(col("symbol"), col("event_id"))
     },
+    "cv_splits" -> { (s, dir) =>
+      // purged 5-fold CV with 1h embargo over sampled events with 4h
+      // label intervals; fold = exact two-phase global rank (engine-
+      // exact: rank order (ts, event_id) is collision-free because
+      // trade_id is globally unique)
+      val ev = TradeData
+        .fromEvents(s, dir)
+        .where(col("trade_id") % 50 === 0)
+        .select(
+          col("trade_id").as("event_id"),
+          col("ts"),
+          (col("ts") + expr("INTERVAL 4 HOURS")).as("t1"),
+        )
+      usTs("ts", "t1")(
+        operators.CvSplits.purgedKFold(ev, k = 5, embargo = "1 hour")
+      ).orderBy(col("fold"), col("event_id"))
+    },
     "cusum_events" -> { (s, dir) =>
       // h = $100 (10000 cents); integer-cents state, so event
       // placement is engine-exact against the recursive close-chain
@@ -1864,6 +1881,31 @@ object SparkEntry {
          |SELECT symbol, event_id, sinv / CAST(n_ticks AS DOUBLE) AS avg_uniqueness, n_ticks
          |FROM w
          |ORDER BY symbol, event_id""".stripMargin,
+    "cv_splits" ->
+      // Purged 5-fold CV with 1h embargo (AFML ch.7): fold = 0-based
+      // rank (ts, event_id) * k // n — the oracle's single-window rank
+      // replays the engine's two-phase distributed rank exactly
+      // (collision-free order: trade_id is globally unique).
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT trade_id AS event_id, ts, ts + INTERVAL 4 HOUR AS t1
+         |  FROM trades WHERE trade_id % 50 = 0),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
+         |         count(*) OVER () AS n
+         |  FROM ev),
+         |f AS (SELECT event_id, ts, t1, (r * 5) // n AS fold FROM rk),
+         |sp AS (
+         |  SELECT fold, min(ts) AS test_start, max(t1) AS test_end
+         |  FROM f GROUP BY fold)
+         |SELECT sp.fold, f.event_id, epoch_us(f.ts) AS ts, epoch_us(f.t1) AS t1,
+         |       CASE WHEN f.fold = sp.fold THEN 'test'
+         |            WHEN f.ts <= sp.test_end AND f.t1 >= sp.test_start THEN 'purged'
+         |            WHEN f.ts > sp.test_end
+         |                 AND f.ts <= sp.test_end + INTERVAL 1 HOUR THEN 'embargo'
+         |            ELSE 'train' END AS role
+         |FROM f CROSS JOIN sp
+         |ORDER BY sp.fold, f.event_id""".stripMargin,
     "daily_vol" ->
       s"""WITH $T,
          |${ewmVolCtes(100)}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Checkpoint
+
+/** Purged k-fold cross-validation splits with embargo (AFML ch.7 —
+  * beyond the reference's labeling surface, the model-selection step
+  * every labeled-event pipeline feeds): financial labels are built
+  * from FORWARD intervals [t0, t1], so a plain k-fold leaks — a
+  * training event whose interval overlaps the test fold's span shares
+  * information with test labels. Purged CV drops those (purging), and
+  * additionally drops training events starting within an embargo
+  * period after the test span (serial-correlation leakage).
+  *
+  * Semantics (pooled across symbols, like the AFML formulation):
+  *  - events are ranked by (ts, event_id); fold of the event at
+  *    0-based rank r is `r·k / n` (integer division) — index-
+  *    contiguous folds whose sizes differ by at most one.
+  *  - fold f's test span = [min ts, max t1] over its events.
+  *  - for each fold, every event gets a role:
+  *      test     — the event is in the fold;
+  *      purged   — [ts, t1] overlaps the test span;
+  *      embargo  — starts within `embargo` after the test span's end;
+  *      train    — everything else.
+  *
+  * Scale design: the ONLY global structure is the rank, computed with
+  * a two-phase distributed rank — range-repartition on (ts, id), a
+  * per-partition `row_number` window (parallel across partitions),
+  * and partition-count prefix offsets joined back from a
+  * numPartitions-row broadcast. No single-task global window, no
+  * driver-side row data; the span table is k rows, broadcast into a
+  * map-side role projection. The range exchange is the one shuffle.
+  * The barrier between the two rank phases is [[Checkpoint.tableGated]]
+  * so the nondeterministic range-sampled partitioning is evaluated
+  * exactly once.
+  */
+object CvSplits {
+
+  /** @param events one row per labeled event: `idCol` (unique long),
+    *   `tsCol` (event start), `t1Col` (label interval end, >= ts)
+    * @param embargo SQL interval literal body, e.g. "1 hour"
+    * @return one row per (fold, event): fold, event_id, ts, t1, role
+    */
+  def purgedKFold(
+      events: DataFrame,
+      k: Int = 5,
+      embargo: String = "0 seconds",
+      idCol: String = "event_id",
+      tsCol: String = "ts",
+      t1Col: String = "t1",
+  ): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    val spark = events.sparkSession
+    val prep = events.select(
+      col(idCol).cast("long").as("event_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(t1Col).cast("timestamp").as("t1"),
+    )
+
+    // phase 1: range-partition on the rank order and pin the
+    // partitioning behind a barrier (spark_partition_id must agree
+    // between the count pass and the rank pass)
+    val nParts = spark.sparkContext.defaultParallelism
+    val ranged = Checkpoint.tableGated(
+      prep
+        .repartitionByRange(nParts, col("ts"), col("event_id"))
+        .withColumn("__pid", spark_partition_id()),
+      "cv_ranked",
+    )
+
+    // phase 2: bounded (numPartitions-row) per-partition counts →
+    // prefix offsets; global rank = offset + partition-local row_number
+    val counts = ranged
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n > 0, "purgedKFold needs at least one event")
+    val offsets = counts
+      .scanLeft((0, 0L, 0L)) { case ((_, off, c), (pid, cnt)) => (pid, off + c, cnt) }
+      .tail
+      .map { case (pid, off, _) => (pid, off) }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    )
+    val wPart = Window.partitionBy(col("__pid")).orderBy(col("ts"), col("event_id"))
+    val folded = ranged
+      .join(offDf, "__pid")
+      .withColumn("__rank", col("__off") + row_number().over(wPart) - 1)
+      // 0-based rank r -> fold r*k/n: contiguous, sizes differ by <= 1
+      // (`div` = integer division; `/` on longs would plan a double)
+      .withColumn("__fold", expr(s"__rank * $k div ${n}L"))
+      .select(col("event_id"), col("ts"), col("t1"), col("__fold"))
+
+    // k-row span table, broadcast into a map-side role projection
+    val spans = folded
+      .groupBy(col("__fold").as("fold"))
+      .agg(min(col("ts")).as("__test_start"), max(col("t1")).as("__test_end"))
+    folded
+      .crossJoin(broadcast(spans))
+      .withColumn(
+        "role",
+        when(col("__fold") === col("fold"), lit("test"))
+          .when(col("ts") <= col("__test_end") && col("t1") >= col("__test_start"), lit("purged"))
+          .when(
+            col("ts") > col("__test_end") &&
+              col("ts") <= col("__test_end") + expr(s"INTERVAL $embargo"),
+            lit("embargo"),
+          )
+          .otherwise(lit("train")),
+      )
+      .select(col("fold"), col("event_id"), col("ts"), col("t1"), col("role"))
+  }
+}

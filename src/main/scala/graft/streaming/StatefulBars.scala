@@ -129,6 +129,219 @@ object StatefulBars {
     out.result().iterator
   }
 
+  // ---- streaming volume / dollar threshold bars ----
+
+  /** Dollar-split bar: `dollar_volume` (exact cents, exposed as
+    * dollars) replaces the integer share count — mirrors the batch
+    * operators.Bars.dollarBarsSplit schema.
+    */
+  final case class DollarSplitBar(
+      symbol: String,
+      ts_start: Timestamp,
+      ts_end: Timestamp,
+      open: Double,
+      high: Double,
+      low: Double,
+      close: Double,
+      dollar_volume: Double,
+      vwap: Double,
+      n_trades: Long,
+  )
+
+  /** HALF_UP cents like Catalyst round() — math.round alone rounds
+    * -234.5 toward +inf where round() gives -235 (same mirror as the
+    * batch fused scan).
+    */
+  private def cents(price: Double): Long =
+    if (price >= 0) math.round(price * 100) else -math.round(-price * 100)
+
+  /** Fold one (possibly split) piece into the open bar. `sizeEff` is
+    * the piece's effective size (shares, units, or cents of dollar
+    * value); `pvInc` the exact Σ cents·size increment for the vwap.
+    */
+  private def addPiece(bar: OpenBar, tsUs: Long, price: Double, sizeEff: Long, pvInc: Long): OpenBar =
+    if (bar == null)
+      OpenBar(1, tsUs, tsUs, price, price, price, price, sizeEff, pvInc)
+    else
+      OpenBar(
+        bar.n + 1, bar.tsStart, tsUs, bar.open,
+        math.max(bar.high, price), math.min(bar.low, price), price,
+        bar.volume + sizeEff, bar.pv + pvInc,
+      )
+
+  private def toBar(symbol: String, bar: OpenBar): Bar =
+    Bar(
+      symbol, microsTs(bar.tsStart), microsTs(bar.tsEnd),
+      bar.open, bar.high, bar.low, bar.close,
+      bar.volume, bar.pv.toDouble / 100.0 / bar.volume.toDouble, bar.n,
+    )
+
+  private val DayUs = 86400000000L
+
+  /** Per-(symbol, UTC day) keyed tick groups — the batch operators'
+    * splitByDate=true grouping (session TZ is UTC in all graft
+    * entrypoints, so to_date(ts) ≡ floorDiv(epoch µs, day)).
+    */
+  private def bydayTicks(trades: DataFrame) = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[Tick]
+      .groupByKey(t => (t.symbol, Math.floorDiv(tsMicros(t.ts), DayUs)))
+  }
+
+  /** Streaming volume bars keyed by (symbol, UTC day) — the batch
+    * default splitByDate=true grouping, carried across micro-batches
+    * in O(1) state per key. `allowSplits=true`: a trade straddling the
+    * boundary is split at the exact multiple of `barSize` in
+    * cumulative volume and n_trades counts pieces (batch
+    * Bars.volumeBars split form); `allowSplits=false`: the whole trade
+    * joins the open bar, which closes with overflow once its total
+    * reaches barSize (batch volumeBarsOverflow). Completed bars emit
+    * exactly once in append mode; open partials (including day-tail
+    * partials) stay in state, so streaming == batch on completed bars.
+    * Requires size >= 1 per tick (the canonical trades contract).
+    */
+  def volumeBars(trades: DataFrame, barSize: Long, allowSplits: Boolean = true): Dataset[Bar] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    bydayTicks(trades)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processVolume(barSize, allowSplits)
+      )
+  }
+
+  private def processVolume(barSize: Long, allowSplits: Boolean)(
+      key: (String, Long),
+      rows: Iterator[Tick],
+      state: GroupState[OpenBar],
+  ): Iterator[Bar] = {
+    val sorted = rows.toSeq.sortBy(t => (tsMicros(t.ts), t.trade_id))
+    var bar = state.getOption.orNull
+    val out = Seq.newBuilder[Bar]
+    sorted.foreach { t =>
+      val tsUs = tsMicros(t.ts)
+      val pc = cents(t.price)
+      if (allowSplits) {
+        var remaining = t.size
+        while (remaining > 0) {
+          val room = barSize - (if (bar == null) 0L else bar.volume)
+          val take = math.min(remaining, room)
+          bar = addPiece(bar, tsUs, t.price, take, pc * take)
+          remaining -= take
+          if (bar.volume >= barSize) { out += toBar(key._1, bar); bar = null }
+        }
+      } else {
+        bar = addPiece(bar, tsUs, t.price, t.size, pc * t.size)
+        if (bar.volume >= barSize) { out += toBar(key._1, bar); bar = null }
+      }
+    }
+    if (bar == null) state.remove() else state.update(bar)
+    out.result().iterator
+  }
+
+  /** Streaming dollar bars with the reference's unit-level overflow
+    * semantics (batch Bars.dollarBars: each trade is conceptually
+    * `size` unit trades; a bar closes on the unit pushing its dollar
+    * total to >= barSize, overflow allowed). The closed-form per-trade
+    * unit split of the batch carry scan runs inside O(1) per-(symbol,
+    * day) streaming state — the open bar's exact Σcents IS the carry.
+    * Zero-cent ticks contribute no dollar value and are skipped
+    * (same degenerate-price policy as batch).
+    */
+  def dollarBars(trades: DataFrame, barSize: Double): Dataset[Bar] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val barCents = math.round(barSize * 100)
+    bydayTicks(trades)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processDollarOverflow(barCents)
+      )
+  }
+
+  private def processDollarOverflow(barCents: Long)(
+      key: (String, Long),
+      rows: Iterator[Tick],
+      state: GroupState[OpenBar],
+  ): Iterator[Bar] = {
+    val sorted = rows.toSeq.sortBy(t => (tsMicros(t.ts), t.trade_id))
+    var bar = state.getOption.orNull
+    val out = Seq.newBuilder[Bar]
+    sorted.foreach { t =>
+      val tsUs = tsMicros(t.ts)
+      val pc = cents(t.price)
+      if (pc > 0L) {
+        var remaining = t.size
+        while (remaining > 0) {
+          val carry = if (bar == null) 0L else bar.pv
+          // units needed to push the bar's Σcents to >= barCents
+          val k = (barCents - carry + pc - 1) / pc
+          val take = math.min(remaining, k)
+          bar = addPiece(bar, tsUs, t.price, take, pc * take)
+          remaining -= take
+          if (bar.pv >= barCents) { out += toBar(key._1, bar); bar = null }
+        }
+      }
+    }
+    if (bar == null) state.remove() else state.update(bar)
+    out.result().iterator
+  }
+
+  /** Streaming dollar bars with split-at-boundary semantics (batch
+    * Bars.dollarBarsSplit): bar boundaries at exact multiples of
+    * barSize in cumulative dollar (cent) terms; a straddling trade's
+    * dollar value splits at the boundary, n_trades counts pieces.
+    * The open bar's `volume` accumulates piece amounts in cents.
+    */
+  def dollarBarsSplit(trades: DataFrame, barSize: Double): Dataset[DollarSplitBar] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val barCents = math.round(barSize * 100)
+    bydayTicks(trades)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processDollarSplit(barCents)
+      )
+  }
+
+  private def processDollarSplit(barCents: Long)(
+      key: (String, Long),
+      rows: Iterator[Tick],
+      state: GroupState[OpenBar],
+  ): Iterator[DollarSplitBar] = {
+    val sorted = rows.toSeq.sortBy(t => (tsMicros(t.ts), t.trade_id))
+    var bar = state.getOption.orNull
+    val out = Seq.newBuilder[DollarSplitBar]
+    sorted.foreach { t =>
+      val tsUs = tsMicros(t.ts)
+      val pc = cents(t.price)
+      var remaining = pc * t.size // the trade's dollar value in cents
+      while (remaining > 0) {
+        val room = barCents - (if (bar == null) 0L else bar.volume)
+        val take = math.min(remaining, room)
+        bar = addPiece(bar, tsUs, t.price, take, pc * take)
+        remaining -= take
+        if (bar.volume >= barCents) {
+          out += DollarSplitBar(
+            key._1, microsTs(bar.tsStart), microsTs(bar.tsEnd),
+            bar.open, bar.high, bar.low, bar.close,
+            bar.volume.toDouble / 100.0,
+            bar.pv.toDouble / 100.0 / bar.volume.toDouble, bar.n,
+          )
+          bar = null
+        }
+      }
+    }
+    if (bar == null) state.remove() else state.update(bar)
+    out.result().iterator
+  }
+
   // ---- streaming tick-imbalance bars (adaptive thresholds) ----
 
   final case class ImbBar(

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CvSplits
+
+/** Purged k-fold CV: hand-pinned roles on a small case, leakage
+  * invariants on real data, and the two-phase distributed rank pinned
+  * against the naive single-partition global window.
+  */
+class CvSplitsSpec extends SparkSpec {
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2021-01-01 00:$m%02d:00")
+
+  test("purged k-fold: hand-computed roles, embargo, fold balance") {
+    import spark.implicits._
+    // 6 events, 1 minute apart, each with a 90-second label interval;
+    // k=3 -> folds {0,1} {2,3} {4,5} by rank
+    val ev = (0 until 6)
+      .map(i => (i.toLong, ts(i), new Timestamp(ts(i).getTime + 90000L)))
+      .toDF("event_id", "ts", "t1")
+    val out = CvSplits
+      .purgedKFold(ev, k = 3, embargo = "2 minutes")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4)))
+      .toMap
+    assert(out.size == 18)
+    // fold 1 tests events 2,3 (span [t2, t3+90s])
+    assert(out((1L, 2L)) == "test" && out((1L, 3L)) == "test")
+    // event 1: t1 = t1+90s = 00:02:30 >= test_start 00:02 -> purged
+    assert(out((1L, 1L)) == "purged")
+    // event 0: t1 = 00:01:30 < 00:02 -> train
+    assert(out((1L, 0L)) == "train")
+    // event 4 starts at 00:04 <= test_end 00:04:30 -> purged (overlap
+    // wins); event 5 at 00:05 is within the 2min embargo after 00:04:30
+    assert(out((1L, 4L)) == "purged" && out((1L, 5L)) == "embargo")
+    // fold 0 (span [00:00, 00:02:30]): event 2 starts exactly at
+    // 00:02 <= test_end -> purged; event 3 at 00:03 within embargo
+    assert(out((0L, 2L)) == "purged" && out((0L, 3L)) == "embargo")
+    assert(out((0L, 5L)) == "train")
+  }
+
+  test("leakage invariants and exact rank on real events") {
+    val trades = sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val ev = trades
+      .where(col("trade_id") % 10 === 0)
+      .select(
+        col("trade_id").as("event_id"),
+        col("ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("t1"),
+      )
+    val nEv = ev.count()
+    val out = CvSplits.purgedKFold(ev, k = 5, embargo = "1 hour").cache()
+    try {
+      // every (fold, event) pair present exactly once
+      assert(out.count() == nEv * 5)
+      assert(out.groupBy("fold").count().count() == 5)
+      // fold sizes differ by at most one
+      val sizes = out.where(col("role") === "test").groupBy("fold").count()
+        .collect().map(_.getLong(1))
+      assert(sizes.length == 5 && sizes.max - sizes.min <= 1 && sizes.sum == nEv)
+      // no train event overlaps its fold's test span or embargo window
+      val spans = out.where(col("role") === "test")
+        .groupBy(col("fold").as("f")).agg(
+          min(col("ts")).as("test_start"), max(col("t1")).as("test_end"))
+      val leaks = out.join(spans, col("fold") === col("f"))
+        .where(
+          col("role") === "train" && (
+            (col("ts") <= col("test_end") && col("t1") >= col("test_start")) ||
+              (col("ts") > col("test_end") &&
+                col("ts") <= col("test_end") + expr("INTERVAL 1 HOUR"))
+          )
+        )
+      assert(leaks.count() == 0)
+      // two-phase distributed rank == naive global-window fold
+      val naive = ev
+        .withColumn("__fold", expr(s"(row_number() over (order by ts, event_id) - 1) * 5 div ${nEv}L"))
+        .select(col("event_id"), col("__fold"))
+      val engine = out.where(col("role") === "test")
+        .select(col("event_id"), col("fold"))
+      assert(engine.join(naive, "event_id").where(col("fold") =!= col("__fold")).count() == 0)
+    } finally out.unpersist()
+  }
+}

@@ -133,6 +133,62 @@ class StreamingBarsSpec extends SparkSpec {
     }
   }
 
+  test("streaming volume/dollar threshold bars equal their batch twins (completed bars)") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-svd").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    // Batch side filtered to COMPLETED bars — the open partial (incl.
+    // day-tail partials) stays in streaming state. Exact filters:
+    // split bars complete at volume == barSize; overflow bars at
+    // volume >= barSize; dollar-overflow bars close when the bar's
+    // Σcents reaches barCents, recovered exactly from the cents-exact
+    // vwap (values ≪ 2^53, so round() is lossless).
+    val cases = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](
+      (
+        "stream_vbar_split",
+        s => graft.streaming.StatefulBars.volumeBars(s, barSize = 500L).toDF(),
+        Bars.volumeBars(trades, barSize = 500L).where(col("volume") === 500L),
+      ),
+      (
+        "stream_vbar_ovf",
+        s => graft.streaming.StatefulBars.volumeBars(s, barSize = 500L, allowSplits = false).toDF(),
+        Bars.volumeBars(trades, barSize = 500L, allowSplits = false).where(col("volume") >= 500L),
+      ),
+      (
+        "stream_dbar_ovf",
+        s => graft.streaming.StatefulBars.dollarBars(s, barSize = 50000.0).toDF(),
+        Bars.dollarBars(trades, barSize = 50000.0)
+          .where(round(col("vwap") * 100.0 * col("volume")) >= 50000L * 100L),
+      ),
+      (
+        "stream_dbar_split",
+        s => graft.streaming.StatefulBars.dollarBarsSplit(s, barSize = 50000.0).toDF(),
+        Bars.dollarBarsSplit(trades, barSize = 50000.0).where(col("dollar_volume") === 50000.0),
+      ),
+    )
+    for ((name, streamFn, batchDf) <- cases) {
+      val stream = spark.readStream.schema(trades.schema).parquet(dir)
+      val q = streamFn(stream)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      val streamed = spark.table(name)
+      val batch = batchDf.select(streamed.columns.map(col): _*)
+      assert(streamed.count() == batch.count() && streamed.count() > 0, name)
+      // multiset equality (a single giant trade can fill several bars
+      // sharing one ts_start, so no natural join key exists); every
+      // double on both sides is cents-exact → bit-identical
+      assert(streamed.exceptAll(batch).count() == 0, name)
+      assert(batch.exceptAll(streamed).count() == 0, name)
+    }
+  }
+
   test("streaming tick run bars equal batch tick run bars") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-srun").toString
