@@ -393,6 +393,15 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no event x path pair join may appear")
   }
 
+  test("purged CV rank is distributed: no single-partition exchange, broadcast spans") {
+    val p = plan("cv_splits")
+    // a naive global row_number would plan `Exchange SinglePartition`
+    assert(!p.contains("SinglePartition"), s"global rank serialized to one task:\n$p")
+    // prefix offsets + k-row fold spans ride broadcast joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), "per-partition row_number expected")
+  }
+
   test("weight chunked-fold scan: two exchanges, zero joins") {
     import org.apache.spark.sql.functions._
     val t = TradeData.fromEvents(spark, dir)
