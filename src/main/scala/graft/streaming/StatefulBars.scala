@@ -152,7 +152,7 @@ object StatefulBars {
     * -234.5 toward +inf where round() gives -235 (same mirror as the
     * batch fused scan).
     */
-  private def cents(price: Double): Long =
+  private[streaming] def cents(price: Double): Long =
     if (price >= 0) math.round(price * 100) else -math.round(-price * 100)
 
   /** Fold one (possibly split) piece into the open bar. `sizeEff` is

@@ -198,6 +198,106 @@ object StreamingDaily {
     out.result().iterator
   }
 
+  // ---- Roll spread + Kyle's lambda ----
+
+  final case class MfState(
+      day: String,
+      hasPrev: Boolean, // a previous price exists within the day
+      prevPc: Long,
+      hasPrevD: Boolean, // a previous delta exists within the day
+      prevD: Long,
+      lastSign: Int, // carried tick-rule sign (seed +1 per day)
+      nr: Long, sxyR: Long, sxR: Long, syR: Long, // roll moments (d, dPrev)
+      nk: Long, sxyK: Long, sxK: Long, syK: Long, sxxK: Long, // kyle moments (sv, d)
+  )
+
+  final case class MfRow(
+      symbol: String,
+      date: String,
+      n_deltas: Long,
+      roll_spread: Double,
+      kyle_lambda: Option[Double],
+  )
+
+  /** Streaming twin of `operators.Microstructure.features` (Roll
+    * spread + Kyle's lambda per (symbol, day)): the batch operator's
+    * exact-integer regression moments accumulate in O(1) per-symbol
+    * state, day-rollover finality like the other daily estimators.
+    * The final double division/sqrt trees are the batch expressions
+    * op-for-op, so emitted rows are bit-identical.
+    */
+  def microFeatures(trades: DataFrame): Dataset[MfRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[StatefulBars.Tick]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processMf)
+  }
+
+  private def freshMf(day: String, pc: Long): MfState =
+    MfState(day, hasPrev = true, pc, hasPrevD = false, 0L, 1,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+
+  private def mfRow(symbol: String, st: MfState): MfRow = {
+    // cov = (n·Σxy − Σx·Σy) / n² — integer numerator, one division
+    // (0/0 -> NaN is fine: the nr>1 guard takes the 0.0 branch)
+    val cov = (st.nr * st.sxyR - st.sxR * st.syR).toDouble / (st.nr * st.nr).toDouble
+    val roll =
+      if (st.nr > 1) 2.0 * math.sqrt(math.max(-cov, 0.0)) / 100.0 else 0.0
+    val den = (st.nk * st.sxxK - st.sxK * st.sxK).toDouble
+    val kyle =
+      if (st.nk > 1 && den != 0.0)
+        Some((st.nk * st.sxyK - st.sxK * st.syK).toDouble / den)
+      else None
+    MfRow(symbol, st.day, st.nr, roll, kyle)
+  }
+
+  private def processMf(
+      symbol: String,
+      rows: Iterator[StatefulBars.Tick],
+      state: GroupState[MfState],
+  ): Iterator[MfRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[MfRow]
+    sorted.foreach { t =>
+      val d0 = dayOf(t.ts)
+      val pc = StatefulBars.cents(t.price)
+      if (st == null) st = freshMf(d0, pc)
+      else if (st.day != d0) { out += mfRow(symbol, st); st = freshMf(d0, pc) }
+      else {
+        val d = pc - st.prevPc
+        val sign = if (d != 0) (if (d > 0) 1 else -1) else st.lastSign
+        val sv = sign * t.size
+        st = st.copy(
+          prevPc = pc,
+          hasPrevD = true,
+          prevD = d,
+          lastSign = sign,
+          nk = st.nk + 1,
+          sxyK = st.sxyK + sv * d,
+          sxK = st.sxK + sv,
+          syK = st.syK + d,
+          sxxK = st.sxxK + sv * sv,
+          nr = if (st.hasPrevD) st.nr + 1 else st.nr,
+          sxyR = if (st.hasPrevD) st.sxyR + d * st.prevD else st.sxyR,
+          sxR = if (st.hasPrevD) st.sxR + d else st.sxR,
+          syR = if (st.hasPrevD) st.syR + st.prevD else st.syR,
+        )
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private def ticks(trades: DataFrame): Dataset[Tick] = {
     val spark = trades.sparkSession
     import spark.implicits._

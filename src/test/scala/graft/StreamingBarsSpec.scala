@@ -480,6 +480,43 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming microstructure features equal batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-smf").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .microFeatures(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_mf")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_mf")
+    // the last open day per symbol stays in streaming state
+    val batch = graft.operators.Microstructure
+      .features(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    // identical integer moments + identical double trees: bit-equal
+    // (kyle_lambda is nullable -> null-safe compare)
+    assert(
+      joined.where(
+        col("s.n_deltas") =!= col("b.n_deltas") ||
+          col("s.roll_spread") =!= col("b.roll_spread") ||
+          !(col("s.kyle_lambda") <=> col("b.kyle_lambda"))
+      ).count() == 0
+    )
+  }
+
   test("streaming sign entropy equals batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-sse").toString
