@@ -272,6 +272,22 @@ object SparkEntry {
         operators.CvSplits.purgedKFold(ev, k = 5, embargo = "1 hour")
       ).orderBy(col("fold"), col("event_id"))
     },
+    "cv_walkforward" -> { (s, dir) =>
+      // walk-forward (expanding-window) CV: per fold f>=1 train on
+      // earlier folds only, purge candidates whose [ts, t1] reaches
+      // into the test span
+      val ev = TradeData
+        .fromEvents(s, dir)
+        .where(col("trade_id") % 50 === 0)
+        .select(
+          col("trade_id").as("event_id"),
+          col("ts"),
+          (col("ts") + expr("INTERVAL 4 HOURS")).as("t1"),
+        )
+      usTs("ts", "t1")(
+        operators.CvSplits.walkForward(ev, k = 5)
+      ).orderBy(col("fold"), col("event_id"))
+    },
     "cusum_events" -> { (s, dir) =>
       // h = $100 (10000 cents); integer-cents state, so event
       // placement is engine-exact against the recursive close-chain
@@ -1905,6 +1921,27 @@ object SparkEntry {
          |                 AND f.ts <= sp.test_end + INTERVAL 1 HOUR THEN 'embargo'
          |            ELSE 'train' END AS role
          |FROM f CROSS JOIN sp
+         |ORDER BY sp.fold, f.event_id""".stripMargin,
+    "cv_walkforward" ->
+      // Walk-forward CV: same rank/fold CTEs; step f spans folds <= f,
+      // candidates purged when their interval reaches the test span.
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT trade_id AS event_id, ts, ts + INTERVAL 4 HOUR AS t1
+         |  FROM trades WHERE trade_id % 50 = 0),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
+         |         count(*) OVER () AS n
+         |  FROM ev),
+         |f AS (SELECT event_id, ts, t1, (r * 5) // n AS fold FROM rk),
+         |sp AS (
+         |  SELECT fold, min(ts) AS test_start, max(t1) AS test_end
+         |  FROM f GROUP BY fold)
+         |SELECT sp.fold, f.event_id, epoch_us(f.ts) AS ts, epoch_us(f.t1) AS t1,
+         |       CASE WHEN f.fold = sp.fold THEN 'test'
+         |            WHEN f.t1 >= sp.test_start THEN 'purged'
+         |            ELSE 'train' END AS role
+         |FROM f JOIN sp ON f.fold <= sp.fold AND sp.fold >= 1
          |ORDER BY sp.fold, f.event_id""".stripMargin,
     "daily_vol" ->
       s"""WITH $T,

@@ -52,6 +52,63 @@ object CvSplits {
       tsCol: String = "ts",
       t1Col: String = "t1",
   ): DataFrame = {
+    val (folded, spans) = foldedEvents(events, k, idCol, tsCol, t1Col)
+    folded
+      .crossJoin(broadcast(spans))
+      .withColumn(
+        "role",
+        when(col("__fold") === col("fold"), lit("test"))
+          .when(col("ts") <= col("__test_end") && col("t1") >= col("__test_start"), lit("purged"))
+          .when(
+            col("ts") > col("__test_end") &&
+              col("ts") <= col("__test_end") + expr(s"INTERVAL $embargo"),
+            lit("embargo"),
+          )
+          .otherwise(lit("train")),
+      )
+      .select(col("fold"), col("event_id"), col("ts"), col("t1"), col("role"))
+  }
+
+  /** Walk-forward (expanding-window) CV with purging: for each fold
+    * f >= 1, test = fold f and the candidate training set is every
+    * EARLIER fold's events — the backtest-shaped split (train strictly
+    * in the past). A candidate whose interval [ts, t1] reaches into
+    * the test span (t1 >= test_start; its ts is <= test_start by rank
+    * contiguity) is purged. Later folds are not part of step f at all,
+    * so no embargo arm exists. Output: (fold, event_id, ts, t1, role
+    * in test/purged/train) for folds 1..k-1.
+    */
+  def walkForward(
+      events: DataFrame,
+      k: Int = 5,
+      idCol: String = "event_id",
+      tsCol: String = "ts",
+      t1Col: String = "t1",
+  ): DataFrame = {
+    val (folded, spans) = foldedEvents(events, k, idCol, tsCol, t1Col)
+    folded
+      .crossJoin(broadcast(spans.where(col("fold") >= 1)))
+      .where(col("__fold") <= col("fold"))
+      .withColumn(
+        "role",
+        when(col("__fold") === col("fold"), lit("test"))
+          .when(col("t1") >= col("__test_start"), lit("purged"))
+          .otherwise(lit("train")),
+      )
+      .select(col("fold"), col("event_id"), col("ts"), col("t1"), col("role"))
+  }
+
+  /** Shared core: exact two-phase distributed rank -> index-contiguous
+    * fold per event (`__fold`), plus the k-row fold-span table
+    * (fold, __test_start, __test_end).
+    */
+  private def foldedEvents(
+      events: DataFrame,
+      k: Int,
+      idCol: String,
+      tsCol: String,
+      t1Col: String,
+  ): (DataFrame, DataFrame) = {
     require(k >= 2, "k-fold needs k >= 2")
     val spark = events.sparkSession
     val prep = events.select(
@@ -101,19 +158,6 @@ object CvSplits {
     val spans = folded
       .groupBy(col("__fold").as("fold"))
       .agg(min(col("ts")).as("__test_start"), max(col("t1")).as("__test_end"))
-    folded
-      .crossJoin(broadcast(spans))
-      .withColumn(
-        "role",
-        when(col("__fold") === col("fold"), lit("test"))
-          .when(col("ts") <= col("__test_end") && col("t1") >= col("__test_start"), lit("purged"))
-          .when(
-            col("ts") > col("__test_end") &&
-              col("ts") <= col("__test_end") + expr(s"INTERVAL $embargo"),
-            lit("embargo"),
-          )
-          .otherwise(lit("train")),
-      )
-      .select(col("fold"), col("event_id"), col("ts"), col("t1"), col("role"))
+    (folded, spans)
   }
 }

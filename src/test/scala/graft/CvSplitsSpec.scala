@@ -42,6 +42,28 @@ class CvSplitsSpec extends SparkSpec {
     assert(out((0L, 5L)) == "train")
   }
 
+  test("walk-forward CV: hand-computed roles, strictly-past training") {
+    import spark.implicits._
+    val ev = (0 until 6)
+      .map(i => (i.toLong, ts(i), new Timestamp(ts(i).getTime + 90000L)))
+      .toDF("event_id", "ts", "t1")
+    val rows = CvSplits
+      .walkForward(ev, k = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4)))
+    val out = rows.toMap
+    // fold 1: test {2,3}; candidates {0,1}; fold 2: test {4,5},
+    // candidates {0..3}; fold 0 and later-fold events never appear
+    assert(rows.length == 10)
+    assert(out((1L, 2L)) == "test" && out((1L, 3L)) == "test")
+    assert(out((1L, 1L)) == "purged") // t1 00:02:30 >= test_start 00:02
+    assert(out((1L, 0L)) == "train")
+    assert(!out.contains((1L, 4L)) && !out.contains((0L, 0L)))
+    assert(out((2L, 4L)) == "test" && out((2L, 5L)) == "test")
+    assert(out((2L, 3L)) == "purged") // t1 00:04:30 >= test_start 00:04
+    assert(out((2L, 0L)) == "train" && out((2L, 1L)) == "train" && out((2L, 2L)) == "train")
+  }
+
   test("leakage invariants and exact rank on real events") {
     val trades = sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val ev = trades
