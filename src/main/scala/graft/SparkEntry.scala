@@ -203,6 +203,12 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"))
     },
+    "amihud_illiq" -> { (s, dir) =>
+      operators.Microstructure
+        .amihud(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "vpin" -> { (s, dir) =>
       operators.Microstructure
         .vpin(TradeData.fromEvents(s, dir), bucketVolume = 500L, window = 10)
@@ -271,6 +277,21 @@ object SparkEntry {
       usTs("ts", "t1")(
         operators.CvSplits.purgedKFold(ev, k = 5, embargo = "1 hour")
       ).orderBy(col("fold"), col("event_id"))
+    },
+    "cv_combinatorial" -> { (s, dir) =>
+      // CPCV: C(6,2)=15 splits, each testing on 2 of 6 groups; purge
+      // on overlap with either test span, 1-hour embargo after each
+      val ev = TradeData
+        .fromEvents(s, dir)
+        .where(col("trade_id") % 50 === 0)
+        .select(
+          col("trade_id").as("event_id"),
+          col("ts"),
+          (col("ts") + expr("INTERVAL 4 HOURS")).as("t1"),
+        )
+      usTs("ts", "t1")(
+        operators.CvSplits.combinatorial(ev, k = 6, p = 2, embargo = "1 hour")
+      ).orderBy(col("split_id"), col("event_id"))
     },
     "cv_walkforward" -> { (s, dir) =>
       // walk-forward (expanding-window) CV: per fold f>=1 train on
@@ -1922,6 +1943,35 @@ object SparkEntry {
          |            ELSE 'train' END AS role
          |FROM f CROSS JOIN sp
          |ORDER BY sp.fold, f.event_id""".stripMargin,
+    "cv_combinatorial" ->
+      // CPCV: same rank/fold CTEs with k=6; the 15 (f1<f2) pairs are
+      // split_ids in lexicographic order; role checks both test spans.
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT trade_id AS event_id, ts, ts + INTERVAL 4 HOUR AS t1
+         |  FROM trades WHERE trade_id % 50 = 0),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
+         |         count(*) OVER () AS n
+         |  FROM ev),
+         |f AS (SELECT event_id, ts, t1, (r * 6) // n AS fold FROM rk),
+         |sp AS (
+         |  SELECT fold, min(ts) AS s, max(t1) AS e
+         |  FROM f GROUP BY fold),
+         |cmb AS (
+         |  SELECT row_number() OVER (ORDER BY a.fold, b.fold) - 1 AS split_id,
+         |         a.fold AS f1, b.fold AS f2,
+         |         a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+         |  FROM sp a JOIN sp b ON a.fold < b.fold)
+         |SELECT c.split_id, f.event_id, epoch_us(f.ts) AS ts, epoch_us(f.t1) AS t1,
+         |       CASE WHEN f.fold = c.f1 OR f.fold = c.f2 THEN 'test'
+         |            WHEN (f.ts <= c.e1 AND f.t1 >= c.s1)
+         |              OR (f.ts <= c.e2 AND f.t1 >= c.s2) THEN 'purged'
+         |            WHEN (f.ts > c.e1 AND f.ts <= c.e1 + INTERVAL 1 HOUR)
+         |              OR (f.ts > c.e2 AND f.ts <= c.e2 + INTERVAL 1 HOUR) THEN 'embargo'
+         |            ELSE 'train' END AS role
+         |FROM f CROSS JOIN cmb c
+         |ORDER BY c.split_id, f.event_id""".stripMargin,
     "cv_walkforward" ->
       // Walk-forward CV: same rank/fold CTEs; step f spans folds <= f,
       // candidates purged when their interval reaches the test span.
@@ -2127,6 +2177,30 @@ object SparkEntry {
          |       CASE WHEN nk > 1 AND CAST(nk * sxx_k - sx_k * sx_k AS DOUBLE) != 0.0
          |            THEN CAST(nk * sxy_k - sx_k * sy_k AS DOUBLE) / CAST(nk * sxx_k - sx_k * sx_k AS DOUBLE)
          |       END AS kyle_lambda
+         |FROM m
+         |ORDER BY symbol, date""".stripMargin,
+    // Amihud illiquidity: open/close cents by unique (ts, trade_id)
+    // rank, BIGINT dollar-volume cents; the single fused FP division
+    // (|dpc|*1e8)/(open_pc*dv_cents) is replicated op-for-op
+    "amihud_illiq" ->
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, size,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS rn,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts DESC, trade_id DESC) AS rnd
+         |  FROM trades),
+         |m AS (
+         |  SELECT symbol, date,
+         |         CAST(max(CASE WHEN rn = 1 THEN pc END) AS BIGINT) AS open_pc,
+         |         CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc,
+         |         CAST(sum(pc * size) AS BIGINT) AS dv_cents,
+         |         CAST(count(*) AS BIGINT) AS n_ticks
+         |  FROM b GROUP BY symbol, date)
+         |SELECT symbol, CAST(date AS VARCHAR) AS date, n_ticks,
+         |       CASE WHEN open_pc > 0 AND dv_cents > 0
+         |            THEN CAST(abs(close_pc - open_pc) AS DOUBLE) * 1e8 / (CAST(open_pc AS DOUBLE) * CAST(dv_cents AS DOUBLE))
+         |       END AS amihud_illiq
          |FROM m
          |ORDER BY symbol, date""".stripMargin,
     // VPIN: volume-bucket split arithmetic (volume_bars oracle) +

@@ -98,6 +98,70 @@ object CvSplits {
       .select(col("fold"), col("event_id"), col("ts"), col("t1"), col("role"))
   }
 
+  /** Combinatorial purged CV (AFML ch.12 CPCV): every size-p subset of
+    * the k index-contiguous groups serves as a test set once —
+    * C(k, p) splits instead of k, the split family backtest-path
+    * construction samples from. Per split: events of the p test
+    * groups are `test`; a candidate is `purged` when its [ts, t1]
+    * overlaps ANY of the split's p test spans, `embargo` when it
+    * starts within `embargo` after any test span's end, else `train`.
+    *
+    * Scale shape: identical to [[purgedKFold]] — the rank exchange is
+    * the only data shuffle; the C(k,p)·p split-span table collapses to
+    * C(k,p) rows of p-element span arrays and broadcasts into a
+    * map-side role projection (the p-element `exists` probes are
+    * per-row constant work). Output grows C(k,p)× the event count by
+    * construction — that is the CPCV contract, not a plan defect.
+    *
+    * `split_id` = lexicographic index of the test-fold combination
+    * (for p = 2: combos ordered by (f1, f2)).
+    */
+  def combinatorial(
+      events: DataFrame,
+      k: Int = 6,
+      p: Int = 2,
+      embargo: String = "0 seconds",
+      idCol: String = "event_id",
+      tsCol: String = "ts",
+      t1Col: String = "t1",
+  ): DataFrame = {
+    require(p >= 1 && p < k, "combinatorial CV needs 1 <= p < k")
+    val (folded, spans) = foldedEvents(events, k, idCol, tsCol, t1Col)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val combos = (0 until k).combinations(p).toSeq.zipWithIndex
+    val comboDf = combos
+      .flatMap { case (folds, id) => folds.map(f => (id.toLong, f.toLong)) }
+      .toDF("split_id", "__tf")
+    val splitSpans = comboDf
+      .join(spans, col("__tf") === col("fold"))
+      .groupBy(col("split_id"))
+      .agg(
+        collect_list(
+          struct(col("fold").as("f"), col("__test_start").as("s"), col("__test_end").as("e"))
+        ).as("__spans")
+      )
+    folded
+      .crossJoin(broadcast(splitSpans))
+      .withColumn(
+        "role",
+        when(exists(col("__spans"), x => x("f") === col("__fold")), lit("test"))
+          .when(
+            exists(col("__spans"), x => col("ts") <= x("e") && col("t1") >= x("s")),
+            lit("purged"),
+          )
+          .when(
+            exists(
+              col("__spans"),
+              x => col("ts") > x("e") && col("ts") <= x("e") + expr(s"INTERVAL $embargo"),
+            ),
+            lit("embargo"),
+          )
+          .otherwise(lit("train")),
+      )
+      .select(col("split_id"), col("event_id"), col("ts"), col("t1"), col("role"))
+  }
+
   /** Shared core: exact two-phase distributed rank -> index-contiguous
     * fold per event (`__fold`), plus the k-row fold-span table
     * (fold, __test_start, __test_end).

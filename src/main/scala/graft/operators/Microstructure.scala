@@ -222,6 +222,50 @@ object Microstructure {
     )
   }
 
+  /** Amihud illiquidity (Amihud 2002; AFML ch.19.4's price-impact
+    * family): per (symbol, day), |daily return| per dollar traded,
+    * scaled by 1e6 — the standard daily form
+    * 1e6 · |close/open − 1| / dollar_volume.
+    *
+    * Exact-arithmetic shape: open/close are the cent prices of the
+    * first/last tick by (ts, trade_id) (min_by/max_by on an integer,
+    * unique tie-break — no FP), dollar volume accumulates as BIGINT
+    * Σ pc·size cents. The single FP step is the final fused
+    * division (|Δpc| · 1e8) / (open_pc · dv_cents) — the 1e8 folds
+    * the cents→dollars rescale of both numerator return and
+    * denominator volume into the 1e6 convention — replicated
+    * op-for-op by the oracle. One map-side-combinable exchange on
+    * (symbol, day); no windows, no sequential state.
+    */
+  def amihud(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame =
+    df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .groupBy(col("symbol"), col("date"))
+      .agg(
+        min_by(col("pc"), struct(col("ts"), col("trade_id"))).as("open_pc"),
+        max_by(col("pc"), struct(col("ts"), col("trade_id"))).as("close_pc"),
+        sum(col("pc") * col("size")).as("dv_cents"),
+        count(lit(1)).as("n_ticks"),
+      )
+      .select(
+        col("symbol"),
+        col("date"),
+        col("n_ticks"),
+        when(
+          col("open_pc") > 0 && col("dv_cents") > 0,
+          abs(col("close_pc") - col("open_pc")).cast("double") * lit(1e8) /
+            (col("open_pc").cast("double") * col("dv_cents").cast("double")),
+        ).as("amihud_illiq"),
+      )
+
   /** Plug-in entropy of the tick-rule sign stream (AFML ch.18):
     * per (symbol, day), the empirical Shannon entropy RATE of the
     * up/down message at word lengths k = 1, 2, 3 (bits per symbol,

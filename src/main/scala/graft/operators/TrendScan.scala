@@ -44,17 +44,23 @@ object TrendScan {
   }
 
   /** Day-chunked halo variant: same output, symbol×day parallelism.
-    * The halo rows are the FIRST (maxHorizon-1) rows of each day,
-    * re-tagged to the symbol's PREVIOUS present day (a tiny
-    * (symbol, day) lag table, broadcast), so every chunk-tail row
-    * still sees its complete forward windows; halo rows are dropped
-    * from the output (the next day's chunk emits them itself).
+    * Each day-chunk borrows the symbol's NEXT (maxHorizon-1) rows —
+    * across as many following days as it takes (thin days at small
+    * scale, exactly the next day when days are thick) — so every
+    * chunk-tail row still sees its complete forward windows; halo
+    * rows are dropped from the output (their own day-chunk emits
+    * them).
     *
-    * Precondition (same as Rolling's halo contract): every day
-    * except a symbol's last must hold at least maxHorizon-1 rows —
-    * a thinner day would need a two-day halo and its tail rows drop
-    * instead of labeling. Equality with [[labels]] is pinned in
-    * ScalaTest on the gate data.
+    * Halo assignment without any global window: a per-(symbol, day)
+    * count/cum-end table (tiny — symbols × days rows) gives every row
+    * an exact global symbol rank r = day_start + within-day rank; day
+    * d needs exactly the rows ranked day_end(d)+1 .. day_end(d)+
+    * maxHorizon-1, so the day table explodes those (maxHorizon-1)
+    * target ranks into keys and a broadcast EQUI-join on
+    * (symbol, rank) replicates each row into every chunk that needs
+    * it — O(1) probe per row, no range scan over the symbol's days.
+    * Equality with [[labels]] is pinned in ScalaTest on the gate
+    * data; the sparse-day case is pinned by its own spec.
     */
   def labelsChunked(
       df: DataFrame,
@@ -66,17 +72,26 @@ object TrendScan {
     require(maxHorizon >= minHorizon, "maxHorizon >= minHorizon")
     val pre = prepared(df, c).withColumn("__day", to_date(col("__ts")))
     val wD = Window.partitionBy(col("__sym")).orderBy(col("__day"))
-    val prevMap = pre
-      .select(col("__sym"), col("__day"))
-      .distinct()
-      .withColumn("__prev_day", lag(col("__day"), 1).over(wD))
-      .where(col("__prev_day").isNotNull)
+    val dayStats = pre
+      .groupBy(col("__sym"), col("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__day_end", sum(col("__cnt")).over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__day_start", col("__day_end") - col("__cnt"))
     val wDay = Window.partitionBy(col("__sym"), col("__day")).orderBy(col("__ts"), col("__tid"))
-    val ranked = pre.withColumn("__rk", row_number().over(wDay))
+    val ranked = pre
+      .withColumn("__rk", row_number().over(wDay).cast("long"))
+      .join(broadcast(dayStats.select(col("__sym"), col("__day"), col("__day_start"))), Seq("__sym", "__day"))
+      .withColumn("__r", col("__day_start") + col("__rk"))
+    // day d's halo keys: the (maxHorizon-1) global ranks following it
+    val haloKeys = dayStats
+      .select(
+        col("__sym"),
+        col("__day").as("__chunk"),
+        explode(sequence(col("__day_end") + 1, col("__day_end") + lit(maxHorizon - 1).cast("long")))
+          .as("__r"),
+      )
     val halo = ranked
-      .where(col("__rk") <= maxHorizon - 1)
-      .join(broadcast(prevMap), Seq("__sym", "__day"))
-      .withColumn("__chunk", col("__prev_day"))
+      .join(broadcast(haloKeys), Seq("__sym", "__r"))
       .withColumn("__halo", lit(true))
       .select("__sym", "__ts", "__tid", "__price", "__cents", "__chunk", "__halo")
     val main = ranked

@@ -810,6 +810,29 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(kl.getAs[Double]("kyle_lambda") == 2.0)
   }
 
+  test("amihud illiquidity: hand-computed daily |return| per dollar traded") {
+    import graft.operators.Microstructure
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // open 100.00, close 102.00 -> |ret| = 0.02; dollar volume =
+    // 100*10 + 101*10 + 102*10 = 3030 dollars; amihud = 1e6*0.02/3030
+    val t = Seq(
+      ("A", ts(0L), 100.00, 10L, 0L),
+      ("A", ts(1L), 101.00, 10L, 1L),
+      ("A", ts(2L), 102.00, 10L, 2L),
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val r = Microstructure.amihud(t).collect().head
+    assert(r.getAs[Long]("n_ticks") == 3L)
+    // fused form: |dpc|*1e8 / (open_pc * dv_cents) = 200*1e8 / (10000 * 303000)
+    assert(r.getAs[Double]("amihud_illiq") == 200.0 * 1e8 / (10000.0 * 303000.0))
+    // same-timestamp ticks break ties by trade_id for open/close
+    val tie = Seq(
+      ("B", ts(0L), 50.00, 1L, 7L),
+      ("B", ts(0L), 60.00, 1L, 3L), // earlier trade_id -> open
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val rt = Microstructure.amihud(tie).collect().head
+    assert(rt.getAs[Double]("amihud_illiq") == 1000.0 * 1e8 / (6000.0 * 11000.0))
+  }
+
   test("multi-window rolling scan is bit-identical to per-window single scans") {
     import graft.operators.Rolling
     val trades = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")

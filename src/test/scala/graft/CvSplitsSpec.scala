@@ -64,6 +64,30 @@ class CvSplitsSpec extends SparkSpec {
     assert(out((2L, 0L)) == "train" && out((2L, 1L)) == "train" && out((2L, 2L)) == "train")
   }
 
+  test("combinatorial CPCV: hand-computed roles across all C(3,2) splits") {
+    import spark.implicits._
+    val ev = (0 until 6)
+      .map(i => (i.toLong, ts(i), new Timestamp(ts(i).getTime + 90000L)))
+      .toDF("event_id", "ts", "t1")
+    val out = CvSplits
+      .combinatorial(ev, k = 3, p = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(4)))
+      .toMap
+    // folds {0,1},{2,3},{4,5}; t1 = ts + 90s
+    assert(out.size == 18) // 3 splits x 6 events
+    // split 0 = test folds (0,1): events 0-3 test; 4 overlaps fold-1
+    // span end 00:04:30 -> purged; 5 starts after -> train
+    (0L to 3L).foreach(e => assert(out((0L, e)) == "test"))
+    assert(out((0L, 4L)) == "purged" && out((0L, 5L)) == "train")
+    // split 1 = (0,2): 2 overlaps fold-0 end, 3 reaches fold-2 start
+    Seq(0L, 1L, 4L, 5L).foreach(e => assert(out((1L, e)) == "test"))
+    assert(out((1L, 2L)) == "purged" && out((1L, 3L)) == "purged")
+    // split 2 = (1,2): 1's t1 00:02:30 reaches fold-1 start; 0 trains
+    (2L to 5L).foreach(e => assert(out((2L, e)) == "test"))
+    assert(out((2L, 1L)) == "purged" && out((2L, 0L)) == "train")
+  }
+
   test("leakage invariants and exact rank on real events") {
     val trades = sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val ev = trades
