@@ -261,6 +261,23 @@ object SparkEntry {
         .uniquenessWeights(t, ev)
         .orderBy(col("symbol"), col("event_id"))
     },
+    "decay_weights" -> { (s, dir) =>
+      // time-decay weights with d(0) = 0.5 over cumulative uniqueness
+      // in t1 order (exact quantized-BIGINT cumsum; same events as
+      // uniqueness_weights)
+      val t = TradeData.fromEvents(s, dir)
+      val ev = t
+        .where(col("trade_id") % 50 === 0)
+        .select(
+          col("symbol"),
+          col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"),
+          col("trade_id").as("event_id"),
+        )
+      Labels
+        .timeDecayWeights(t, ev, lastWeight = 0.5)
+        .orderBy(col("symbol"), col("event_id"))
+    },
     "cv_splits" -> { (s, dir) =>
       // purged 5-fold CV with 1h embargo over sampled events with 4h
       // label intervals; fold = exact two-phase global rank (engine-
@@ -1917,6 +1934,50 @@ object SparkEntry {
          |  FROM w1 GROUP BY symbol, event_id)
          |SELECT symbol, event_id, sinv / CAST(n_ticks AS DOUBLE) AS avg_uniqueness, n_ticks
          |FROM w
+         |ORDER BY symbol, event_id""".stripMargin,
+    "decay_weights" ->
+      // Same chunked-fold uniqueness CTEs, then the decay line over
+      // the 1e-12-quantized BIGINT cumsum in (t1, event_id) order —
+      // integer cumsum exact under any association, FP tree op-for-op
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT symbol, ts AS t0, ts + INTERVAL 1 HOUR AS t1, trade_id AS event_id
+         |  FROM trades WHERE trade_id % 50 = 0),
+         |pairs AS (
+         |  SELECT e.symbol, e.event_id, t.ts, t.trade_id
+         |  FROM ev e JOIN trades t
+         |    ON t.symbol = e.symbol AND t.ts >= e.t0 AND t.ts <= e.t1),
+         |conc AS (
+         |  SELECT symbol, ts, trade_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM pairs GROUP BY symbol, ts, trade_id),
+         |w1 AS (
+         |  SELECT p.symbol, p.event_id, epoch_us(p.ts) // 86400000000 AS chunk,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(p.ts), tid := p.trade_id, x := 1.0 / c.c))), q -> q.x), (x, y) -> x + y) AS part,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM pairs p
+         |  JOIN conc c ON c.symbol = p.symbol AND c.ts = p.ts AND c.trade_id = p.trade_id
+         |  GROUP BY p.symbol, p.event_id, chunk),
+         |w AS (
+         |  SELECT symbol, event_id,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(ch := chunk, x := part))), q -> q.x), (x, y) -> x + y) AS sinv,
+         |         CAST(sum(n) AS BIGINT) AS n_ticks
+         |  FROM w1 GROUP BY symbol, event_id),
+         |uq AS (
+         |  SELECT w.symbol, w.event_id,
+         |         sinv / CAST(n_ticks AS DOUBLE) AS avg_uniqueness,
+         |         CAST(round(sinv / CAST(n_ticks AS DOUBLE) * 1e12) AS BIGINT) AS q,
+         |         epoch_us(e.t1) AS t1us
+         |  FROM w JOIN ev e ON e.event_id = w.event_id),
+         |x AS (
+         |  SELECT symbol, event_id, avg_uniqueness,
+         |         CAST(sum(q) OVER (ORDER BY t1us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS xq,
+         |         CAST(sum(q) OVER () AS BIGINT) AS xnq
+         |  FROM uq)
+         |SELECT symbol, event_id, avg_uniqueness,
+         |       greatest(0.0,
+         |         (1.0 - ((1.0 - 0.5) / (CAST(xnq AS DOUBLE) / 1e12)) * (CAST(xnq AS DOUBLE) / 1e12))
+         |         + ((1.0 - 0.5) / (CAST(xnq AS DOUBLE) / 1e12)) * (CAST(xq AS DOUBLE) / 1e12)) AS decay_weight
+         |FROM x
          |ORDER BY symbol, event_id""".stripMargin,
     "cv_splits" ->
       // Purged 5-fold CV with 1h embargo (AFML ch.7): fold = 0-based

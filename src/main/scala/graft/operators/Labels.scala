@@ -937,6 +937,77 @@ object Labels {
       )
   }
 
+  /** Time-decay sample weights (AFML ch.4.11): newest information
+    * weighs most. Events are ordered by label end t1; x = cumulative
+    * average uniqueness up to the event (so decay runs on INFORMATION
+    * time, not wall clock); the weight is the line through
+    * (x_N, 1) with d(0) = `lastWeight` (for lastWeight >= 0;
+    * negative lastWeight zeroes the oldest fraction -lastWeight of
+    * information time), clipped at 0.
+    *
+    * Exactness + scale: the cumulative sum runs over uniqueness
+    * QUANTIZED to 1e-12 units — a BIGINT cumsum is associative, so
+    * the two-phase distributed pattern (range exchange on
+    * (t1, event_id) → per-partition window + broadcast prefix
+    * offsets; no single-task global window) is bit-identical to any
+    * sequential fold, and the oracle replays the identical integers.
+    * The decay line over x is the only FP tree, replicated op-for-op.
+    */
+  def timeDecayWeights(
+      trades: DataFrame,
+      events: DataFrame,
+      lastWeight: Double = 0.5,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    require(lastWeight > -1.0 && lastWeight <= 1.0, "lastWeight in (-1, 1]")
+    val spark = trades.sparkSession
+    val u = uniquenessWeights(trades, events, c = c)
+    val evT1 = events.select(col("event_id"), unix_micros(col("t1")).as("__t1us"))
+    val base = u
+      .join(evT1, "event_id")
+      .withColumn("__uq", round(col("avg_uniqueness") * lit(1e12)).cast("long"))
+    val nParts = spark.sparkContext.defaultParallelism
+    val ranged = graft.sources.Checkpoint.tableGated(
+      base
+        .repartitionByRange(nParts, col("__t1us"), col("event_id"))
+        .withColumn("__pid", spark_partition_id()),
+      "decay_ranked",
+    )
+    val parts = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col("__uq")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val xn = parts.map(_._2).sum
+    require(xn > 0, "time decay needs positive total uniqueness")
+    val offs = parts
+      .scanLeft((0, 0L, 0L)) { case ((_, off, s), (pid, ps)) => (pid, off + s, ps) }
+      .tail
+      .map { case (pid, off, _) => (pid, off) }
+    val offDf = broadcast(spark.createDataFrame(offs.toSeq).toDF("__pid", "__off"))
+    val wPart = Window
+      .partitionBy(col("__pid"))
+      .orderBy(col("__t1us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // decay line from exact integers; FP order fixed: slope first,
+    // then const = 1 - slope*xN — the oracle writes the same tree
+    val xnD = xn.toDouble / 1e12
+    val slope =
+      if (lastWeight >= 0) (1.0 - lastWeight) / xnD else 1.0 / ((lastWeight + 1.0) * xnD)
+    val const = 1.0 - slope * xnD
+    ranged
+      .join(offDf, "__pid")
+      .withColumn("__x", col("__off") + sum(col("__uq")).over(wPart))
+      .select(
+        col("symbol"),
+        col("event_id"),
+        col("avg_uniqueness"),
+        greatest(lit(0.0), lit(const) + lit(slope) * (col("__x").cast("double") / lit(1e12)))
+          .as("decay_weight"),
+      )
+  }
+
   /** Pair-materializing twin of [[uniquenessWeights]] (quadratic in
     * tick density — kept for the equality pin and A/B benching).
     */

@@ -726,6 +726,30 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(solo == 1.0)
   }
 
+  test("time-decay weights: hand-computed line over cumulative uniqueness") {
+    import org.apache.spark.sql.functions._
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // 4 disjoint single-tick events -> avg uniqueness 1 each, x = 1..4
+    val trades = (0L to 3L)
+      .map(i => ("X", ts(i * 10), 10.0, 1L, i))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val events = (0L to 3L)
+      .map(i => ("X", ts(i * 10), ts(i * 10 + 1), i * 100L))
+      .toDF("symbol", "t0", "t1", "event_id")
+    // lastWeight 0.5: slope = 0.5/4, weights 0.625, 0.75, 0.875, 1.0
+    val w = Labels.timeDecayWeights(trades, events, lastWeight = 0.5)
+      .orderBy("event_id").select("decay_weight").as[Double].collect().toSeq
+    assert(w == Seq(0.625, 0.75, 0.875, 1.0))
+    // negative lastWeight -0.5: oldest half of information time zeroed
+    val wNeg = Labels.timeDecayWeights(trades, events, lastWeight = -0.5)
+      .orderBy("event_id").select("decay_weight").as[Double].collect().toSeq
+    assert(wNeg == Seq(0.0, 0.0, 0.5, 1.0))
+    // lastWeight 1.0: no decay
+    val wFlat = Labels.timeDecayWeights(trades, events, lastWeight = 1.0)
+      .orderBy("event_id").select("decay_weight").as[Double].collect().toSeq
+    assert(wFlat == Seq(1.0, 1.0, 1.0, 1.0))
+  }
+
   test("weight scans == pair-materializing twins (bit-exact within a day)") {
     import org.apache.spark.sql.functions._
     val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
