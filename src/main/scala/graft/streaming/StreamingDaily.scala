@@ -298,6 +298,78 @@ object StreamingDaily {
     out.result().iterator
   }
 
+  // ---- Amihud illiquidity ----
+
+  final case class AmState(
+      day: String,
+      openPc: Long,
+      closePc: Long,
+      dvCents: Long,
+      nTicks: Long,
+  )
+
+  final case class AmRow(
+      symbol: String,
+      date: String,
+      n_ticks: Long,
+      amihud_illiq: Option[Double],
+  )
+
+  /** Streaming twin of `operators.Microstructure.amihud`: open/close
+    * cents and the BIGINT dollar-volume sum live in O(1) per-symbol
+    * state; day-rollover finality; the single fused FP division is
+    * the batch expression op-for-op, so emitted rows are
+    * bit-identical on completed days.
+    */
+  def amihud(trades: DataFrame): Dataset[AmRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[StatefulBars.Tick]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processAm)
+  }
+
+  private def amRow(symbol: String, st: AmState): AmRow = {
+    val v =
+      if (st.openPc > 0 && st.dvCents > 0)
+        Some(
+          math.abs(st.closePc - st.openPc).toDouble * 1e8 /
+            (st.openPc.toDouble * st.dvCents.toDouble)
+        )
+      else None
+    AmRow(symbol, st.day, st.nTicks, v)
+  }
+
+  private def processAm(
+      symbol: String,
+      rows: Iterator[StatefulBars.Tick],
+      state: GroupState[AmState],
+  ): Iterator[AmRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[AmRow]
+    sorted.foreach { t =>
+      val d0 = dayOf(t.ts)
+      val pc = StatefulBars.cents(t.price)
+      if (st == null) st = AmState(d0, pc, pc, pc * t.size, 1L)
+      else if (st.day != d0) {
+        out += amRow(symbol, st)
+        st = AmState(d0, pc, pc, pc * t.size, 1L)
+      } else
+        st = st.copy(closePc = pc, dvCents = st.dvCents + pc * t.size, nTicks = st.nTicks + 1)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private def ticks(trades: DataFrame): Dataset[Tick] = {
     val spark = trades.sparkSession
     import spark.implicits._

@@ -517,6 +517,39 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming amihud equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sam").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .amihud(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_am")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_am")
+    val batch = graft.operators.Microstructure
+      .amihud(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    assert(
+      joined.where(
+        col("s.n_ticks") =!= col("b.n_ticks") ||
+          !(col("s.amihud_illiq") <=> col("b.amihud_illiq"))
+      ).count() == 0
+    )
+  }
+
   test("streaming sign entropy equals batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-sse").toString
