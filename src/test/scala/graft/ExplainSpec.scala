@@ -402,6 +402,27 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("Window"), "per-partition row_number expected")
   }
 
+  test("CPCV and walk-forward share the distributed-rank shape; amihud is one exchange") {
+    for (q <- Seq("cv_combinatorial", "cv_walkforward")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q: global rank serialized to one task:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    }
+    // amihud: map-side partial agg into one (symbol, date) exchange
+    val pa = plan("amihud_illiq")
+    assert("Exchange hashpartitioning".r.findAllIn(pa).length == 1, pa)
+    assert(pa.contains("partial_"), "map-side combine expected")
+    assert(!pa.contains("Join"), pa)
+  }
+
+  test("time-decay weights: distributed cumsum, no single-partition window") {
+    val p = plan("decay_weights")
+    assert(!p.contains("SinglePartition"), s"global cumsum serialized to one task:\n$p")
+    // prefix offsets ride a broadcast join; range exchange present
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("rangepartitioning"), "two-phase cumsum needs the range exchange")
+  }
+
   test("weight chunked-fold scan: two exchanges, zero joins") {
     import org.apache.spark.sql.functions._
     val t = TradeData.fromEvents(spark, dir)
