@@ -223,6 +223,14 @@ object SparkEntry {
         operators.Sadf.sadfScan(TradeData.fromEvents(s, dir), minWindow = 10, maxWindow = 40)
       ).orderBy(col("symbol"), col("ts"))
     },
+    "csw_breaks" -> { (s, dir) =>
+      // Chu-Stinchcombe-White levels CUSUM, backward lags 10..40;
+      // O(maxLag)-state streaming scan
+      usTs("ts")(
+        operators.StructuralBreak
+          .cswScan(TradeData.fromEvents(s, dir), minLag = 10, maxLag = 40)
+      ).orderBy(col("symbol"), col("ts"))
+    },
     "corwin_schultz" -> { (s, dir) =>
       operators.Microstructure
         .corwinSchultz(TradeData.fromEvents(s, dir))
@@ -1341,6 +1349,54 @@ object SparkEntry {
        |FROM best ORDER BY symbol, ts""".stripMargin
   }
 
+  /** Chu-Stinchcombe-White oracle: integer cents levels + exact
+    * Δ²-sum, per-lag statistics as one generated double tree each
+    * (op-for-op the scan's), sup via unnest + QUALIFY argmax with the
+    * same (s DESC, lag ASC) tie-break; σ̂=0 rows take the 0.0 branch
+    * for every lag, so the argmax lands on minLag like the scan.
+    */
+  private def cswOracleSql(minL: Int, maxL: Int): String = {
+    val ns = minL to maxL
+    val lagCols = ns.map(n => s"lag(cents, $n) OVER o AS y_$n").mkString(",\n         ")
+    val structList = ns
+      .map { n =>
+        val sv =
+          s"""CASE WHEN cdd = 0 THEN 0.0
+             |                    ELSE CAST(cents - y_$n AS DOUBLE) /
+             |                         (sqrt(CAST(cdd AS DOUBLE) / CAST(rn AS DOUBLE)) * sqrt(${n.toDouble})) END""".stripMargin
+        s"struct_pack(s := $sv,\n             n := $n)"
+      }
+      .mkString("[", ",\n           ", "]")
+    s"""WITH $T,
+       |px AS (
+       |  SELECT symbol, ts, price, CAST(round(price * 100) AS BIGINT) AS cents,
+       |         CAST(row_number() OVER (PARTITION BY symbol ORDER BY ts, trade_id) - 1 AS BIGINT) AS rn,
+       |         lag(CAST(round(price * 100) AS BIGINT)) OVER (PARTITION BY symbol ORDER BY ts, trade_id) AS xprev
+       |  FROM trades),
+       |cs AS (
+       |  SELECT symbol, ts, price, cents, rn,
+       |         CAST(coalesce(sum(CASE WHEN xprev IS NOT NULL THEN (cents - xprev) * (cents - xprev) END)
+       |                       OVER (PARTITION BY symbol ORDER BY rn ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cdd
+       |  FROM px),
+       |ld AS (
+       |  SELECT *,
+       |         $lagCols
+       |  FROM cs
+       |  WINDOW o AS (PARTITION BY symbol ORDER BY rn)),
+       |fl AS (SELECT * FROM ld WHERE rn >= $maxL),
+       |hz AS (
+       |  SELECT symbol, ts, price, rn,
+       |         unnest($structList) AS h
+       |  FROM fl),
+       |best AS (
+       |  SELECT symbol, ts, price, h.n AS best_lag, h.s AS cs_stat
+       |  FROM hz
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, rn ORDER BY h.s DESC, h.n ASC) = 1)
+       |SELECT symbol, epoch_us(ts) AS ts, price, best_lag, cs_stat,
+       |       sqrt(4.6 + ln(CAST(best_lag AS DOUBLE))) AS cs_crit
+       |FROM best ORDER BY symbol, ts""".stripMargin
+  }
+
   /** Recursive close-chain oracle shared by the fixed-threshold
     * (alpha=0) imbalance-bar family: `cumExpr` is the per-tick signed
     * quantity; the bar closes when the cumulative sum moves
@@ -1737,6 +1793,7 @@ object SparkEntry {
          |FROM ev ORDER BY symbol, ts""".stripMargin,
     "trend_labels" -> trendScanOracleSql(5, 20),
     "sadf" -> sadfOracleSql(10, 40),
+    "csw_breaks" -> cswOracleSql(10, 40),
     "imbalance_bars" ->
       // Fixed-threshold (alpha=0) tick-imbalance bars: close at
       // |cum sign - sign at previous close| >= 50*0.2 = 10

@@ -331,6 +331,58 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("csw break scan matches brute force on random walks") {
+    forAll(seeds) { seed =>
+      val rng = new scala.util.Random(seed)
+      val (minL, maxL) = (5, 15)
+      val rows = (0 until 2).flatMap { sym =>
+        var cents = 10000L
+        (0 until 300).map { i =>
+          cents = math.max(100L, cents + rng.nextInt(21) - 10)
+          (s"s$sym", new java.sql.Timestamp(1000000000L + i * 1000L), cents / 100.0, 1L, i.toLong)
+        }
+      }
+      val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+      val got = operators.StructuralBreak
+        .cswScan(df, minL, maxL)
+        .orderBy("symbol", "ts")
+        .as[(String, java.sql.Timestamp, Double, Int, Double, Double)]
+        .collect()
+        .toSeq
+      val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (sym, rs) =>
+        val sorted = rs.sortBy(_._2.getTime)
+        val cents = sorted.map(r => math.round(r._3 * 100)).toArray
+        (maxL until cents.length).map { t =>
+          val cdd = (1 to t).map(i => (cents(i) - cents(i - 1)) * (cents(i) - cents(i - 1))).sum
+          var bestS = Double.NegativeInfinity
+          var bestN = minL
+          if (cdd == 0L) bestS = 0.0
+          else {
+            val sigma = math.sqrt(cdd.toDouble / t.toDouble)
+            for (n <- minL to maxL) {
+              val s = (cents(t) - cents(t - n)).toDouble / (sigma * math.sqrt(n.toDouble))
+              if (s > bestS) { bestS = s; bestN = n }
+            }
+          }
+          (sym, sorted(t)._2, bestN, bestS, math.sqrt(4.6 + math.log(bestN.toDouble)))
+        }
+      }
+      assert(got.size == want.size && got.nonEmpty)
+      for ((g, w) <- got.zip(want)) {
+        assert(g._1 == w._1 && g._2 == w._2 && g._4 == w._3)
+        assert(java.lang.Double.doubleToLongBits(g._5) == java.lang.Double.doubleToLongBits(w._4))
+        assert(java.lang.Double.doubleToLongBits(g._6) == java.lang.Double.doubleToLongBits(w._5))
+      }
+    }
+    // flat series: zero variance -> stat 0.0 at minLag
+    val flat = (0 until 30)
+      .map(i => ("F", new java.sql.Timestamp(1000000000L + i * 1000L), 50.0, 1L, i.toLong))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val f = operators.StructuralBreak.cswScan(flat, 5, 15)
+      .select("best_lag", "cs_stat").as[(Int, Double)].collect()
+    assert(f.nonEmpty && f.forall(r => r._1 == 5 && r._2 == 0.0))
+  }
+
   test("ffd min-d grid: sane shape and stationarity at d=1") {
     val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val out = operators.FfdSearch.adfGrid(t)
