@@ -444,6 +444,35 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming csw equals batch csw scan bit-exactly") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-scsw").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingCsw
+      .csw(stream, minLag = 5, maxLag = 15)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_csw")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_csw")
+    val batch = graft.operators.StructuralBreak.cswScan(trades, minLag = 5, maxLag = 15)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batch.as("b"), Seq("symbol", "ts"))
+    assert(joined.count() == batch.count())
+    assert(
+      joined.where(
+        col("s.best_lag") =!= col("b.best_lag") ||
+          col("s.cs_stat") =!= col("b.cs_stat") || col("s.cs_crit") =!= col("b.cs_crit")
+      ).count() == 0
+    )
+  }
+
   test("streaming corwin-schultz equals batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-scs").toString
