@@ -209,6 +209,12 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"))
     },
+    "ou_halflife" -> { (s, dir) =>
+      operators.Microstructure
+        .ouHalfLife(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "vpin" -> { (s, dir) =>
       operators.Microstructure
         .vpin(TradeData.fromEvents(s, dir), bucketVolume = 500L, window = 10)
@@ -2320,6 +2326,39 @@ object SparkEntry {
          |            THEN CAST(abs(close_pc - open_pc) AS DOUBLE) * 1e8 / (CAST(open_pc AS DOUBLE) * CAST(dv_cents AS DOUBLE))
          |       END AS amihud_illiq
          |FROM m
+         |ORDER BY symbol, date""".stripMargin,
+    // OU half-life: the discrete OU/ADF regression per (symbol, day)
+    // from exact integer moments; beta division + the -ln2/ln(1+b)
+    // chain are the only FP steps, replicated op-for-op
+    "ou_halflife" ->
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS rn
+         |  FROM trades),
+         |d1 AS (
+         |  SELECT *, pc - lag(pc) OVER (PARTITION BY symbol, date ORDER BY rn) AS d
+         |  FROM b),
+         |d2 AS (SELECT *, pc - d AS x FROM d1),
+         |m AS (
+         |  SELECT symbol, date,
+         |         CAST(count(d) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN x END) AS BIGINT) AS sx,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN d END) AS BIGINT) AS sd,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN x * d END) AS BIGINT) AS sxd,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN x * x END) AS BIGINT) AS sxx
+         |  FROM d2 GROUP BY symbol, date),
+         |o AS (
+         |  SELECT symbol, CAST(date AS VARCHAR) AS date, n AS n_deltas,
+         |         CASE WHEN n > 1 AND CAST(n * sxx - sx * sx AS DOUBLE) != 0.0
+         |              THEN CAST(n * sxd - sx * sd AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         |         END AS ou_beta
+         |  FROM m)
+         |SELECT symbol, date, n_deltas, ou_beta,
+         |       CASE WHEN ou_beta > -1.0 AND ou_beta < 0.0
+         |            THEN -ln(2.0) / ln(1.0 + ou_beta) END AS ou_half_life
+         |FROM o
          |ORDER BY symbol, date""".stripMargin,
     // VPIN: volume-bucket split arithmetic (volume_bars oracle) +
     // tick-rule signs + trailing integer window sums; the final

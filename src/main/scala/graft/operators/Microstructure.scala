@@ -222,6 +222,62 @@ object Microstructure {
     )
   }
 
+  /** Ornstein-Uhlenbeck mean-reversion half-life (AFML ch.13's
+    * optimal-trading-rule machinery): per (symbol, day), OLS of the
+    * price change on the previous price level,
+    * Δp_t = α + β·p_{t−1} + ε — the discrete OU / ADF regression —
+    * and the implied half-life −ln 2 / ln(1+β), defined only for
+    * mean-reverting days (−1 < β < 0; explosive or unit-root days
+    * emit null).
+    *
+    * Same exact-integer regression moments as [[features]] (x = prior
+    * cents level, y = cent delta, all BIGINT sums, map-side
+    * combinable); β and the half-life are the only FP steps,
+    * replicated op-for-op by the oracle.
+    */
+  def ouHalfLife(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("date")).orderBy(col("ts"), col("trade_id"))
+    val base = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(w))
+      .withColumn("x", col("pc") - col("d")) // = lag(pc): prior level
+    base
+      .groupBy(col("symbol"), col("date"))
+      .agg(
+        count(col("d")).as("n"),
+        sum(when(col("d").isNotNull, col("x"))).as("sx"),
+        sum(when(col("d").isNotNull, col("d"))).as("sd"),
+        sum(when(col("d").isNotNull, col("x") * col("d"))).as("sxd"),
+        sum(when(col("d").isNotNull, col("x") * col("x"))).as("sxx"),
+      )
+      .select(
+        col("symbol"),
+        col("date"),
+        col("n").as("n_deltas"), {
+          val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          val beta = when(
+            col("n") > 1 && den =!= 0.0,
+            (col("n") * col("sxd") - col("sx") * col("sd")).cast("double") / den,
+          )
+          beta.as("ou_beta")
+        },
+      )
+      .withColumn(
+        "ou_half_life",
+        when(
+          col("ou_beta") > -1.0 && col("ou_beta") < 0.0,
+          -log(lit(2.0)) / log(lit(1.0) + col("ou_beta")),
+        ),
+      )
+  }
+
   /** Amihud illiquidity (Amihud 2002; AFML ch.19.4's price-impact
     * family): per (symbol, day), |daily return| per dollar traded,
     * scaled by 1e6 — the standard daily form

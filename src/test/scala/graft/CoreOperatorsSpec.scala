@@ -857,6 +857,25 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(rt.getAs[Double]("amihud_illiq") == 1000.0 * 1e8 / (6000.0 * 11000.0))
   }
 
+  test("ou half-life: exact beta -0.5 gives one-step half-life; non-reverting days null") {
+    import graft.operators.Microstructure
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // geometric reversion toward 100 with factor 1/2: d = -0.5 * x-offset
+    // integer moments give beta = -17500/35000 = -0.5 EXACTLY
+    val rev = Seq(102.00, 101.00, 100.50, 100.25).zipWithIndex.map { case (p, i) =>
+      ("R", ts(i.toLong), p, 1L, i.toLong)
+    }.toDF("symbol", "ts", "price", "size", "trade_id")
+    val r = Microstructure.ouHalfLife(rev).collect().head
+    assert(r.getAs[Double]("ou_beta") == -0.5)
+    assert(math.abs(r.getAs[Double]("ou_half_life") - 1.0) < 1e-12)
+    // monotone trend (beta >= 0 side): no half-life
+    val up = (0 until 4)
+      .map(i => ("U", ts(i.toLong), 100.0 + i, 1L, i.toLong))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val u = Microstructure.ouHalfLife(up).collect().head
+    assert(u.isNullAt(u.fieldIndex("ou_half_life")))
+  }
+
   test("multi-window rolling scan is bit-identical to per-window single scans") {
     import graft.operators.Rolling
     val trades = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
