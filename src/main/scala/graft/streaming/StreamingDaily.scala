@@ -370,6 +370,82 @@ object StreamingDaily {
     out.result().iterator
   }
 
+  // ---- OU mean-reversion half-life ----
+
+  final case class OuState(
+      day: String,
+      prevPc: Long,
+      n: Long,
+      sx: Long, sd: Long, sxd: Long, sxx: Long,
+  )
+
+  final case class OuRow(
+      symbol: String,
+      date: String,
+      n_deltas: Long,
+      ou_beta: Option[Double],
+      ou_half_life: Option[Double],
+  )
+
+  /** Streaming twin of `operators.Microstructure.ouHalfLife`: the OU
+    * regression moments live in 5 longs of per-symbol state with
+    * day-rollover finality; the beta division and the
+    * −ln 2 / ln(1+β) chain are the batch expressions op-for-op, so
+    * emitted rows are bit-identical on completed days.
+    */
+  def ouHalfLife(trades: DataFrame): Dataset[OuRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    ticks(trades)
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processOu)
+  }
+
+  private def ouRow(symbol: String, st: OuState): OuRow = {
+    val den = (st.n * st.sxx - st.sx * st.sx).toDouble
+    val beta =
+      if (st.n > 1 && den != 0.0) Some((st.n * st.sxd - st.sx * st.sd).toDouble / den)
+      else None
+    // StrictMath.log: Spark's Log expression evaluates via StrictMath,
+    // which can differ from Math.log's HotSpot intrinsic by one ulp
+    val hl = beta
+      .filter(b => b > -1.0 && b < 0.0)
+      .map(b => -StrictMath.log(2.0) / StrictMath.log(1.0 + b))
+    OuRow(symbol, st.day, st.n, beta, hl)
+  }
+
+  private def processOu(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[OuState],
+  ): Iterator[OuRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[OuRow]
+    sorted.foreach { t =>
+      val d0 = dayOf(t.ts)
+      val pc = StatefulBars.cents(t.price)
+      if (st == null) st = OuState(d0, pc, 0L, 0L, 0L, 0L, 0L)
+      else if (st.day != d0) {
+        out += ouRow(symbol, st)
+        st = OuState(d0, pc, 0L, 0L, 0L, 0L, 0L)
+      } else {
+        val x = st.prevPc
+        val d = pc - st.prevPc
+        st = st.copy(
+          prevPc = pc,
+          n = st.n + 1,
+          sx = st.sx + x,
+          sd = st.sd + d,
+          sxd = st.sxd + x * d,
+          sxx = st.sxx + x * x,
+        )
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
   private def ticks(trades: DataFrame): Dataset[Tick] = {
     val spark = trades.sparkSession
     import spark.implicits._

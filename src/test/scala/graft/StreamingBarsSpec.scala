@@ -579,6 +579,40 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming ou half-life equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sou").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .ouHalfLife(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_ou")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_ou")
+    val batch = graft.operators.Microstructure
+      .ouHalfLife(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    assert(
+      joined.where(
+        col("s.n_deltas") =!= col("b.n_deltas") ||
+          !(col("s.ou_beta") <=> col("b.ou_beta")) ||
+          !(col("s.ou_half_life") <=> col("b.ou_half_life"))
+      ).count() == 0
+    )
+  }
+
   test("streaming sign entropy equals batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-sse").toString
