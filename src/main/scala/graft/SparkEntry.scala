@@ -2000,7 +2000,7 @@ object SparkEntry {
          |ORDER BY symbol, event_id""".stripMargin,
     "decay_weights" ->
       // Same chunked-fold uniqueness CTEs, then the decay line over
-      // the 1e-12-quantized BIGINT cumsum in (t1, event_id) order —
+      // the 1e-9-quantized BIGINT cumsum in (t1, event_id) order —
       // integer cumsum exact under any association, FP tree op-for-op
       s"""WITH $T,
          |ev AS (
@@ -2028,7 +2028,7 @@ object SparkEntry {
          |uq AS (
          |  SELECT w.symbol, w.event_id,
          |         sinv / CAST(n_ticks AS DOUBLE) AS avg_uniqueness,
-         |         CAST(round(sinv / CAST(n_ticks AS DOUBLE) * 1e12) AS BIGINT) AS q,
+         |         CAST(round(sinv / CAST(n_ticks AS DOUBLE) * 1e9) AS BIGINT) AS q,
          |         epoch_us(e.t1) AS t1us
          |  FROM w JOIN ev e ON e.event_id = w.event_id),
          |x AS (
@@ -2038,8 +2038,8 @@ object SparkEntry {
          |  FROM uq)
          |SELECT symbol, event_id, avg_uniqueness,
          |       greatest(0.0,
-         |         (1.0 - ((1.0 - 0.5) / (CAST(xnq AS DOUBLE) / 1e12)) * (CAST(xnq AS DOUBLE) / 1e12))
-         |         + ((1.0 - 0.5) / (CAST(xnq AS DOUBLE) / 1e12)) * (CAST(xq AS DOUBLE) / 1e12)) AS decay_weight
+         |         (1.0 - ((1.0 - 0.5) / (CAST(xnq AS DOUBLE) / 1e9)) * (CAST(xnq AS DOUBLE) / 1e9))
+         |         + ((1.0 - 0.5) / (CAST(xnq AS DOUBLE) / 1e9)) * (CAST(xq AS DOUBLE) / 1e9)) AS decay_weight
          |FROM x
          |ORDER BY symbol, event_id""".stripMargin,
     "cv_splits" ->

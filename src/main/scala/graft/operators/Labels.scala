@@ -946,7 +946,8 @@ object Labels {
     * information time), clipped at 0.
     *
     * Exactness + scale: the cumulative sum runs over uniqueness
-    * QUANTIZED to 1e-12 units — a BIGINT cumsum is associative, so
+    * QUANTIZED to 1e-9 units (BIGINT headroom: |cumsum| <= n_events
+    * x 1e9, safe to ~9e9 events) — a BIGINT cumsum is associative, so
     * the two-phase distributed pattern (range exchange on
     * (t1, event_id) → per-partition window + broadcast prefix
     * offsets; no single-task global window) is bit-identical to any
@@ -965,7 +966,7 @@ object Labels {
     val evT1 = events.select(col("event_id"), unix_micros(col("t1")).as("__t1us"))
     val base = u
       .join(evT1, "event_id")
-      .withColumn("__uq", round(col("avg_uniqueness") * lit(1e12)).cast("long"))
+      .withColumn("__uq", round(col("avg_uniqueness") * lit(1e9)).cast("long"))
     val nParts = spark.sparkContext.defaultParallelism
     val ranged = graft.sources.Checkpoint.tableGated(
       base
@@ -992,7 +993,7 @@ object Labels {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // decay line from exact integers; FP order fixed: slope first,
     // then const = 1 - slope*xN — the oracle writes the same tree
-    val xnD = xn.toDouble / 1e12
+    val xnD = xn.toDouble / 1e9
     val slope =
       if (lastWeight >= 0) (1.0 - lastWeight) / xnD else 1.0 / ((lastWeight + 1.0) * xnD)
     val const = 1.0 - slope * xnD
@@ -1003,7 +1004,7 @@ object Labels {
         col("symbol"),
         col("event_id"),
         col("avg_uniqueness"),
-        greatest(lit(0.0), lit(const) + lit(slope) * (col("__x").cast("double") / lit(1e12)))
+        greatest(lit(0.0), lit(const) + lit(slope) * (col("__x").cast("double") / lit(1e9)))
           .as("decay_weight"),
       )
   }
