@@ -349,11 +349,12 @@ object SparkEntry {
     },
     "trend_labels" -> { (s, dir) =>
       // horizons 5..20; integer OLS moments, engine-exact argmax.
-      // Chunked scan: symbol x day parallelism, bit-identical to the
-      // whole-symbol window form (pinned in ScalaTest)
+      // Production O(maxHorizon)-state scan over symbol x day chunks
+      // with the multi-day halo — bit-identical to the declarative
+      // chunked and whole-symbol window forms (pinned in ScalaTest)
       usTs("ts")(
         operators.TrendScan
-          .labelsChunked(TradeData.fromEvents(s, dir), minHorizon = 5, maxHorizon = 20)
+          .labelsScan(TradeData.fromEvents(s, dir), minHorizon = 5, maxHorizon = 20)
       ).orderBy(col("symbol"), col("ts"))
     },
     "return_attribution" -> { (s, dir) =>

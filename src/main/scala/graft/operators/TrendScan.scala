@@ -70,6 +70,22 @@ object TrendScan {
   ): DataFrame = {
     require(minHorizon >= 3, "t-value needs at least 3 points")
     require(maxHorizon >= minHorizon, "maxHorizon >= minHorizon")
+    scanPipeline(
+      chunkedWithHalo(df, maxHorizon, c),
+      Seq(col("__sym"), col("__chunk")),
+      minHorizon,
+      maxHorizon,
+      c,
+    )
+  }
+
+  /** Chunk assignment shared by the declarative pipeline and the
+    * streaming scan: each row once under its own day (`__halo` false)
+    * plus a copy in every earlier day-chunk whose forward window
+    * reaches it (`__halo` true) — the multi-day halo described on
+    * [[labelsChunked]].
+    */
+  private def chunkedWithHalo(df: DataFrame, maxHorizon: Int, c: TradingCols): DataFrame = {
     val pre = prepared(df, c).withColumn("__day", to_date(col("__ts")))
     val wD = Window.partitionBy(col("__sym")).orderBy(col("__day"))
     val dayStats = pre
@@ -98,7 +114,137 @@ object TrendScan {
       .withColumn("__chunk", col("__day"))
       .withColumn("__halo", lit(false))
       .select("__sym", "__ts", "__tid", "__price", "__cents", "__chunk", "__halo")
-    scanPipeline(main.unionByName(halo), Seq(col("__sym"), col("__chunk")), minHorizon, maxHorizon, c)
+    main.unionByName(halo)
+  }
+
+  private final case class ScanRow(
+      symbol: String,
+      ts: java.sql.Timestamp,
+      price: Double,
+      best_l: Int,
+      label: Int,
+      beta: Double,
+      tval: Double,
+  )
+
+  /** Production form of [[labelsChunked]]: identical chunk + halo
+    * assignment, but the per-chunk computation is an O(maxHorizon)-
+    * state streaming pass (the sadfScan pattern) instead of 16 packed
+    * struct leads — a ring of cumulative (Σy, Σy², Σrn·y) snapshots
+    * scores every horizon of the row maxHorizon−1 behind the cursor
+    * in ~10 integer flops each. Same integers, same double trees,
+    * same (|t|, −L) argmax ⇒ BIT-identical to [[labelsChunked]] and
+    * [[labels]] (pinned in ScalaTest).
+    */
+  def labelsScan(
+      df: DataFrame,
+      minHorizon: Int = 5,
+      maxHorizon: Int = 20,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    require(minHorizon >= 3, "t-value needs at least 3 points")
+    require(maxHorizon >= minHorizon, "maxHorizon >= minHorizon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val minL = minHorizon
+    val maxL = maxHorizon
+    // per-horizon integer constants of the rebased x = 0..L-1 axis
+    val sxArr = Array.tabulate(maxL + 1)(l => l.toLong * (l - 1) / 2)
+    val sxxArr = Array.tabulate(maxL + 1)(l => (l - 1).toLong * l * (2 * l - 1) / 6)
+    val denArr = Array.tabulate(maxL + 1)(l => l * sxxArr(l) - sxArr(l) * sxArr(l))
+    chunkedWithHalo(df, maxL, c)
+      .withColumn("__ck", col("__chunk").cast("string"))
+      .select("__sym", "__ck", "__ts", "__tid", "__price", "__cents", "__halo")
+      .repartition(col("__sym"), col("__ck"))
+      .sortWithinPartitions(col("__sym"), col("__ck"), col("__ts"), col("__tid"))
+      .as[(String, String, java.sql.Timestamp, Long, Double, Long, Boolean)]
+      .mapPartitions { it =>
+        val ringLen = maxL + 1
+        // cumulative-moment snapshots; slot rn % ringLen = cum AFTER row rn
+        val rcy, rcyy, rcjy = new Array[Long](ringLen)
+        // meta ring of the last maxL rows awaiting their full window
+        val mTs = new Array[java.sql.Timestamp](maxL)
+        val mPrice = new Array[Double](maxL)
+        val mHalo = new Array[Boolean](maxL)
+        var curKey: (String, String) = null
+        var rn = 0L
+        var cy, cyy, cjy = 0L
+        new Iterator[ScanRow] {
+          private var pending: ScanRow = null
+          private def score(iRow: Long): ScanRow = {
+            // emit row i (1-based rn): windows [i, i+L-1], cum base i-1
+            val meta = ((iRow - 1) % maxL).toInt
+            if (mHalo(meta)) return null
+            val cy0 = rcy(((iRow - 1) % ringLen).toInt)
+            val cyy0 = rcyy(((iRow - 1) % ringLen).toInt)
+            val cjy0 = rcjy(((iRow - 1) % ringLen).toInt)
+            var bestA = Double.NegativeInfinity
+            var bestNl = Int.MinValue
+            var bestT = 0.0
+            var bestB = 0.0
+            var bestLab = 0
+            var bestL = 0
+            var l = minL
+            while (l <= maxL) {
+              val endSlot = (((iRow + l - 1) % ringLen)).toInt
+              val sy = rcy(endSlot) - cy0
+              val syy = rcyy(endSlot) - cyy0
+              val sjy = rcjy(endSlot) - cjy0
+              val sxy = sjy - iRow * sy // x rebased to 0..L-1
+              val sx = sxArr(l)
+              val sxx = sxxArr(l)
+              val den = denArr(l)
+              val num = l.toLong * sxy - sx * sy
+              val b = num.toDouble / den.toDouble
+              val sxxc = den.toDouble / l
+              val syyc = syy.toDouble - sy.toDouble * sy.toDouble / l.toDouble
+              val ssr = syyc - b * b * sxxc
+              val tval =
+                if (ssr <= 0.0) math.signum(num.toDouble) * 1e308
+                else b * math.sqrt(sxxc) / math.sqrt(ssr / (l - 2).toDouble)
+              val a = math.abs(tval)
+              val nl = -l
+              if (a > bestA || (a == bestA && nl > bestNl)) {
+                bestA = a; bestNl = nl; bestT = tval; bestB = b
+                bestLab = math.signum(num.toDouble).toInt; bestL = l
+              }
+              l += 1
+            }
+            ScanRow(curKey._1, mTs(meta), mPrice(meta), bestL, bestLab, bestB, bestT)
+          }
+          override def hasNext: Boolean = {
+            while (pending == null && it.hasNext) {
+              val (sym, ck, ts, _, price, cents, halo) = it.next()
+              if (curKey == null || curKey != ((sym, ck))) {
+                curKey = (sym, ck)
+                rn = 0L; cy = 0L; cyy = 0L; cjy = 0L
+                rcy(0) = 0L; rcyy(0) = 0L; rcjy(0) = 0L
+              }
+              rn += 1
+              cy += cents; cyy += cents * cents; cjy += rn * cents
+              val slot = (rn % ringLen).toInt
+              rcy(slot) = cy; rcyy(slot) = cyy; rcjy(slot) = cjy
+              if (rn >= maxL) pending = score(rn - maxL + 1)
+              val meta = ((rn - 1) % maxL).toInt
+              mTs(meta) = ts; mPrice(meta) = price; mHalo(meta) = halo
+            }
+            pending != null
+          }
+          override def next(): ScanRow = {
+            val r = pending; pending = null; r
+          }
+        }
+      }
+      .toDF()
+      .select(
+        col("symbol").as(c.symbol),
+        col("ts").as(c.ts),
+        col("price").as(c.price),
+        col("best_l"),
+        col("label"),
+        col("beta"),
+        col("tval"),
+      )
   }
 
   private def prepared(df: DataFrame, c: TradingCols): DataFrame =

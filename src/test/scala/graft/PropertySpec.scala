@@ -461,6 +461,18 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
         assert(java.lang.Double.doubleToLongBits(x._6) == java.lang.Double.doubleToLongBits(y._6))
         assert(java.lang.Double.doubleToLongBits(x._7) == java.lang.Double.doubleToLongBits(y._7))
       }
+      // the production O(maxHorizon)-state scan: same chunks, same
+      // integers, same trees — bit-equal to both declarative forms
+      val s = operators.TrendScan.labelsScan(t, 5, 20)
+        .orderBy("symbol", "ts")
+        .as[(String, java.sql.Timestamp, Double, Int, Int, Double, Double)]
+        .collect().toSeq
+      assert(s.size == a.size)
+      for ((x, y) <- a.zip(s)) {
+        assert(x._1 == y._1 && x._2 == y._2 && x._4 == y._4 && x._5 == y._5)
+        assert(java.lang.Double.doubleToLongBits(x._6) == java.lang.Double.doubleToLongBits(y._6))
+        assert(java.lang.Double.doubleToLongBits(x._7) == java.lang.Double.doubleToLongBits(y._7))
+      }
     }
   }
 
