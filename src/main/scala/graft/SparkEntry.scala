@@ -215,6 +215,11 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"))
     },
+    "realized_vol" -> { (s, dir) =>
+      operators.Microstructure
+        .realizedVol(TradeData.fromEvents(s, dir))
+        .orderBy(col("symbol"), col("date"))
+    },
     "vpin" -> { (s, dir) =>
       operators.Microstructure
         .vpin(TradeData.fromEvents(s, dir), bucketVolume = 500L, window = 10)
@@ -2360,6 +2365,35 @@ object SparkEntry {
          |       CASE WHEN ou_beta > -1.0 AND ou_beta < 0.0
          |            THEN -ln(2.0) / ln(1.0 + ou_beta) END AS ou_half_life
          |FROM o
+         |ORDER BY symbol, date""".stripMargin,
+    // Realized variance / bipower variation / jump: the double folds
+    // replay the scan's sequential (ts, trade_id) order via ordered
+    // list_reduce (left fold), bit-equal per day
+    "realized_vol" ->
+      s"""WITH $T,
+         |px AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         lag(CAST(round(price * 100) AS BIGINT))
+         |           OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS pcp
+         |  FROM trades),
+         |r1 AS (
+         |  SELECT *, CAST(pc - pcp AS DOUBLE) / CAST(pcp AS DOUBLE) AS r
+         |  FROM px),
+         |r2 AS (
+         |  SELECT *, abs(r) * abs(lag(r) OVER (PARTITION BY symbol, date ORDER BY ts, trade_id)) AS cr
+         |  FROM r1),
+         |agg AS (
+         |  SELECT symbol, CAST(date AS VARCHAR) AS date,
+         |         CAST(count(r) AS BIGINT) AS n_returns,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(ts), tid := trade_id, x := r)) FILTER (r IS NOT NULL)), q -> q.x * q.x), (x, y) -> x + y) AS rv_sum,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(us := epoch_us(ts), tid := trade_id, x := cr)) FILTER (cr IS NOT NULL)), q -> q.x), (x, y) -> x + y) AS cr_sum
+         |  FROM r2 GROUP BY symbol, date)
+         |SELECT symbol, date, n_returns,
+         |       CASE WHEN n_returns >= 1 THEN rv_sum END AS rv,
+         |       CASE WHEN n_returns >= 2 THEN (pi() / 2) * cr_sum END AS bv,
+         |       CASE WHEN n_returns >= 2 THEN greatest(rv_sum - (pi() / 2) * cr_sum, 0.0) END AS jump
+         |FROM agg
          |ORDER BY symbol, date""".stripMargin,
     // VPIN: volume-bucket split arithmetic (volume_bars oracle) +
     // tick-rule signs + trailing integer window sums; the final

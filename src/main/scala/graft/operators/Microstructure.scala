@@ -322,6 +322,102 @@ object Microstructure {
         ).as("amihud_illiq"),
       )
 
+  final case class RvRow(
+      symbol: String,
+      date: String,
+      n_returns: Long,
+      rv: Option[Double],
+      bv: Option[Double],
+      jump: Option[Double],
+  )
+
+  /** Realized variance, bipower variation and the jump component
+    * (Barndorff-Nielsen & Shephard 2004; the jump-robust volatility
+    * decomposition next to AFML ch.19's impact estimators): per
+    * (symbol, day) over tick returns r_i = Δp_i / p_{i−1},
+    *
+    *   RV = Σ r_i²,  BV = (π/2) · Σ |r_i|·|r_{i−1}|,
+    *   jump = max(RV − BV, 0)
+    *
+    * — RV loads on the full path including jumps, BV is jump-robust,
+    * the gap isolates the jump contribution.
+    *
+    * Determinism: the return sums are double folds, so the scan
+    * accumulates them SEQUENTIALLY in (ts, trade_id) order per day
+    * (one symbol-hash exchange + sortWithinPartitions, the dollar-bar
+    * pattern) and the oracle replays the identical left fold via
+    * ordered list_reduce — bit-equal per day, day-bounded state.
+    * rv is null on days without a return, bv/jump on days with
+    * fewer than two.
+    */
+  def realizedVol(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        col(c.ts).cast("timestamp").as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("ts"), col("trade_id"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+      .mapPartitions { it =>
+        val dayFmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+          .withZone(java.time.ZoneOffset.UTC)
+        var curSym: String = null
+        var curDay: String = null
+        var prevPc = 0L
+        var prevR = 0.0
+        var nR = 0L
+        var rv = 0.0
+        var cs = 0.0 // Σ |r_i||r_{i-1}|
+        def emit(): RvRow = {
+          val rvO = if (nR >= 1) Some(rv) else None
+          val bvO = if (nR >= 2) Some(math.Pi / 2 * cs) else None
+          val jO = for (a <- rvO; b <- bvO) yield math.max(a - b, 0.0)
+          RvRow(curSym, curDay, nR, rvO, bvO, jO)
+        }
+        def reset(sym: String, day: String, pc: Long): Unit = {
+          curSym = sym; curDay = day; prevPc = pc
+          nR = 0L; rv = 0.0; cs = 0.0; prevR = 0.0
+        }
+        new Iterator[RvRow] {
+          private var pending: RvRow = null
+          private var drained = false
+          override def hasNext: Boolean = {
+            while (pending == null && it.hasNext) {
+              val (sym, ts, pc, _) = it.next()
+              val day = dayFmt.format(java.time.Instant.ofEpochMilli(ts.getTime))
+              if (curSym == null) reset(sym, day, pc)
+              else if (sym != curSym || day != curDay) {
+                pending = emit()
+                reset(sym, day, pc)
+              } else {
+                val r = (pc - prevPc).toDouble / prevPc.toDouble
+                prevPc = pc
+                if (nR >= 1) cs += math.abs(r) * math.abs(prevR)
+                rv += r * r
+                nR += 1
+                prevR = r
+              }
+            }
+            if (pending == null && !drained && curSym != null) {
+              drained = true
+              pending = emit()
+            }
+            pending != null
+          }
+          override def next(): RvRow = {
+            val r = pending; pending = null; r
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Plug-in entropy of the tick-rule sign stream (AFML ch.18):
     * per (symbol, day), the empirical Shannon entropy RATE of the
     * up/down message at word lengths k = 1, 2, 3 (bits per symbol,

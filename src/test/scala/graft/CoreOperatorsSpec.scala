@@ -876,6 +876,34 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(u.isNullAt(u.fieldIndex("ou_half_life")))
   }
 
+  test("realized vol: hand-computed RV/BV/jump; sparse-day nulls") {
+    import graft.operators.Microstructure
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // prices 100 -> 110 -> 99: r1 = 0.1, r2 = -0.1
+    val t = Seq(
+      ("A", ts(0L), 100.00, 1L, 0L),
+      ("A", ts(1L), 110.00, 1L, 1L),
+      ("A", ts(2L), 99.00, 1L, 2L),
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val r = Microstructure.realizedVol(t).collect().head
+    val r1 = 1000.0 / 10000.0
+    val r2 = -1100.0 / 11000.0
+    val rv = r1 * r1 + r2 * r2
+    val bv = math.Pi / 2 * (math.abs(r2) * math.abs(r1))
+    assert(r.getAs[Long]("n_returns") == 2L)
+    assert(r.getAs[Double]("rv") == rv)
+    assert(r.getAs[Double]("bv") == bv)
+    assert(r.getAs[Double]("jump") == math.max(rv - bv, 0.0))
+    // single-return day: rv defined, bv/jump null
+    val one = Seq(
+      ("B", ts(0L), 100.00, 1L, 0L),
+      ("B", ts(1L), 101.00, 1L, 1L),
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val o = Microstructure.realizedVol(one).collect().head
+    assert(o.getAs[Long]("n_returns") == 1L && !o.isNullAt(o.fieldIndex("rv")))
+    assert(o.isNullAt(o.fieldIndex("bv")) && o.isNullAt(o.fieldIndex("jump")))
+  }
+
   test("multi-window rolling scan is bit-identical to per-window single scans") {
     import graft.operators.Rolling
     val trades = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
