@@ -613,6 +613,39 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming realized vol equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-srv").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .realizedVol(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_rv")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_rv")
+    val batch = graft.operators.Microstructure.realizedVol(trades)
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    assert(
+      joined.where(
+        col("s.n_returns") =!= col("b.n_returns") ||
+          !(col("s.rv") <=> col("b.rv")) ||
+          !(col("s.bv") <=> col("b.bv")) ||
+          !(col("s.jump") <=> col("b.jump"))
+      ).count() == 0
+    )
+  }
+
   test("streaming sign entropy equals batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-sse").toString
