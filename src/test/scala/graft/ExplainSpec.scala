@@ -423,6 +423,22 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), "two-phase cumsum needs the range exchange")
   }
 
+  test("csw/realized-vol scans shuffle once on symbol; ou/amihud aggregate map-side") {
+    for (q <- Seq("csw_breaks", "realized_vol")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q: the scan forms must not plan windows")
+      assert(!p.contains("Join"), p)
+    }
+    for (q <- Seq("ou_halflife")) {
+      val p = plan(q)
+      // lag window + (symbol, date) agg share the hash partitioning
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, s"$q:\n$p")
+      assert(p.contains("partial_") || p.contains("HashAggregate"), p)
+      assert(!p.contains("Join"), p)
+    }
+  }
+
   test("weight chunked-fold scan: two exchanges, zero joins") {
     import org.apache.spark.sql.functions._
     val t = TradeData.fromEvents(spark, dir)
