@@ -488,6 +488,12 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     },
+    "chunk_docs" -> { (s, dir) =>
+      // 64-token windows every 48 tokens (16-token overlap)
+      TextAnalysis
+        .chunkDocs(s.read.parquet(s"$dir/documents.parquet"), chunkTokens = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
     "token_count_bpe" -> { (s, dir) =>
       // real byte-level BPE: fit merges on the corpus histogram
       // (deterministic: frequency then lexicographic tiebreak), then
@@ -2610,6 +2616,25 @@ object SparkEntry {
          |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
+    // Overlapping 64-token windows every 48 tokens; pure string/int
+    // arithmetic (no FP), identical tokenization to token_count
+    "chunk_docs" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |n1 AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM tk WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |         1 + greatest(0, (n - 64 + 47) // 48) AS nchunks
+         |  FROM n1),
+         |e AS (
+         |  SELECT doc_id, toks, n, unnest(range(nchunks)) AS chunk_id FROM c)
+         |SELECT doc_id, chunk_id,
+         |       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+         |       least(64, n - chunk_id * 48) AS n_tokens
+         |FROM e
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "token_count_bpe" -> bpeOracleSql(),
     "doc_fingerprint" ->
       s"""WITH h AS (

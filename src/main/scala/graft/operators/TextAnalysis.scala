@@ -246,4 +246,40 @@ object TextAnalysis {
         ),
     )
   }
+
+  /** Overlapping token-window chunking — the training-window prep
+    * step (RAG/pretraining context slicing): each doc becomes
+    * ceil-strided windows of `chunkTokens` whitespace tokens every
+    * `stride` tokens; the last window may be shorter, docs with zero
+    * tokens emit nothing. Fully declarative (split + explode(sequence)
+    * + slice — all codegen'd builtins, zero shuffles until the
+    * caller's sink); output grows ~len/stride per doc by contract.
+    * Output: idCol, chunk_id (0-based), chunk_text, n_tokens.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      chunkTokens: Int = 64,
+      stride: Int = 48,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens >= 1")
+    require(stride >= 1 && stride <= chunkTokens, "1 <= stride <= chunkTokens")
+    docs
+      .select(col(idCol), filter(tokens(col(textCol)), t => t =!= "").as("__tk"))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .where(col("__n") > 0)
+      .withColumn(
+        "__nchunks",
+        lit(1L) + greatest(lit(0L), expr(s"(__n - $chunkTokens + ${stride - 1}) div $stride")),
+      )
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__nchunks") - 1)))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(expr(s"slice(__tk, chunk_id * $stride + 1, $chunkTokens)"), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_id") * stride).as("n_tokens"),
+      )
+  }
 }

@@ -15,6 +15,25 @@ class PipelineOpsSpec extends SparkSpec {
       .map { case (t, i) => (i.toLong, t, "src") }
       .toDF("doc_id", "text", "source")
 
+  test("chunkDocs: strided windows, short-doc single chunk, empty docs dropped") {
+    // 9 tokens, windows of 4 every 3: offsets 0,3,6 — the last window
+    // is the 3-token tail (ceil((9-4)/3) = 2 extra chunks)
+    val d = docs("a b c d e f g h i", "x y", "", "   ")
+    val out = TextAnalysis.chunkDocs(d, chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out.map(_._1).toSet == Set(0L, 1L)) // empty/whitespace docs emit nothing
+    val c0 = out.filter(_._1 == 0L)
+    assert(c0.map(_._3) == Seq("a b c d", "d e f g", "g h i"))
+    assert(c0.map(_._4) == Seq(4L, 4L, 3L))
+    assert(out.filter(_._1 == 1L).map(_._3) == Seq("x y"))
+    // exact boundary: len == chunkTokens -> exactly one chunk
+    val b = TextAnalysis.chunkDocs(docs("p q r s"), chunkTokens = 4, stride = 3)
+      .select("chunk_text").as[String].collect().toSeq
+    assert(b == Seq("p q r s"))
+  }
+
   test("exact dedup groups normalized duplicates under the min id") {
     val d = docs(
       "Hello  World",
