@@ -104,6 +104,13 @@ object TradeData {
       .schema("symbol STRING, ts TIMESTAMP, price DOUBLE, size LONG, trade_id LONG")
       .csv(path)
 
+  /** ORC trade source (the third columnar wire format next to parquet
+    * and CSV; Spark's built-in ORC reader, same pushdown/pruning
+    * surface). Expects the canonical trades schema.
+    */
+  def fromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Deterministic synthetic trade generator (counterpart of the
     * reference's `generate_trade_data`): nRows ticks across
     * nSymbols, seeded — used by ScalaTests, never by the oracle

@@ -409,6 +409,20 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(back.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("orc trade source round-trips the synthetic generator exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val t = graft.sources.TradeData.synthetic(spark, 100, 2)
+    t.write.mode("overwrite").orc(dir)
+    val back = graft.sources.TradeData.fromOrc(spark, dir)
+    // ORC reads columns back nullable; names and types must match
+    assert(back.schema.map(f => (f.name, f.dataType)) == t.schema.map(f => (f.name, f.dataType)))
+    // columnar round-trip is lossless: full multiset equality
+    assert(back.exceptAll(t).count() == 0 && t.exceptAll(back).count() == 0)
+    // and the pushdown surface is live: a price filter reaches the scan
+    val p = back.where(col("price") > 50.0).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(price"), p)
+  }
+
   // --- EWM std against pandas-computed vectors ---
   test("ewm std matches pandas ewm(span=3).std() vector") {
     // pandas: s = [1, 2, 4, 8]; s.ewm(span=3, adjust=True).std()
