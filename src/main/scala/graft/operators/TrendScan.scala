@@ -117,7 +117,10 @@ object TrendScan {
     main.unionByName(halo)
   }
 
-  private final case class ScanRow(
+  // public: the object serializer's generated code constructs and
+  // reads this class; a private case class forces the whole
+  // SerializeFromObject stage into interpreted fallback
+  final case class ScanRow(
       symbol: String,
       ts: java.sql.Timestamp,
       price: Double,
