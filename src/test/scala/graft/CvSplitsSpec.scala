@@ -88,6 +88,62 @@ class CvSplitsSpec extends SparkSpec {
     assert(out((2L, 1L)) == "purged" && out((2L, 0L)) == "train")
   }
 
+  test("walk-forward and CPCV leakage invariants on real events") {
+    val trades = sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val ev = trades
+      .where(col("trade_id") % 10 === 0)
+      .select(
+        col("trade_id").as("event_id"),
+        col("ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("t1"),
+      )
+    // walk-forward: training data strictly precedes the test span,
+    // and no train interval reaches into it
+    val wf = CvSplits.walkForward(ev, k = 5).cache()
+    try {
+      val spans = wf.where(col("role") === "test")
+        .groupBy(col("fold").as("f")).agg(min(col("ts")).as("test_start"))
+      val bad = wf.join(spans, col("fold") === col("f"))
+        .where(col("role") === "train" &&
+          (col("ts") >= col("test_start") || col("t1") >= col("test_start")))
+      assert(bad.count() == 0)
+      // later-fold events never appear in step f
+      val rank = wf.where(col("role") === "test")
+        .groupBy(col("fold").as("f")).agg(max(col("ts")).as("test_last"))
+      assert(wf.count() > 0 && wf.join(rank, col("fold") === col("f"))
+        .where(col("role") =!= "test" && col("ts") > col("test_last")).count() == 0)
+    } finally wf.unpersist()
+    // CPCV: every (split, event) exactly once, and for EACH of a
+    // split's two test-fold spans no train event overlaps it or
+    // starts inside its embargo window
+    val nEv = ev.count()
+    val cp = CvSplits.combinatorial(ev, k = 5, p = 2, embargo = "1 hour").cache()
+    try {
+      assert(cp.count() == nEv * 10) // C(5,2) splits x all events
+      assert(cp.groupBy("split_id", "event_id").count()
+        .where(col("count") =!= 1).count() == 0)
+      // fold spans from the k-fold table (same rank core)
+      val foldSpans = CvSplits.purgedKFold(ev, k = 5)
+        .where(col("role") === "test")
+        .groupBy("fold")
+        .agg(min(col("ts")).as("s"), max(col("t1")).as("e"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getTimestamp(2)))
+        .toMap
+      val combos = (0 until 5).combinations(2).toSeq.zipWithIndex
+      for ((folds, id) <- combos; f <- folds) {
+        val (s, e) = foldSpans(f.toLong)
+        val emb = new Timestamp(e.getTime + 3600000L)
+        val leak = cp.where(
+          col("split_id") === id.toLong && col("role") === "train" &&
+            ((col("ts") <= e && col("t1") >= s) ||
+              (col("ts") > e && col("ts") <= emb))
+        )
+        assert(leak.count() == 0, s"split $id fold $f leaks")
+      }
+    } finally cp.unpersist()
+  }
+
   test("leakage invariants and exact rank on real events") {
     val trades = sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val ev = trades
