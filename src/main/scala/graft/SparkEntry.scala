@@ -220,6 +220,30 @@ object SparkEntry {
         .realizedVol(TradeData.fromEvents(s, dir))
         .orderBy(col("symbol"), col("date"))
     },
+    "bet_size" -> { (s, dir) =>
+      // AFML ch.10 sizing over sampled events; prob/side are
+      // md5-derived deterministic stand-ins for a fitted model's
+      // outputs (the quality_classifier precedent) — the sizing tree
+      // is the deliverable and is replayed op-for-op by the oracle
+      val ev = TradeData
+        .fromEvents(s, dir)
+        .where(col("trade_id") % 50 === 0)
+        .select(col("symbol"), col("trade_id").as("event_id"))
+        .withColumn(
+          "prob",
+          (operators.Sampling.hashBucket(col("event_id"), "prob") % 998L + 1L)
+            .cast("double") / lit(1000.0),
+        )
+        .withColumn(
+          "side",
+          when(operators.Sampling.hashBucket(col("event_id"), "side") % 2 === 0, 1)
+            .otherwise(-1),
+        )
+      operators.BetSizing
+        .betSize(ev)
+        .select(col("symbol"), col("event_id"), col("prob"), col("side"), col("bet_z"), col("bet_size"))
+        .orderBy(col("event_id"))
+    },
     "vpin" -> { (s, dir) =>
       operators.Microstructure
         .vpin(TradeData.fromEvents(s, dir), bucketVolume = 500L, window = 10)
@@ -2372,6 +2396,30 @@ object SparkEntry {
          |            THEN -ln(2.0) / ln(1.0 + ou_beta) END AS ou_half_life
          |FROM o
          |ORDER BY symbol, date""".stripMargin,
+    // Bet sizing: identical md5 prob/side derivation, then the same
+    // Abramowitz-Stegun erf polynomial (Horner order preserved)
+    "bet_size" ->
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT symbol, trade_id AS event_id FROM trades WHERE trade_id % 50 = 0),
+         |h AS (
+         |  SELECT symbol, event_id,
+         |         CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':prob'), 1, 8))::BIGINT % 10000) % 998 + 1 AS DOUBLE) / 1000.0 AS prob,
+         |         CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':side'), 1, 8))::BIGINT % 10000) % 2 = 0 THEN 1 ELSE -1 END AS side
+         |  FROM ev),
+         |z AS (SELECT *, (prob - 0.5) / sqrt(prob * (1.0 - prob)) AS bet_z FROM h),
+         |x1 AS (SELECT *, bet_z / sqrt(2.0) AS x FROM z),
+         |e1 AS (SELECT *, sign(x) AS sg, abs(x) AS a FROM x1),
+         |e2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * a) AS t FROM e1),
+         |e3 AS (
+         |  SELECT *,
+         |         t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) AS poly
+         |  FROM e2),
+         |m AS (SELECT *, side * (sg * (1.0 - poly * exp(-(a * a)))) AS mv FROM e3)
+         |SELECT symbol, event_id, prob, side, bet_z,
+         |       round(mv / 0.1) * 0.1 AS bet_size
+         |FROM m
+         |ORDER BY event_id""".stripMargin,
     // Realized variance / bipower variation / jump: the double folds
     // replay the scan's sequential (ts, trade_id) order via ordered
     // list_reduce (left fold), bit-equal per day

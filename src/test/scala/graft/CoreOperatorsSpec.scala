@@ -409,6 +409,29 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(back.schema("ts").dataType.typeName == "timestamp")
   }
 
+  test("bet sizing: neutral at p=0.5, saturates with conviction, side-signed grid") {
+    import graft.operators.BetSizing
+    val d = Seq(
+      (0L, 0.5, 1), (1L, 0.9, 1), (2L, 0.9, -1), (3L, 0.999, 1), (4L, 0.1, 1),
+    ).toDF("event_id", "prob", "side")
+    val out = BetSizing.betSize(d).orderBy("event_id")
+      .select("bet_size", "bet_z").as[(Double, Double)].collect()
+    assert(out(0)._1 == 0.0 && out(0)._2 == 0.0)
+    assert(out(1)._1 >= 0.8 && out(1)._1 <= 1.0) // erf(0.943) ~ 0.8175 -> 0.8
+    assert(out(2)._1 == -out(1)._1) // side flips the sign only
+    assert(out(3)._1 == 1.0) // extreme conviction saturates the grid
+    assert(out(4)._1 < 0.0) // p < 0.5 bets against the side
+    // every size lands on the 0.1 grid
+    out.foreach(r => assert(math.abs(r._1 * 10 - math.round(r._1 * 10)) < 1e-9))
+    // erf sanity: odd symmetry and the A&S error bound at known points
+    val erfs = spark.range(1).select(
+      BetSizing.erfApprox(lit(0.0)), BetSizing.erfApprox(lit(1.0)), BetSizing.erfApprox(lit(-1.0)))
+      .as[(Double, Double, Double)].head()
+    assert(erfs._1 == 0.0)
+    assert(math.abs(erfs._2 - 0.8427007929497149) < 1.5e-7)
+    assert(erfs._3 == -erfs._2)
+  }
+
   test("orc trade source round-trips the synthetic generator exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val t = graft.sources.TradeData.synthetic(spark, 100, 2)
