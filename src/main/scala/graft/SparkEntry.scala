@@ -244,6 +244,31 @@ object SparkEntry {
         .select(col("symbol"), col("event_id"), col("prob"), col("side"), col("bet_z"), col("bet_size"))
         .orderBy(col("event_id"))
     },
+    "avg_active_bets" -> { (s, dir) =>
+      // ch.10.3 averaging over 4h bet intervals (pooled across
+      // symbols); same md5 prob/side stand-ins as bet_size
+      val ev = TradeData
+        .fromEvents(s, dir)
+        .where(col("trade_id") % 50 === 0)
+        .select(col("trade_id").as("event_id"), col("ts").as("t0"))
+        .withColumn("t1", col("t0") + expr("INTERVAL 4 HOURS"))
+        .withColumn(
+          "prob",
+          (operators.Sampling.hashBucket(col("event_id"), "prob") % 998L + 1L)
+            .cast("double") / lit(1000.0),
+        )
+        .withColumn(
+          "side",
+          when(operators.Sampling.hashBucket(col("event_id"), "side") % 2 === 0, 1)
+            .otherwise(-1),
+        )
+      val sized = operators.BetSizing
+        .betSize(ev)
+        .select(col("event_id"), col("t0"), col("t1"), col("bet_size"))
+      usTs("ts")(
+        operators.BetSizing.avgActiveBets(sized, bucketMicros = 14400000000L)
+      ).orderBy(col("event_id"))
+    },
     "vpin" -> { (s, dir) =>
       operators.Microstructure
         .vpin(TradeData.fromEvents(s, dir), bucketVolume = 500L, window = 10)
@@ -2419,6 +2444,42 @@ object SparkEntry {
          |SELECT symbol, event_id, prob, side, bet_z,
          |       round(mv / 0.1) * 0.1 AS bet_size
          |FROM m
+         |ORDER BY event_id""".stripMargin,
+    // Average active bet: plain interval self-join replays the
+    // bucketed RangeJoin; the double average folds in contributor-id
+    // order exactly like the engine's sorted-array aggregate
+    "avg_active_bets" ->
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT trade_id AS event_id, ts AS t0, ts + INTERVAL 4 HOUR AS t1
+         |  FROM trades WHERE trade_id % 50 = 0),
+         |h AS (
+         |  SELECT event_id, t0, t1,
+         |         CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':prob'), 1, 8))::BIGINT % 10000) % 998 + 1 AS DOUBLE) / 1000.0 AS prob,
+         |         CASE WHEN (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':side'), 1, 8))::BIGINT % 10000) % 2 = 0 THEN 1 ELSE -1 END AS side
+         |  FROM ev),
+         |z AS (SELECT *, (prob - 0.5) / sqrt(prob * (1.0 - prob)) AS bet_z FROM h),
+         |x1 AS (SELECT *, bet_z / sqrt(2.0) AS x FROM z),
+         |e1 AS (SELECT *, sign(x) AS sg, abs(x) AS a FROM x1),
+         |e2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * a) AS t FROM e1),
+         |e3 AS (
+         |  SELECT *,
+         |         t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) AS poly
+         |  FROM e2),
+         |sz AS (
+         |  SELECT event_id, t0, t1,
+         |         round((side * (sg * (1.0 - poly * exp(-(a * a))))) / 0.1) * 0.1 AS msz
+         |  FROM e3),
+         |j AS (
+         |  SELECT p.event_id AS event_id, p.t0 AS pt, i.event_id AS iid, i.msz AS im
+         |  FROM sz p JOIN sz i ON p.t0 >= i.t0 AND p.t0 <= i.t1),
+         |agg AS (
+         |  SELECT event_id, pt,
+         |         CAST(count(*) AS BIGINT) AS n_active,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(i := iid, m := im))), q -> q.m), (x, y) -> x + y) AS s
+         |  FROM j GROUP BY event_id, pt)
+         |SELECT event_id, epoch_us(pt) AS ts, n_active, s / CAST(n_active AS DOUBLE) AS avg_bet
+         |FROM agg
          |ORDER BY event_id""".stripMargin,
     // Realized variance / bipower variation / jump: the double folds
     // replay the scan's sequential (ts, trade_id) order via ordered

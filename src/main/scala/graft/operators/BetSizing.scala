@@ -28,6 +28,50 @@ object BetSizing {
     s * (lit(1.0) - poly * exp(-(a * a)))
   }
 
+  /** Average active bet (AFML ch.10.3): at each bet's start, the
+    * average size of EVERY bet whose [t0, t1] interval covers that
+    * instant (its own included) — concurrent signals reinforce or
+    * dampen each other instead of churning positions one label at a
+    * time.
+    *
+    * Scale shape: the active-set lookup is [[RangeJoin.intervalJoin]]
+    * (bucketed interval decomposition — no per-key cross join), and
+    * the double average folds in contributor-id order over the
+    * per-point sorted array (bounded by bet concurrency), so the
+    * result is partition-invariant and oracle-replayable exactly.
+    *
+    * @param bets one row per bet: `event_id` (unique long), `t0`,
+    *   `t1` (timestamps), `bet_size`
+    * @param bucketMicros interval-join bucket width — pick ~ the
+    *   typical bet duration
+    */
+  def avgActiveBets(bets: DataFrame, bucketMicros: Long): DataFrame = {
+    val intervals = bets.select(
+      col("event_id").as("__iid"),
+      col("t0"),
+      col("t1"),
+      col("bet_size").as("__m"),
+    )
+    val points = bets.select(col("event_id"), col("t0").as("__pt"))
+    RangeJoin
+      .intervalJoin(
+        intervals, points,
+        by = Seq.empty, startCol = "t0", endCol = "t1", pointCol = "__pt",
+        bucketMicros = bucketMicros, inclusiveStart = true,
+      )
+      .groupBy(col("event_id"), col("__pt").as("ts"))
+      .agg(
+        sort_array(collect_list(struct(col("__iid").as("i"), col("__m").as("m")))).as("__arr")
+      )
+      .select(
+        col("event_id"),
+        col("ts"),
+        size(col("__arr")).cast("long").as("n_active"),
+        (aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x("m")) /
+          size(col("__arr")).cast("double")).as("avg_bet"),
+      )
+  }
+
   /** Adds `bet_z` (the probability test statistic) and `bet_size`
     * (side-signed, step-discretized) to a frame of predictions.
     *

@@ -432,6 +432,22 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(erfs._3 == -erfs._2)
   }
 
+  test("avg active bets: concurrent intervals average, disjoint stand alone") {
+    import graft.operators.BetSizing
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // bets 0 and 1 overlap at t0(1); bet 2 is far away
+    val bets = Seq(
+      (0L, ts(0L), ts(10L), 1.0),
+      (1L, ts(5L), ts(15L), 0.5),
+      (2L, ts(100L), ts(110L), -1.0),
+    ).toDF("event_id", "t0", "t1", "bet_size")
+    val out = BetSizing.avgActiveBets(bets, bucketMicros = 600000000L)
+      .orderBy("event_id")
+      .select("event_id", "n_active", "avg_bet")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1.0), (1L, 2L, 0.75), (2L, 1L, -1.0)))
+  }
+
   test("orc trade source round-trips the synthetic generator exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val t = graft.sources.TradeData.synthetic(spark, 100, 2)
