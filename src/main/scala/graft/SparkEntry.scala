@@ -244,6 +244,18 @@ object SparkEntry {
         .select(col("symbol"), col("event_id"), col("prob"), col("side"), col("bet_z"), col("bet_size"))
         .orderBy(col("event_id"))
     },
+    "feature_ic" -> { (s, dir) =>
+      // Spearman IC of 10-tick momentum against the 10-tick forward
+      // return, per symbol (rank tie-break by unique trade_id)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol"))
+        .orderBy(col("ts"), col("trade_id"))
+      val feat = TradeData
+        .fromEvents(s, dir)
+        .withColumn("mom", col("price") / lag(col("price"), 10).over(w) - 1)
+        .withColumn("fwd", lead(col("price"), 10).over(w) / col("price") - 1)
+      operators.FeatureIc.spearmanIc(feat, "mom", "fwd").orderBy(col("symbol"))
+    },
     "avg_active_bets" -> { (s, dir) =>
       // ch.10.3 averaging over 4h bet intervals (pooled across
       // symbols); same md5 prob/side stand-ins as bet_size
@@ -2445,6 +2457,32 @@ object SparkEntry {
          |       round(mv / 0.1) * 0.1 AS bet_size
          |FROM m
          |ORDER BY event_id""".stripMargin,
+    // Spearman IC: tie-broken integer ranks are permutations, so the
+    // closed form 1 - 6*sum(d^2)/(n(n^2-1)) is exact; one FP division
+    "feature_ic" ->
+      s"""WITH $T,
+         |f AS (
+         |  SELECT symbol, trade_id,
+         |         price / lag(price, 10) OVER w - 1 AS mom,
+         |         lead(price, 10) OVER w / price - 1 AS fwd
+         |  FROM trades
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, trade_id)),
+         |b AS (SELECT * FROM f WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+         |r AS (
+         |  SELECT symbol,
+         |         CAST(row_number() OVER (PARTITION BY symbol ORDER BY mom, trade_id) AS BIGINT) AS rf,
+         |         CAST(row_number() OVER (PARTITION BY symbol ORDER BY fwd, trade_id) AS BIGINT) AS rt
+         |  FROM b),
+         |m AS (
+         |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum((rf - rt) * (rf - rt)) AS BIGINT) AS sd2
+         |  FROM r GROUP BY symbol)
+         |SELECT symbol, n,
+         |       CASE WHEN n > 1
+         |            THEN 1.0 - CAST(6 * sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
+         |       END AS ic
+         |FROM m
+         |ORDER BY symbol""".stripMargin,
     // Average active bet: plain interval self-join replays the
     // bucketed RangeJoin; the double average folds in contributor-id
     // order exactly like the engine's sorted-array aggregate

@@ -432,6 +432,22 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(erfs._3 == -erfs._2)
   }
 
+  test("spearman IC: +1 on monotone, -1 on reversed, exact hand value on a swap") {
+    import graft.operators.FeatureIc
+    def df(pairs: (Double, Double)*) = pairs.zipWithIndex
+      .map { case ((f, t), i) => ("X", f, t, i.toLong) }
+      .toDF("symbol", "f", "t", "trade_id")
+    def ic(d: org.apache.spark.sql.DataFrame) =
+      FeatureIc.spearmanIc(d, "f", "t").select("ic").as[Double].head()
+    assert(ic(df((1.0, 10.0), (2.0, 20.0), (3.0, 30.0), (4.0, 40.0))) == 1.0)
+    assert(ic(df((1.0, 40.0), (2.0, 30.0), (3.0, 20.0), (4.0, 10.0))) == -1.0)
+    // one adjacent swap in n=4: sum d^2 = 2 -> 1 - 12/60 = 0.8
+    assert(ic(df((1.0, 20.0), (2.0, 10.0), (3.0, 30.0), (4.0, 40.0))) == 0.8)
+    // n = 1: undefined
+    val one = FeatureIc.spearmanIc(df((1.0, 1.0)), "f", "t").collect().head
+    assert(one.isNullAt(one.fieldIndex("ic")))
+  }
+
   test("avg active bets: concurrent intervals average, disjoint stand alone") {
     import graft.operators.BetSizing
     def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
