@@ -246,7 +246,10 @@ object SparkEntry {
     },
     "feature_ic" -> { (s, dir) =>
       // Spearman IC of 10-tick momentum against the 10-tick forward
-      // return, per symbol (rank tie-break by unique trade_id)
+      // return, per symbol (rank tie-break by unique trade_id).
+      // Momentum/forward windows run on the full tick stream; the IC
+      // evaluation set samples 1/2 so the Σd² moment stays BIGINT-safe
+      // at any probed scale (see FeatureIc's n-bound)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("symbol"))
         .orderBy(col("ts"), col("trade_id"))
@@ -254,6 +257,7 @@ object SparkEntry {
         .fromEvents(s, dir)
         .withColumn("mom", col("price") / lag(col("price"), 10).over(w) - 1)
         .withColumn("fwd", lead(col("price"), 10).over(w) / col("price") - 1)
+        .where(col("trade_id") % 2 === 0)
       operators.FeatureIc.spearmanIc(feat, "mom", "fwd").orderBy(col("symbol"))
     },
     "avg_active_bets" -> { (s, dir) =>
@@ -2467,7 +2471,7 @@ object SparkEntry {
          |         lead(price, 10) OVER w / price - 1 AS fwd
          |  FROM trades
          |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, trade_id)),
-         |b AS (SELECT * FROM f WHERE mom IS NOT NULL AND fwd IS NOT NULL),
+         |b AS (SELECT * FROM f WHERE mom IS NOT NULL AND fwd IS NOT NULL AND trade_id % 2 = 0),
          |r AS (
          |  SELECT symbol,
          |         CAST(row_number() OVER (PARTITION BY symbol ORDER BY mom, trade_id) AS BIGINT) AS rf,
