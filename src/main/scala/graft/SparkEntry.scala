@@ -244,6 +244,12 @@ object SparkEntry {
         .select(col("symbol"), col("event_id"), col("prob"), col("side"), col("bet_z"), col("bet_size"))
         .orderBy(col("event_id"))
     },
+    "backtest_psr" -> { (s, dir) =>
+      operators.BacktestStats
+        .psr(TradeData.fromEvents(s, dir))
+        .withColumn("n_days", col("n_days").cast("long"))
+        .orderBy(col("symbol"))
+    },
     "feature_ic" -> { (s, dir) =>
       // Spearman IC of 10-tick momentum against the 10-tick forward
       // return, per symbol (rank tie-break by unique trade_id).
@@ -2461,6 +2467,57 @@ object SparkEntry {
          |       round(mv / 0.1) * 0.1 AS bet_size
          |FROM m
          |ORDER BY event_id""".stripMargin,
+    // PSR: daily closes in exact cents, moment folds in date order
+    // (left fold == engine's sorted-array aggregate), then the AFML
+    // 14.4 statistic + the shared A&S erf chain, all op-for-op
+    "backtest_psr" ->
+      s"""WITH $T,
+         |d1 AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts DESC, trade_id DESC) AS rnd
+         |  FROM trades),
+         |cl AS (
+         |  SELECT symbol, date, CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc
+         |  FROM d1 GROUP BY symbol, date),
+         |rr AS (
+         |  SELECT symbol, date,
+         |         CAST(close_pc AS DOUBLE) / CAST(lag(close_pc) OVER (PARTITION BY symbol ORDER BY date) AS DOUBLE) - 1 AS r
+         |  FROM cl),
+         |rv AS (SELECT * FROM rr WHERE r IS NOT NULL),
+         |ag AS (
+         |  SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r), (x, y) -> x + y) AS s1,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r * q.r), (x, y) -> x + y) AS s2,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r * q.r * q.r), (x, y) -> x + y) AS s3,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r * q.r * q.r * q.r), (x, y) -> x + y) AS s4
+         |  FROM rv GROUP BY symbol),
+         |t1 AS (SELECT *, CAST(n_days AS DOUBLE) AS n, s1 / CAST(n_days AS DOUBLE) AS m FROM ag),
+         |t2 AS (
+         |  SELECT *,
+         |         s2 / n - m * m AS c2,
+         |         s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS c3,
+         |         s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m AS c4
+         |  FROM t1),
+         |t3 AS (SELECT *, sqrt(c2 * n / (n - 1.0)) AS sd FROM t2),
+         |t4 AS (SELECT *, m / sd AS sr, c3 / (c2 * sqrt(c2)) AS skw, c4 / (c2 * c2) AS krt FROM t3),
+         |t5 AS (SELECT *, 1.0 - skw * sr + (krt - 1.0) / 4.0 * sr * sr AS den FROM t4),
+         |t6 AS (SELECT *, (sr - 0.0) * sqrt(n - 1.0) / sqrt(den) AS z FROM t5),
+         |t7 AS (SELECT *, z / sqrt(2.0) AS x FROM t6),
+         |t8 AS (SELECT *, sign(x) AS sg, abs(x) AS a FROM t7),
+         |t9 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * a) AS t FROM t8),
+         |ta AS (
+         |  SELECT *,
+         |         t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) AS poly
+         |  FROM t9),
+         |tb AS (SELECT *, sg * (1.0 - poly * exp(-(a * a))) AS erfv FROM ta)
+         |SELECT symbol, n_days,
+         |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 THEN sr END AS sharpe,
+         |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 THEN skw END AS skew,
+         |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 THEN krt END AS kurt,
+         |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 THEN 0.5 * (1.0 + erfv) END AS psr
+         |FROM tb
+         |ORDER BY symbol""".stripMargin,
     // Spearman IC: tie-broken integer ranks are permutations, so the
     // closed form 1 - 6*sum(d^2)/(n(n^2-1)) is exact; one FP division
     "feature_ic" ->

@@ -432,6 +432,49 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(erfs._3 == -erfs._2)
   }
 
+  test("backtest PSR: bit-exact vs a first-principles reference; degenerate nulls") {
+    import graft.operators.BacktestStats
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * (1 + day) + 3600000L)
+    // one close per day: 100, 102, 101, 104, 103 -> 4 returns
+    val closes = Seq(100.0, 102.0, 101.0, 104.0, 103.0)
+    val t = closes.zipWithIndex
+      .map { case (p, d) => ("S", ts(d), p, 1L, d.toLong) }
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val row = BacktestStats.psr(t).collect().head
+    // reference: identical FP sequence (StrictMath.exp like Catalyst)
+    val cents = closes.map(p => math.round(p * 100))
+    val rs = cents.sliding(2).map { case Seq(a, b) => b.toDouble / a.toDouble - 1 }.toSeq
+    val n = rs.size.toDouble
+    val s1 = rs.foldLeft(0.0)(_ + _)
+    val s2 = rs.foldLeft(0.0)((a, r) => a + r * r)
+    val s3 = rs.foldLeft(0.0)((a, r) => a + r * r * r)
+    val s4 = rs.foldLeft(0.0)((a, r) => a + r * r * r * r)
+    val m = s1 / n
+    val c2 = s2 / n - m * m
+    val c3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+    val c4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+    val sd = math.sqrt(c2 * n / (n - 1.0))
+    val sr = m / sd
+    val skew = c3 / (c2 * math.sqrt(c2))
+    val kurt = c4 / (c2 * c2)
+    val den = 1.0 - skew * sr + (kurt - 1.0) / 4.0 * sr * sr
+    val z = (sr - 0.0) * math.sqrt(n - 1.0) / math.sqrt(den)
+    val x = z / math.sqrt(2.0)
+    val sg = math.signum(x); val a = math.abs(x)
+    val tt = 1.0 / (1.0 + 0.3275911 * a)
+    val poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    val erf = sg * (1.0 - poly * StrictMath.exp(-(a * a)))
+    val psr = 0.5 * (1.0 + erf)
+    assert(row.getAs[Long]("n_days") == 4L)
+    assert(java.lang.Double.doubleToLongBits(row.getAs[Double]("sharpe")) == java.lang.Double.doubleToLongBits(sr))
+    assert(java.lang.Double.doubleToLongBits(row.getAs[Double]("psr")) == java.lang.Double.doubleToLongBits(psr))
+    // constant closes: zero variance -> null stats
+    val flat = (0 until 5).map(d => ("F", ts(d), 50.0, 1L, d.toLong))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val f = BacktestStats.psr(flat).collect().head
+    assert(f.isNullAt(f.fieldIndex("psr")) && f.isNullAt(f.fieldIndex("sharpe")))
+  }
+
   test("spearman IC: +1 on monotone, -1 on reversed, exact hand value on a swap") {
     import graft.operators.FeatureIc
     def df(pairs: (Double, Double)*) = pairs.zipWithIndex
