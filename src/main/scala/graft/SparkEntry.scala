@@ -250,6 +250,11 @@ object SparkEntry {
         .withColumn("n_days", col("n_days").cast("long"))
         .orderBy(col("symbol"))
     },
+    "max_drawdown" -> { (s, dir) =>
+      operators.BacktestStats
+        .maxDrawdown(TradeData.fromEvents(s, dir))
+        .orderBy(col("symbol"))
+    },
     "feature_ic" -> { (s, dir) =>
       // Spearman IC of 10-tick momentum against the 10-tick forward
       // return, per symbol (rank tie-break by unique trade_id).
@@ -2517,6 +2522,27 @@ object SparkEntry {
          |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 THEN krt END AS kurt,
          |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 THEN 0.5 * (1.0 + erfv) END AS psr
          |FROM tb
+         |ORDER BY symbol""".stripMargin,
+    // Max drawdown: integer-cents daily closes + running max; the
+    // per-day ratio is the only FP step and max is order-independent
+    "max_drawdown" ->
+      s"""WITH $T,
+         |d1 AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts DESC, trade_id DESC) AS rnd
+         |  FROM trades),
+         |cl AS (
+         |  SELECT symbol, date, CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc
+         |  FROM d1 GROUP BY symbol, date),
+         |pk AS (
+         |  SELECT symbol, date, close_pc,
+         |         CAST(max(close_pc) OVER (PARTITION BY symbol ORDER BY date ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+         |  FROM cl)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+         |       max(CAST(peak - close_pc AS DOUBLE) / CAST(peak AS DOUBLE)) AS max_drawdown
+         |FROM pk
+         |GROUP BY symbol
          |ORDER BY symbol""".stripMargin,
     // Spearman IC: tie-broken integer ranks are permutations, so the
     // closed form 1 - 6*sum(d^2)/(n(n^2-1)) is exact; one FP division

@@ -27,16 +27,31 @@ import graft.api.TradingCols
   */
 object BacktestStats {
 
-  /** Output: symbol, n_days, sharpe (per-day, unannualized), skew,
-    * kurt (non-excess), psr. Null stats when fewer than 3 returns or
-    * a degenerate (zero-variance) series.
+  /** Maximum drawdown per symbol over daily closes: the deepest
+    * peak-to-trough loss (runmax − close)/runmax. Exact-cents daily
+    * closes and a running-max window keep every per-day drawdown a
+    * ratio of integers; the max over days is order-independent, so
+    * no fold discipline is needed. Output: symbol, n_days,
+    * max_drawdown (0.0 for a monotone series).
     */
-  def psr(
-      df: DataFrame,
-      srBenchmark: Double = 0.0,
-      c: TradingCols = TradingCols.default,
-  ): DataFrame = {
-    val daily = df.na
+  def maxDrawdown(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val daily = dailyCloses(df, c)
+    val wD = Window
+      .partitionBy(col("symbol"))
+      .orderBy(col("date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__peak", max(col("close_pc")).over(wD))
+      .withColumn(
+        "__dd",
+        (col("__peak") - col("close_pc")).cast("double") / col("__peak").cast("double"),
+      )
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"), max(col("__dd")).as("max_drawdown"))
+  }
+
+  private def dailyCloses(df: DataFrame, c: TradingCols): DataFrame =
+    df.na
       .drop(Seq(c.price))
       .select(
         col(c.symbol).cast("string").as("symbol"),
@@ -47,6 +62,17 @@ object BacktestStats {
       )
       .groupBy(col("symbol"), col("date"))
       .agg(max_by(col("pc"), struct(col("ts"), col("trade_id"))).as("close_pc"))
+
+  /** Output: symbol, n_days, sharpe (per-day, unannualized), skew,
+    * kurt (non-excess), psr. Null stats when fewer than 3 returns or
+    * a degenerate (zero-variance) series.
+    */
+  def psr(
+      df: DataFrame,
+      srBenchmark: Double = 0.0,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val daily = dailyCloses(df, c)
     val wD = Window.partitionBy(col("symbol")).orderBy(col("date"))
     val rets = daily
       .withColumn("__prev", lag(col("close_pc"), 1).over(wD))

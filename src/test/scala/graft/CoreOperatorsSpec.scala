@@ -475,6 +475,22 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("psr")) && f.isNullAt(f.fieldIndex("sharpe")))
   }
 
+  test("max drawdown: hand-computed peak-to-trough; zero on monotone rise") {
+    import graft.operators.BacktestStats
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * (1 + day) + 3600000L)
+    // closes 100, 120, 90, 110: deepest = (120-90)/120 = 0.25
+    val t = Seq(100.0, 120.0, 90.0, 110.0).zipWithIndex
+      .map { case (p, d) => ("S", ts(d), p, 1L, d.toLong) }
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val r = BacktestStats.maxDrawdown(t).collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Double]("max_drawdown") == 3000.0 / 12000.0)
+    val up = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (p, d) => ("U", ts(d), p, 1L, d.toLong) }
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    assert(BacktestStats.maxDrawdown(up).collect().head.getAs[Double]("max_drawdown") == 0.0)
+  }
+
   test("spearman IC: +1 on monotone, -1 on reversed, exact hand value on a swap") {
     import graft.operators.FeatureIc
     def df(pairs: (Double, Double)*) = pairs.zipWithIndex
