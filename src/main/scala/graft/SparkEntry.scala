@@ -255,6 +255,13 @@ object SparkEntry {
         .maxDrawdown(TradeData.fromEvents(s, dir))
         .orderBy(col("symbol"))
     },
+    "backtest_dsr" -> { (s, dir) =>
+      // deflated SR: the symbols are the trial set
+      operators.BacktestStats
+        .dsr(TradeData.fromEvents(s, dir))
+        .withColumn("n_days", col("n_days").cast("long"))
+        .orderBy(col("symbol"))
+    },
     "feature_ic" -> { (s, dir) =>
       // Spearman IC of 10-tick momentum against the 10-tick forward
       // return, per symbol (rank tie-break by unique trade_id).
@@ -2523,6 +2530,96 @@ object SparkEntry {
          |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 THEN 0.5 * (1.0 + erfv) END AS psr
          |FROM tb
          |ORDER BY symbol""".stripMargin,
+    // Deflated SR: per-symbol moment CTEs as in backtest_psr, then
+    // the symbol-ordered trial folds, Acklam probit (identical Horner
+    // chains/branches), SR*, and the shared erf chain on sr - sr_star
+    "backtest_dsr" -> {
+      def probit(p: String): String = {
+        val qlo = s"sqrt(-2.0 * ln($p))"
+        val qhi = s"sqrt(-2.0 * ln(1.0 - $p))"
+        def tailNum(q: String) =
+          s"((((((-7.784894002430293e-03) * $q + (-3.223964580411365e-01)) * $q + (-2.400758277161838e+00)) * $q + (-2.549732539343734e+00)) * $q + 4.374664141464968e+00) * $q + 2.938163982698783e+00)"
+        def tailDen(q: String) =
+          s"(((((7.784695709041462e-03) * $q + 3.224671290700398e-01) * $q + 2.445134137142996e+00) * $q + 3.754408661907416e+00) * $q + 1.0)"
+        val qc = s"($p - 0.5)"
+        val rc = s"($qc * $qc)"
+        val cNum =
+          s"((((((-3.969683028665376e+01) * $rc + 2.209460984245205e+02) * $rc + (-2.759285104469687e+02)) * $rc + 1.383577518672690e+02) * $rc + (-3.066479806614716e+01)) * $rc + 2.506628277459239e+00) * $qc"
+        val cDen =
+          s"(((((-5.447609879822406e+01) * $rc + 1.615858368580409e+02) * $rc + (-1.556989798598866e+02)) * $rc + 6.680131188771972e+01) * $rc + (-1.328068155288572e+01)) * $rc + 1.0"
+        s"""CASE WHEN $p < 0.02425 THEN ${tailNum(qlo)} / ${tailDen(qlo)}
+           |     WHEN $p <= 0.97575 THEN ($cNum) / ($cDen)
+           |     ELSE -${tailNum(qhi)} / ${tailDen(qhi)} END""".stripMargin
+      }
+      s"""WITH $T,
+         |d1 AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts DESC, trade_id DESC) AS rnd
+         |  FROM trades),
+         |cl AS (
+         |  SELECT symbol, date, CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc
+         |  FROM d1 GROUP BY symbol, date),
+         |rr AS (
+         |  SELECT symbol, date,
+         |         CAST(close_pc AS DOUBLE) / CAST(lag(close_pc) OVER (PARTITION BY symbol ORDER BY date) AS DOUBLE) - 1 AS r
+         |  FROM cl),
+         |rv AS (SELECT * FROM rr WHERE r IS NOT NULL),
+         |ag AS (
+         |  SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r), (x, y) -> x + y) AS s1,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r * q.r), (x, y) -> x + y) AS s2,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r * q.r * q.r), (x, y) -> x + y) AS s3,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(d := date, r := r))), q -> q.r * q.r * q.r * q.r), (x, y) -> x + y) AS s4
+         |  FROM rv GROUP BY symbol),
+         |t1 AS (SELECT *, CAST(n_days AS DOUBLE) AS n, s1 / CAST(n_days AS DOUBLE) AS m FROM ag),
+         |t2 AS (
+         |  SELECT *,
+         |         s2 / n - m * m AS c2,
+         |         s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m AS c3,
+         |         s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m AS c4
+         |  FROM t1),
+         |t3 AS (SELECT *, CASE WHEN c2 > 0.0 THEN sqrt(c2 * n / (n - 1.0)) END AS sd FROM t2),
+         |t4 AS (
+         |  SELECT *, m / sd AS sr,
+         |         CASE WHEN c2 > 0.0 THEN c3 / (c2 * sqrt(c2)) END AS skw,
+         |         CASE WHEN c2 > 0.0 THEN c4 / (c2 * c2) END AS krt
+         |  FROM t3),
+         |tr AS (SELECT symbol, sr FROM t4 WHERE sr IS NOT NULL),
+         |gv AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS mm,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(s := symbol, x := sr))), q -> q.x), (x, y) -> x + y) AS ts1,
+         |         list_reduce(list_transform(list_sort(list(struct_pack(s := symbol, x := sr))), q -> q.x * q.x), (x, y) -> x + y) AS ts2
+         |  FROM tr),
+         |gv2 AS (SELECT *, (ts2 - ts1 * (ts1 / mm)) / (mm - 1.0) AS vsr FROM gv),
+         |gp AS (SELECT *, 1.0 - 1.0 / mm AS p1, 1.0 - 1.0 / (mm * 2.718281828459045) AS p2 FROM gv2),
+         |gs AS (
+         |  SELECT mm, vsr,
+         |         CASE WHEN mm >= 2 AND vsr > 0.0
+         |              THEN sqrt(vsr) * ((1.0 - 0.5772156649015329) * (${probit("p1")})
+         |                                + 0.5772156649015329 * (${probit("p2")}))
+         |         END AS sr_star
+         |  FROM gp),
+         |w1 AS (SELECT t4.*, gs.sr_star FROM t4 CROSS JOIN gs),
+         |w2 AS (
+         |  SELECT *, 1.0 - skw * sr + (krt - 1.0) / 4.0 * sr * sr AS den
+         |  FROM w1),
+         |w3 AS (SELECT *, (sr - sr_star) * sqrt(n - 1.0) / sqrt(den) AS z FROM w2),
+         |w4 AS (SELECT *, z / sqrt(2.0) AS x FROM w3),
+         |w5 AS (SELECT *, sign(x) AS sg, abs(x) AS a FROM w4),
+         |w6 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * a) AS t FROM w5),
+         |w7 AS (
+         |  SELECT *,
+         |         t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) AS poly
+         |  FROM w6),
+         |w8 AS (SELECT *, sg * (1.0 - poly * exp(-(a * a))) AS erfv FROM w7)
+         |SELECT symbol, n_days,
+         |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 AND sr_star IS NOT NULL THEN sr END AS sharpe,
+         |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 AND sr_star IS NOT NULL THEN sr_star END AS sr_star,
+         |       CASE WHEN n_days >= 3 AND c2 > 0.0 AND den > 0.0 AND sr_star IS NOT NULL THEN 0.5 * (1.0 + erfv) END AS dsr
+         |FROM w8
+         |ORDER BY symbol""".stripMargin
+    },
     // Max drawdown: integer-cents daily closes + running max; the
     // per-day ratio is the only FP step and max is order-independent
     "max_drawdown" ->

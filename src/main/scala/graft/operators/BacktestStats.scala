@@ -63,15 +63,10 @@ object BacktestStats {
       .groupBy(col("symbol"), col("date"))
       .agg(max_by(col("pc"), struct(col("ts"), col("trade_id"))).as("close_pc"))
 
-  /** Output: symbol, n_days, sharpe (per-day, unannualized), skew,
-    * kurt (non-excess), psr. Null stats when fewer than 3 returns or
-    * a degenerate (zero-variance) series.
+  /** Per-symbol date-ordered moment sums of daily returns:
+    * symbol, n_days, __s1..__s4 (shared by [[psr]] and [[dsr]]).
     */
-  def psr(
-      df: DataFrame,
-      srBenchmark: Double = 0.0,
-      c: TradingCols = TradingCols.default,
-  ): DataFrame = {
+  private def momentStats(df: DataFrame, c: TradingCols): DataFrame = {
     val daily = dailyCloses(df, c)
     val wD = Window.partitionBy(col("symbol")).orderBy(col("date"))
     val rets = daily
@@ -83,7 +78,7 @@ object BacktestStats {
       .agg(sort_array(collect_list(struct(col("date").as("d"), col("__r").as("r")))).as("__a"))
     def fold(power: Column => Column): Column =
       aggregate(col("__a"), lit(0.0), (acc, x) => acc + power(x("r")))
-    val stats = arr.select(
+    arr.select(
       col("symbol"),
       size(col("__a")).cast("long").as("n_days"),
       fold(r => r).as("__s1"),
@@ -91,6 +86,18 @@ object BacktestStats {
       fold(r => r * r * r).as("__s3"),
       fold(r => r * r * r * r).as("__s4"),
     )
+  }
+
+  /** Output: symbol, n_days, sharpe (per-day, unannualized), skew,
+    * kurt (non-excess), psr. Null stats when fewer than 3 returns or
+    * a degenerate (zero-variance) series.
+    */
+  def psr(
+      df: DataFrame,
+      srBenchmark: Double = 0.0,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    val stats = momentStats(df, c)
     val n = col("n_days").cast("double")
     val m = col("__s1") / n
     val c2 = col("__s2") / n - m * m
@@ -115,6 +122,112 @@ object BacktestStats {
       when(ok, kurt).as("kurt"),
       when(ok, lit(0.5) * (lit(1.0) + BetSizing.erfApprox(z / lit(math.sqrt(2.0)))))
         .as("psr"),
+    )
+  }
+
+  /** Acklam's inverse normal CDF approximation (|ε_rel| < 1.15e−9;
+    * the standard published rational-polynomial probit) as a Column
+    * tree — three branches on p, each a fixed Horner chain, so both
+    * engines take identical branch decisions and identical FP paths.
+    */
+  def probitApprox(p: Column): Column = {
+    val (a1, a2, a3, a4, a5, a6) = (-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02, -3.066479806614716e+01,
+      2.506628277459239e+00)
+    val (b1, b2, b3, b4, b5) = (-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val (c1, c2, c3, c4, c5, c6) = (-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00, 4.374664141464968e+00,
+      2.938163982698783e+00)
+    val (d1, d2, d3, d4) = (7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pLow = 0.02425
+    def tailNum(q: Column): Column =
+      (((((lit(c1) * q + lit(c2)) * q + lit(c3)) * q + lit(c4)) * q + lit(c5)) * q + lit(c6))
+    def tailDen(q: Column): Column =
+      ((((lit(d1) * q + lit(d2)) * q + lit(d3)) * q + lit(d4)) * q + lit(1.0))
+    val qLo = sqrt(lit(-2.0) * log(p))
+    val qHi = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val qC = p - lit(0.5)
+    val rC = qC * qC
+    val centerNum =
+      (((((lit(a1) * rC + lit(a2)) * rC + lit(a3)) * rC + lit(a4)) * rC + lit(a5)) * rC + lit(a6)) * qC
+    val centerDen =
+      ((((lit(b1) * rC + lit(b2)) * rC + lit(b3)) * rC + lit(b4)) * rC + lit(b5)) * rC + lit(1.0)
+    when(p < lit(pLow), tailNum(qLo) / tailDen(qLo))
+      .when(p <= lit(1.0 - pLow), centerNum / centerDen)
+      .otherwise(-tailNum(qHi) / tailDen(qHi))
+  }
+
+  /** Deflated Sharpe ratio (Bailey & López de Prado 2014; AFML
+    * ch.14): [[psr]] evaluated against the expected maximum SR of N
+    * unskilled trials,
+    *
+    *   SR* = √V[SR] · ((1−γ)·Φ⁻¹(1−1/N) + γ·Φ⁻¹(1−1/(N·e))),
+    *
+    * with γ Euler-Mascheroni and V[SR] the cross-trial variance of
+    * the candidate Sharpe ratios — here the symbols are the trial
+    * set. Cross-trial moments fold in symbol order (bounded by the
+    * number of symbols); Φ⁻¹ via [[probitApprox]], Φ via the shared
+    * erf tree. Output per symbol: symbol, n_days, sharpe, sr_star
+    * (same for every row), dsr. Null when the per-symbol stats are
+    * degenerate or fewer than 2 trials survive.
+    */
+  def dsr(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val gamma = 0.5772156649015329
+    val e = 2.718281828459045
+    val stats = momentStats(df, c)
+    val n = col("n_days").cast("double")
+    val m = col("__s1") / n
+    val c2 = col("__s2") / n - m * m
+    val c3 = col("__s3") / n - lit(3.0) * m * (col("__s2") / n) + lit(2.0) * m * m * m
+    val c4 = col("__s4") / n - lit(4.0) * m * (col("__s3") / n) +
+      lit(6.0) * m * m * (col("__s2") / n) - lit(3.0) * m * m * m * m
+    val sd = when(c2 > 0.0, sqrt(c2 * n / (n - lit(1.0))))
+    val sr = m / sd
+    val skew = when(c2 > 0.0, c3 / (c2 * sqrt(c2)))
+    val kurt = when(c2 > 0.0, c4 / (c2 * c2))
+    val perSym = stats.select(
+      col("symbol"), col("n_days"),
+      sr.as("__sr"), skew.as("__g3"), kurt.as("__g4"), c2.as("__c2"),
+    )
+    // cross-trial variance of SR, folded in symbol order
+    val trials = perSym.where(col("__sr").isNotNull)
+    val g = trials
+      .agg(sort_array(collect_list(struct(col("symbol").as("s"), col("__sr").as("x")))).as("__t"))
+      .select(
+        size(col("__t")).cast("double").as("__M"),
+        aggregate(col("__t"), lit(0.0), (a, x) => a + x("x")).as("__ts1"),
+        aggregate(col("__t"), lit(0.0), (a, x) => a + x("x") * x("x")).as("__ts2"),
+      )
+      .select(
+        col("__M"),
+        ((col("__ts2") - col("__ts1") * (col("__ts1") / col("__M"))) / (col("__M") - lit(1.0)))
+          .as("__vsr"),
+      )
+      .select(
+        col("__M"), {
+          val z1 = probitApprox(lit(1.0) - lit(1.0) / col("__M"))
+          val z2 = probitApprox(lit(1.0) - lit(1.0) / (col("__M") * lit(e)))
+          when(
+            col("__M") >= 2 && col("__vsr") > 0.0,
+            sqrt(col("__vsr")) * ((lit(1.0) - lit(gamma)) * z1 + lit(gamma) * z2),
+          ).as("sr_star")
+        },
+      )
+    val withStar = perSym.crossJoin(broadcast(g))
+    val nd = col("n_days").cast("double")
+    val den = lit(1.0) - col("__g3") * col("__sr") +
+      (col("__g4") - lit(1.0)) / lit(4.0) * col("__sr") * col("__sr")
+    val z = (col("__sr") - col("sr_star")) * sqrt(nd - lit(1.0)) / sqrt(den)
+    val ok = col("n_days") >= 3 && col("__c2") > 0.0 && den > 0.0 && col("sr_star").isNotNull
+    withStar.select(
+      col("symbol"),
+      col("n_days"),
+      when(ok, col("__sr")).as("sharpe"),
+      when(ok, col("sr_star")).as("sr_star"),
+      when(ok, lit(0.5) * (lit(1.0) + BetSizing.erfApprox(z / lit(math.sqrt(2.0)))))
+        .as("dsr"),
     )
   }
 }

@@ -475,6 +475,33 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("psr")) && f.isNullAt(f.fieldIndex("sharpe")))
   }
 
+  test("deflated SR: probit sanity, deflation below PSR on real trials") {
+    import graft.operators.BacktestStats
+    val p = spark.range(1).select(
+      BacktestStats.probitApprox(lit(0.5)),
+      BacktestStats.probitApprox(lit(0.975)),
+      BacktestStats.probitApprox(lit(0.025)),
+      BacktestStats.probitApprox(lit(0.001)),
+    ).as[(Double, Double, Double, Double)].head()
+    assert(p._1 == 0.0)
+    assert(math.abs(p._2 - 1.9599639845400545) < 1e-8)
+    assert(math.abs(p._3 + 1.9599639845400545) < 1e-8)
+    assert(math.abs(p._4 + 3.090232306167814) < 1e-7) // lower tail branch
+    // real trades: every symbol's DSR must sit at or below its PSR
+    // (a positive SR* can only deflate the probability)
+    val trades = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val psr = BacktestStats.psr(trades).select(col("symbol"), col("psr"))
+    val dsr = BacktestStats.dsr(trades).select(col("symbol"), col("dsr"), col("sr_star"))
+    val j = psr.join(dsr, "symbol").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      if (!r.isNullAt(1) && !r.isNullAt(2)) {
+        assert(r.getDouble(3) > 0.0) // sr_star positive on this trial set
+        assert(r.getDouble(2) <= r.getDouble(1))
+      }
+    }
+  }
+
   test("max drawdown: hand-computed peak-to-trough; zero on monotone rise") {
     import graft.operators.BacktestStats
     def ts(day: Int) = new java.sql.Timestamp(86400000L * (1 + day) + 3600000L)
