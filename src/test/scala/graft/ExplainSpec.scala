@@ -439,6 +439,23 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("backtest stats aggregate daily closes; trial stats ride a broadcast") {
+    // daily closes: one (symbol, date) agg with a map-side partial
+    for (q <- Seq("backtest_psr", "max_drawdown")) {
+      val p = plan(q)
+      assert(p.contains("partial_") || p.contains("HashAggregate"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), p)
+    }
+    // DSR: the one-row trial table must broadcast, never shuffle-join
+    val p = plan("backtest_dsr")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // feature_ic: rank windows + one aggregation, no joins
+    val pi = plan("feature_ic")
+    assert(!pi.contains("Join"), pi)
+    assert(pi.contains("Window") && (pi.contains("partial_") || pi.contains("HashAggregate")), pi)
+  }
+
   test("weight chunked-fold scan: two exchanges, zero joins") {
     import org.apache.spark.sql.functions._
     val t = TradeData.fromEvents(spark, dir)
