@@ -383,6 +383,28 @@ class PropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(f.nonEmpty && f.forall(r => r._1 == 5 && r._2 == 0.0))
   }
 
+  test("probit and erf round-trip: Phi(probit(p)) recovers p across the unit interval") {
+    import graft.operators.{BacktestStats, BetSizing}
+    import org.apache.spark.sql.functions._
+    // Acklam probit |eps| < 1.15e-9 relative; A&S erf |eps| <= 1.5e-7
+    // absolute -> the round trip must land within ~2e-7 of p on the
+    // central region and stay monotone in the tails
+    val ps = (1 to 999).map(_ / 1000.0)
+    val df = ps.toDF("p")
+      .withColumn("z", BacktestStats.probitApprox(col("p")))
+      .withColumn(
+        "back",
+        lit(0.5) * (lit(1.0) + BetSizing.erfApprox(col("z") / lit(math.sqrt(2.0)))),
+      )
+      .orderBy("p")
+      .select("p", "z", "back")
+      .as[(Double, Double, Double)]
+      .collect()
+    df.foreach { case (p, _, back) => assert(math.abs(back - p) < 2e-7, s"p=$p back=$back") }
+    // strict monotonicity of the probit across all three branches
+    df.sliding(2).foreach { case Array(a, b) => assert(a._2 < b._2, s"${a._1} -> ${b._1}") }
+  }
+
   test("ffd min-d grid: sane shape and stationarity at d=1") {
     val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val out = operators.FfdSearch.adfGrid(t)
