@@ -266,8 +266,11 @@ object SparkEntry {
       // Spearman IC of 10-tick momentum against the 10-tick forward
       // return, per symbol (rank tie-break by unique trade_id).
       // Momentum/forward windows run on the full tick stream; the IC
-      // evaluation set samples 1/2 so the Σd² moment stays BIGINT-safe
-      // at any probed scale (see FeatureIc's n-bound)
+      // evaluation set samples 1/2, which keeps the Σd² moment
+      // BIGINT-safe up to ~3e6 sampled rows per symbol (n³ < 2⁶³;
+      // sf0.1 is ~30k/symbol). Past that bound, hash-sample to a
+      // fixed per-symbol count instead of a constant fraction —
+      // see FeatureIc's n-bound note.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("symbol"))
         .orderBy(col("ts"), col("trade_id"))
@@ -277,6 +280,21 @@ object SparkEntry {
         .withColumn("fwd", lead(col("price"), 10).over(w) / col("price") - 1)
         .where(col("trade_id") % 2 === 0)
       operators.FeatureIc.spearmanIc(feat, "mom", "fwd").orderBy(col("symbol"))
+    },
+    "feature_ic_avgrank" -> { (s, dir) =>
+      // average-rank Spearman on DISCRETIZED (tie-heavy) signals —
+      // the textbook-rho variant; momentum/forward returns bucketed
+      // to integer grid cells so tie groups are large and the
+      // average-rank path is actually exercised
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol"))
+        .orderBy(col("ts"), col("trade_id"))
+      val feat = TradeData
+        .fromEvents(s, dir)
+        .withColumn("mom_b", floor((col("price") / lag(col("price"), 10).over(w) - 1) * 2000.0))
+        .withColumn("fwd_b", floor((lead(col("price"), 10).over(w) / col("price") - 1) * 2000.0))
+        .where(col("trade_id") % 2 === 0)
+      operators.FeatureIc.spearmanIcAvgRank(feat, "mom_b", "fwd_b").orderBy(col("symbol"))
     },
     "avg_active_bets" -> { (s, dir) =>
       // ch.10.3 averaging over 4h bet intervals (pooled across
@@ -2476,7 +2494,7 @@ object SparkEntry {
          |  FROM e2),
          |m AS (SELECT *, side * (sg * (1.0 - poly * exp(-(a * a)))) AS mv FROM e3)
          |SELECT symbol, event_id, prob, side, bet_z,
-         |       round(mv / 0.1) * 0.1 AS bet_size
+         |       round(mv / 0.1) * 0.1 + 0.0 AS bet_size
          |FROM m
          |ORDER BY event_id""".stripMargin,
     // PSR: daily closes in exact cents, moment folds in date order
@@ -2666,6 +2684,41 @@ object SparkEntry {
          |            THEN 1.0 - CAST(6 * sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
          |       END AS ic
          |FROM m
+         |ORDER BY symbol""".stripMargin,
+    // Average-rank Spearman: doubled ranks r2 = 2·rank + ties − 1
+    // stay exact BIGINTs; Pearson-on-ranks via three BIGINT moments,
+    // final rho one double tree (rank sums are tie-invariant n(n+1))
+    "feature_ic_avgrank" ->
+      s"""WITH $T,
+         |f AS (
+         |  SELECT symbol, trade_id,
+         |         CAST(floor((price / lag(price, 10) OVER w - 1) * 2000.0) AS BIGINT) AS mom_b,
+         |         CAST(floor((lead(price, 10) OVER w / price - 1) * 2000.0) AS BIGINT) AS fwd_b
+         |  FROM trades
+         |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, trade_id)),
+         |b AS (SELECT * FROM f WHERE mom_b IS NOT NULL AND fwd_b IS NOT NULL AND trade_id % 2 = 0),
+         |r AS (
+         |  SELECT symbol,
+         |         2 * CAST(rank() OVER (PARTITION BY symbol ORDER BY mom_b) AS BIGINT)
+         |           + CAST(count(*) OVER (PARTITION BY symbol, mom_b) AS BIGINT) - 1 AS rf,
+         |         2 * CAST(rank() OVER (PARTITION BY symbol ORDER BY fwd_b) AS BIGINT)
+         |           + CAST(count(*) OVER (PARTITION BY symbol, fwd_b) AS BIGINT) - 1 AS rt
+         |  FROM b),
+         |m AS (
+         |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(rf * rf) AS BIGINT) AS sxx,
+         |         CAST(sum(rt * rt) AS BIGINT) AS syy,
+         |         CAST(sum(rf * rt) AS BIGINT) AS sxy
+         |  FROM r GROUP BY symbol),
+         |v AS (
+         |  SELECT symbol, n,
+         |         CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) * CAST(n * (n + 1) AS DOUBLE) AS num,
+         |         CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) * CAST(n * (n + 1) AS DOUBLE) AS vx,
+         |         CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) * CAST(n * (n + 1) AS DOUBLE) AS vy
+         |  FROM m)
+         |SELECT symbol, n,
+         |       CASE WHEN n > 1 AND vx > 0.0 AND vy > 0.0 THEN num / sqrt(vx * vy) END AS ic
+         |FROM v
          |ORDER BY symbol""".stripMargin,
     // Average active bet: plain interval self-join replays the
     // bucketed RangeJoin; the double average folds in contributor-id

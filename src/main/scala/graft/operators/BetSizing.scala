@@ -89,7 +89,10 @@ object BetSizing {
     val p = col(probCol)
     val z = (p - lit(0.5)) / sqrt(p * (lit(1.0) - p))
     val m = col(sideCol) * erfApprox(z / lit(math.sqrt(2.0)))
+    // + 0.0 canonicalizes IEEE signed zero: Spark's Round (via
+    // BigDecimal) emits +0.0 where DuckDB's round keeps -0.0 for
+    // sizes in (-step/2, 0); x + 0.0 == x for every other double.
     df.withColumn("bet_z", z)
-      .withColumn("bet_size", round(m / lit(step)) * lit(step))
+      .withColumn("bet_size", round(m / lit(step)) * lit(step) + lit(0.0))
   }
 }

@@ -76,7 +76,9 @@ object StructuralBreak {
           override def hasNext: Boolean = {
             while (pending == null && it.hasNext) {
               val (sym, ts, price, _) = it.next()
-              val cents = math.round(price * 100)
+              // HALF_UP like Catalyst/DuckDB round(): plain math.round
+              // sends negative half-cents toward +inf
+              val cents = graft.streaming.StatefulBars.cents(price)
               if (sym != curSym) {
                 curSym = sym; rn = 0L; cdd = 0L
                 ring(0) = cents; prevCents = cents

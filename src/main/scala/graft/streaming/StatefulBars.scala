@@ -16,6 +16,18 @@ import graft.api.TradingCols
   * append mode exactly once. Ticks are processed in (ts, trade_id)
   * order within each micro-batch; as with any count-based streaming
   * bar, cross-batch reordering follows arrival order.
+  *
+  * ==Ordered-arrival contract (ALL entry points in this object)==
+  * State carries across micro-batches with NO watermark: every
+  * operator here assumes micro-batch N+1's ticks are event-time ≥
+  * micro-batch N's for the same key. This holds for the intended
+  * sources (an ordered tick feed, or file sources whose file order
+  * follows event time — the AvailableNow replay the equality tests
+  * use). Files replayed OUT of event-time order are folded into the
+  * open bar in arrival order and silently produce different
+  * bars/stats than the batch operator would. If the source can
+  * reorder across batches, pre-bucket the feed (e.g. TradeStore's
+  * date partitions, replayed in partition order) before streaming it.
   */
 object StatefulBars {
 
@@ -152,7 +164,7 @@ object StatefulBars {
     * -234.5 toward +inf where round() gives -235 (same mirror as the
     * batch fused scan).
     */
-  private[streaming] def cents(price: Double): Long =
+  private[graft] def cents(price: Double): Long =
     if (price >= 0) math.round(price * 100) else -math.round(-price * 100)
 
   /** Fold one (possibly split) piece into the open bar. `sizeEff` is

@@ -13,6 +13,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * moment it arrives (backward lags only), so append-mode emission is
   * exactly-once with no watermark. Identical integers and double
   * trees → streaming == batch is BIT-exact (pinned).
+  *
+  * Ordered-arrival contract: as with [[StatefulBars]], state carries
+  * across micro-batches unwatermarked — batch N+1's ticks must be
+  * event-time ≥ batch N's per symbol, or the lag ring silently
+  * diverges from the batch scan. See the StatefulBars header note.
   */
 object StreamingCsw {
 
@@ -65,7 +70,7 @@ object StreamingCsw {
     var (started, prevCents, rn, cdd) = (st.started, st.prevCents, st.rn, st.cdd)
     val out = Seq.newBuilder[CswEvent]
     sorted.foreach { t =>
-      val cents = math.round(t.price * 100)
+      val cents = StatefulBars.cents(t.price) // HALF_UP, sign-mirrored
       if (!started) {
         started = true; rn = 0L; cdd = 0L
         ring(0) = cents; prevCents = cents

@@ -22,6 +22,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    k-grams for k = 1..3 — state is 14 integer counters plus the
   *    last (k-1) signs; entropy folds the counters in ascending gram
   *    order, the batch sorted-fold's order.
+  *
+  * Ordered-arrival contract: day rollover only works if micro-batch
+  * N+1's ticks are event-time ≥ batch N's per symbol (unwatermarked
+  * state, like [[StatefulBars]] — see its header note). A tick for an
+  * already-emitted day is folded into the OPEN day and silently skews
+  * that day's statistic.
   */
 object StreamingDaily {
 

@@ -432,6 +432,20 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(erfs._3 == -erfs._2)
   }
 
+  test("bet sizing: in-grid zero carries a positive sign bit for either side") {
+    import graft.operators.BetSizing
+    // p just under 0.5 with side=+1 (and just over with side=-1) puts
+    // the raw size m in (-0.05, 0): round(m/0.1)*0.1 is a signed -0.0
+    // in IEEE, which the +0.0 canonicalization must strip so the
+    // byte-level oracle hash agrees across engines.
+    val d = Seq((0L, 0.498, 1), (1L, 0.502, -1), (2L, 0.502, 1)).toDF("event_id", "prob", "side")
+    val out = BetSizing.betSize(d).orderBy("event_id").select("bet_size").as[Double].collect()
+    assert(java.lang.Double.doubleToRawLongBits(out(0)) == java.lang.Double.doubleToRawLongBits(0.0))
+    assert(java.lang.Double.doubleToRawLongBits(out(1)) == java.lang.Double.doubleToRawLongBits(0.0))
+    // and a positive in-grid-zero stays +0.0 too
+    assert(java.lang.Double.doubleToRawLongBits(out(2)) == java.lang.Double.doubleToRawLongBits(0.0))
+  }
+
   test("backtest PSR: bit-exact vs a first-principles reference; degenerate nulls") {
     import graft.operators.BacktestStats
     def ts(day: Int) = new java.sql.Timestamp(86400000L * (1 + day) + 3600000L)

@@ -62,7 +62,24 @@ def main(sfdir, outdir):
         e2 = e.sort_values(by=list(e.columns)).reset_index(drop=True)
         try:
             pd.testing.assert_frame_equal(g2, e2, check_dtype=False, rtol=1e-12, atol=1e-12)
-            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+            # Signed-zero audit: the driver's byte hash distinguishes
+            # -0.0 from +0.0 but rtol does not (0.0 == -0.0), which let
+            # the r10 bet_size divergence through. For float columns,
+            # flag any row where the values are == equal yet the IEEE
+            # sign bits differ — exactly the ±0.0 case (nonzero equal
+            # doubles always share a sign).
+            sz_bad = []
+            for c in g2.columns:
+                gv, ev = g2[c].to_numpy(), e2[c].to_numpy()
+                if gv.dtype.kind != "f" or ev.dtype.kind != "f":
+                    continue
+                m = (gv == ev) & (np.signbit(gv) != np.signbit(ev))
+                if m.any():
+                    sz_bad.append((c, int(m.sum())))
+            if sz_bad:
+                print(f"FAIL {name}: signed-zero divergence {sz_bad}"); n_fail += 1
+            else:
+                print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         except AssertionError as ex:
             print(f"FAIL {name}: {str(ex)[:500]}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
