@@ -244,6 +244,30 @@ object SparkEntry {
         .select(col("symbol"), col("event_id"), col("prob"), col("side"), col("bet_z"), col("bet_size"))
         .orderBy(col("event_id"))
     },
+    "dynamic_bet" -> { (s, dir) =>
+      // AFML ch.10.4 dynamic sizing: md5-derived forecast divergence
+      // in [-0.5, 0.5] around the market price (same stand-in
+      // convention as bet_size); maxPos=100, calibrated so x=0.5
+      // gives size 0.95. Map-side only — the limit-price fold is
+      // O(maxPos) per row, replayed in ascending share order
+      val ev = TradeData
+        .fromEvents(s, dir)
+        .where(col("trade_id") % 50 === 0)
+        .select(col("symbol"), col("trade_id").as("event_id"), col("price"))
+        .withColumn(
+          "forecast",
+          col("price") +
+            (operators.Sampling.hashBucket(col("event_id"), "fc") % 1001L - 500L)
+              .cast("double") / lit(1000.0),
+        )
+      operators.BetSizing
+        .dynamicBetSize(ev)
+        .select(
+          col("symbol"), col("event_id"), col("price"), col("forecast"),
+          col("bet_m"), col("t_pos"), col("limit_price"),
+        )
+        .orderBy(col("event_id"))
+    },
     "backtest_psr" -> { (s, dir) =>
       operators.BacktestStats
         .psr(TradeData.fromEvents(s, dir))
@@ -2496,6 +2520,31 @@ object SparkEntry {
          |SELECT symbol, event_id, prob, side, bet_z,
          |       round(mv / 0.1) * 0.1 + 0.0 AS bet_size
          |FROM m
+         |ORDER BY event_id""".stripMargin,
+    // Dynamic bet sizing: identical divergence→size double tree; the
+    // limit-price fold replays in ascending share order (list_reduce
+    // left fold == engine's aggregate with 0.0 seed)
+    "dynamic_bet" ->
+      s"""WITH $T,
+         |ev AS (
+         |  SELECT symbol, trade_id AS event_id, price FROM trades WHERE trade_id % 50 = 0),
+         |h AS (
+         |  SELECT symbol, event_id, price,
+         |         price + CAST((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':fc'), 1, 8))::BIGINT % 10000) % 1001 - 500 AS DOUBLE) / 1000.0 AS forecast
+         |  FROM ev),
+         |d AS (SELECT *, forecast - price AS x,
+         |             0.5 * 0.5 * (1.0 / (0.95 * 0.95) - 1.0) AS w FROM h),
+         |mm AS (SELECT *, x / sqrt(w + x * x) AS bet_m FROM d),
+         |tp AS (SELECT *, CAST(trunc(bet_m * 100.0) AS BIGINT) AS t_pos FROM mm)
+         |SELECT symbol, event_id, price, forecast, bet_m, t_pos,
+         |       CASE WHEN abs(t_pos) > 0 THEN
+         |         list_reduce(
+         |           list_transform(range(1, abs(t_pos) + 1),
+         |             j -> forecast - CAST(sign(t_pos) AS DOUBLE) * (CAST(j AS DOUBLE) / 100.0)
+         |                    * sqrt(w / (1.0 - (CAST(j AS DOUBLE) / 100.0) * (CAST(j AS DOUBLE) / 100.0)))),
+         |           (a, b) -> a + b) / CAST(abs(t_pos) AS DOUBLE)
+         |       END AS limit_price
+         |FROM tp
          |ORDER BY event_id""".stripMargin,
     // PSR: daily closes in exact cents, moment folds in date order
     // (left fold == engine's sorted-array aggregate), then the AFML

@@ -95,4 +95,75 @@ object BetSizing {
     df.withColumn("bet_z", z)
       .withColumn("bet_size", round(m / lit(step)) * lit(step) + lit(0.0))
   }
+
+  /** Dynamic bet sizing from price divergence (AFML ch.10.4, the
+    * `getTPos` family; ref: tests exercise the static grid — this is
+    * the target-position completion the chapter treats as one unit):
+    * a forecast-vs-market divergence x = f − p maps to a bounded
+    * size m = x / √(w + x²) ∈ (−1, 1), a whole-share target position
+    * ⌊m·maxPos⌋ (truncated toward zero, so positions only open once
+    * conviction clears a full share), and the break-even limit price
+    * for the order that moves |pos| → |tPos| — the average of the
+    * inverse-size prices at each share step j, since share j breaks
+    * even exactly where the size function would hold j/maxPos.
+    *
+    * Calibration: w = x₀²·(m₀⁻² − 1) makes divergence x₀ produce
+    * size m₀ (AFML's getW).
+    *
+    * Exactness: pure map-side projection (zero shuffles, 100 TB-safe
+    * trivially); the per-row limit-price fold runs over
+    * `sequence(|pos|+1, |tPos|)` in ascending share order, so it is
+    * partition-invariant and replayed op-for-op by the oracle's
+    * list_reduce. The fold is O(maxPos) per row — maxPos is a
+    * per-strategy constant (10²–10⁴), not a data dimension.
+    *
+    * Adds: `bet_m` (continuous size), `t_pos` (target position),
+    * `limit_price` (null when the order would not increase the
+    * position in its own direction — no break-even price exists for
+    * a reducing or crossing order under the one-sided size curve).
+    *
+    * @param forecastCol forecast price f
+    * @param priceCol    market price p
+    * @param maxPos      position cap in shares (> 0)
+    * @param x0          calibration divergence
+    * @param m0          size reached at divergence x0, in (0, 1)
+    * @param posCol      current position in shares; defaults to flat
+    */
+  def dynamicBetSize(
+      df: DataFrame,
+      forecastCol: String = "forecast",
+      priceCol: String = "price",
+      maxPos: Int = 100,
+      x0: Double = 0.5,
+      m0: Double = 0.95,
+      posCol: Option[String] = None,
+  ): DataFrame = {
+    require(maxPos > 0, "maxPos > 0")
+    require(m0 > 0 && m0 < 1, "m0 in (0, 1)")
+    require(x0 > 0, "x0 > 0")
+    // identical literal tree on the oracle side → identical double
+    val w = lit(x0) * lit(x0) * (lit(1.0) / (lit(m0) * lit(m0)) - lit(1.0))
+    val f = col(forecastCol)
+    val x = f - col(priceCol)
+    val m = x / sqrt(w + x * x)
+    val tpos = (m * lit(maxPos.toDouble)).cast("long")
+    val pos = posCol.map(col(_).cast("long")).getOrElse(lit(0L))
+    val absT = abs(tpos)
+    val absP = abs(pos)
+    // order direction must extend the position: same sign, larger size
+    val extends_ =
+      if (posCol.isEmpty) absT > lit(0L)
+      else absT > absP && (pos === 0L || signum(tpos) === signum(pos))
+    val steps = sequence(absP + 1, absT)
+    val inv = (acc: Column, j: Column) => {
+      val mj = j.cast("double") / lit(maxPos.toDouble)
+      acc + (f - signum(tpos).cast("double") * mj * sqrt(w / (lit(1.0) - mj * mj)))
+    }
+    df.withColumn("bet_m", m)
+      .withColumn("t_pos", tpos)
+      .withColumn(
+        "limit_price",
+        when(extends_, aggregate(steps, lit(0.0), inv) / (absT - absP).cast("double")),
+      )
+  }
 }

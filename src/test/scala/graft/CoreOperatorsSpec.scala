@@ -446,6 +446,67 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(java.lang.Double.doubleToRawLongBits(out(2)) == java.lang.Double.doubleToRawLongBits(0.0))
   }
 
+  test("dynamic bet sizing: monotone in divergence, bounded, break-even limit prices") {
+    import graft.operators.BetSizing
+    val d = Seq(
+      (0L, 100.0, 100.0), // flat: no divergence
+      (1L, 100.0, 100.1), (2L, 100.0, 100.3), (3L, 100.0, 100.5),
+      (4L, 100.0, 102.0), // far beyond calibration: saturated
+      (5L, 100.0, 99.7), // short side
+    ).toDF("event_id", "price", "forecast")
+    val out = BetSizing
+      .dynamicBetSize(d)
+      .orderBy("event_id")
+      .select("bet_m", "t_pos", "limit_price")
+      .as[(Double, Long, Option[Double])]
+      .collect()
+    assert(out(0)._1 == 0.0 && out(0)._2 == 0L && out(0)._3.isEmpty)
+    // size strictly increases with divergence, stays in (-1, 1)
+    assert(out(1)._1 > 0 && out(2)._1 > out(1)._1 && out(3)._1 > out(2)._1 && out(4)._1 > out(3)._1)
+    out.foreach(r => assert(math.abs(r._1) < 1.0))
+    // calibration: x0=0.5 gives size exactly m0=0.95 up to FP
+    assert(math.abs(out(3)._1 - 0.95) < 1e-12)
+    assert(out(3)._2 == 95L)
+    // saturation never exceeds maxPos
+    assert(out(4)._2 <= 100L)
+    // buys: limit below forecast and above price minus the full width;
+    // the j=1 inverse price bounds the average from above
+    val w = 0.5 * 0.5 * (1.0 / (0.95 * 0.95) - 1.0)
+    def invPrice(f: Double, j: Int) = {
+      val mj = j / 100.0; f - mj * math.sqrt(w / (1.0 - mj * mj))
+    }
+    for (i <- Seq(1, 2, 3, 4)) {
+      val f = Seq(100.1, 100.3, 100.5, 102.0)(i - 1)
+      val lp = out(i)._3.get
+      assert(lp < f)
+      assert(lp <= invPrice(f, 1) + 1e-12)
+      assert(lp >= invPrice(f, out(i)._2.toInt) - 1e-12)
+    }
+    // shorts mirror: limit above forecast
+    assert(out(5)._1 < 0 && out(5)._2 < 0 && out(5)._3.get > 99.7)
+    // exact fold replication: average of invPrice over 1..t_pos
+    val expect1 = (1 to out(1)._2.toInt).foldLeft(0.0)((a, j) => a + invPrice(100.1, j)) / out(1)._2
+    assert(out(1)._3.get == expect1)
+  }
+
+  test("dynamic bet sizing: limit price only for position-extending orders") {
+    import graft.operators.BetSizing
+    val d = Seq(
+      (0L, 100.0, 100.3, 5L), // long target beyond current long: extends
+      (1L, 100.0, 100.3, 95L), // current already beyond target (87): no order
+      (2L, 100.0, 100.3, -5L), // crossing from short: not one-sided
+    ).toDF("event_id", "price", "forecast", "pos")
+    val out = BetSizing
+      .dynamicBetSize(d, posCol = Some("pos"))
+      .orderBy("event_id")
+      .select("t_pos", "limit_price")
+      .as[(Long, Option[Double])]
+      .collect()
+    assert(out(0)._1 > 5L && out(0)._2.isDefined)
+    assert(out(1)._2.isEmpty)
+    assert(out(2)._2.isEmpty)
+  }
+
   test("backtest PSR: bit-exact vs a first-principles reference; degenerate nulls") {
     import graft.operators.BacktestStats
     def ts(day: Int) = new java.sql.Timestamp(86400000L * (1 + day) + 3600000L)
