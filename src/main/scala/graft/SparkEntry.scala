@@ -729,6 +729,18 @@ object SparkEntry {
         .minhashLsh(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "dedup_incremental" -> { (s, dir) =>
+      // cross-run dedup: build the signature store from batch 1
+      // (doc_id % 4 != 3), then dedup batch 2 against it — no batch-1
+      // text reprocessing; equals one-shot minhashLsh restricted to
+      // pairs with a batch-2 side (the oracle runs the one-shot SQL)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val store = java.nio.file.Files.createTempDirectory("graft-incr-store").toString
+      operators.IncrementalDedup.buildStore(docs.where(col("doc_id") % 4 =!= 3), store)
+      operators.IncrementalDedup
+        .incrementalPairs(s, store, docs.where(col("doc_id") % 4 === 3), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       Dedup
         .ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
@@ -3188,6 +3200,15 @@ object SparkEntry {
       s"""WITH d AS (SELECT doc_id AS id, $toksSql AS toks FROM documents),
          |sh AS (SELECT id, $wordNgramsSql AS sh FROM d),
          |${lshPairsSql(0.3)}""".stripMargin,
+    // Incremental dedup contract: one-shot pairs over the FULL corpus
+    // restricted to pairs with a batch-2 (doc_id % 4 = 3) side
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id AS id, $normSql AS n FROM documents),
+         |sh AS (SELECT id, $charShinglesSql AS sh FROM d),
+         |$lshPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.5 AND (id_a % 4 = 3 OR id_b % 4 = 3)
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
       // transitive closure over the minhash pairs (min-id reachability;
       // fine at oracle scale — the Spark side uses log-round

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.normText
+
+/** Incremental (cross-run) MinHash near-dup detection: dedup a NEW
+  * batch of documents against an EXISTING signature store without
+  * reprocessing the old corpus's text. Production pipelines ingest
+  * continuously — the one-shot [[Dedup.minhashLsh]] would re-shingle
+  * and re-minhash 100 TB of history for every arriving batch; this
+  * operator re-reads only the store's compact signature tables
+  * (hashed shingles ≈ 8 B/shingle, band/member rows ≈ 16-24 B/doc)
+  * and runs the text stage on the new batch alone.
+  *
+  * ==Store layout== (plain parquet under `dir/`, written by
+  * [[buildStore]]; ref semantics: polars-trading has no incremental
+  * surface — this extends the LLM-pipeline dedup family)
+  *  - `keyed`     id, hk (xxhash64 of the hashed-shingle set), ne
+  *  - `shingles`  id, hsl (md5-hashed char-5-shingle set)
+  *  - `members`   id, rid (exact-dup cluster representative), ne
+  *  - `repbands`  id, band — LSH band hashes of cluster reps
+  *  - `bandstats` band, cnt — rep count per band (with multiplicity)
+  *
+  * ==Exactness contract== `incrementalPairs(store(B1), B2)` equals
+  * the one-shot `minhashLsh(B1 ∪ B2)` output RESTRICTED to pairs
+  * with at least one side in B2 (oracle-checked). The three one-shot
+  * ingredients are reproduced without old-text recompute:
+  *  1. exact-dup collapse — only hk-groups containing a new doc can
+  *     change, so the min-id grouping reruns over "touched" groups
+  *     (stored keyed rows semi-joined to the new batch's hk set);
+  *  2. hot-band cap — the combined per-band rep count is the stored
+  *     `bandstats` count, plus new reps' bands, minus bands of store
+  *     reps demoted by a smaller-id new twin;
+  *  3. candidate generation — active reps (reps of touched groups) ×
+  *     all surviving reps under the combined cap, so even an
+  *     old-rep/old-rep pair is found when a new doc joined one of
+  *     the two clusters (its expansion can reach the new doc).
+  *
+  * ==Scale== Per increment: text processing is O(new batch); the
+  * exact-dup regroup shuffles only touched rows (the store's `keyed`
+  * scan is map-side pruned by the semi-join); candidate/verify joins
+  * scan the store's band and shingle tables once each,
+  * column-pruned — linear passes over fingerprint-sized tables, the
+  * same class as the one-shot's own metadata joins, with the corpus
+  * text never touched. On a cluster, register the store tables
+  * bucketed by `id` (metastore) to make the verify join co-located.
+  */
+object IncrementalDedup {
+
+  private val NHashes = 16
+  private val Bands = 4
+
+  private def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      graft.functions.TextExprs.shingleHashes(normText(col(textCol)), 5).as("hsl"),
+    )
+
+  private def keyedOf(sh: DataFrame): DataFrame =
+    sh.select(col("id"), xxhash64(col("hsl")).as("hk"), (size(col("hsl")) > 0).as("ne"))
+
+  private def sigBands(shRows: DataFrame): DataFrame =
+    shRows
+      .select(
+        col("id"),
+        graft.functions.TextExprs
+          .minhashSig(
+            col("hsl"),
+            NHashes,
+            Dedup.MinhashP,
+            (0 until NHashes).map(Dedup.minhashA),
+            (0 until NHashes).map(Dedup.minhashB),
+          )
+          .as("sig"),
+      )
+      .select(col("id"), explode(Dedup.bandHashes(col("sig"), NHashes, Bands)).as("band"))
+
+  /** Builds the signature store for an initial corpus. Idempotent
+    * overwrite; the collapse/band logic is byte-identical to the
+    * one-shot [[Dedup.lshJaccardPairs]] preamble.
+    */
+  def buildStore(
+      docs: DataFrame,
+      dir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    val sh = graft.sources.Checkpoint.tableGated(shingled(docs, idCol, textCol), "incr-build-sh")
+    val keyed = graft.sources.Checkpoint.tableGated(keyedOf(sh), "incr-build-keyed")
+    val members = keyed
+      .join(keyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
+      .select(col("id"), col("rid"), col("ne"))
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    keyed.write.mode("overwrite").parquet(s"$dir/keyed")
+    members.write.mode("overwrite").parquet(s"$dir/members")
+    val spark = docs.sparkSession
+    val mem = spark.read.parquet(s"$dir/members")
+    val repIds = mem.where(col("id") === col("rid")).select(col("id"))
+    val repbands = sigBands(sh.join(repIds, Seq("id"), "left_semi"))
+    repbands.write.mode("overwrite").parquet(s"$dir/repbands")
+    spark.read
+      .parquet(s"$dir/repbands")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/bandstats")
+  }
+
+  /** Near-dup pairs (id_a < id_b, exact Jaccard on the hashed
+    * shingle space) between a new batch and the store — new-vs-old
+    * AND new-vs-new; already-known old-vs-old pairs are never
+    * re-emitted. See the class doc for the one-shot equality
+    * contract.
+    */
+  def incrementalPairs(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      threshold: Double = 0.5,
+      maxBucket: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val stKeyed = spark.read.parquet(s"$dir/keyed")
+    val stShingles = spark.read.parquet(s"$dir/shingles")
+    val stMembers = spark.read.parquet(s"$dir/members")
+    val stRepbands = spark.read.parquet(s"$dir/repbands")
+    val stBandstats = spark.read.parquet(s"$dir/bandstats")
+
+    val newSh =
+      graft.sources.Checkpoint.tableGated(shingled(newDocs, idCol, textCol), "incr-sh")
+    val newKeyed = keyedOf(newSh)
+
+    // 1. exact-dup regroup over touched hk-groups only
+    val newHks = newKeyed.select(col("hk")).distinct()
+    val touchedKeyed = stKeyed
+      .join(newHks, Seq("hk"), "left_semi")
+      .withColumn("__new", lit(false))
+      .unionByName(newKeyed.withColumn("__new", lit(true)))
+    val touchedMembers = graft.sources.Checkpoint.tableGated(
+      touchedKeyed
+        .join(touchedKeyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
+        .select(col("id"), col("rid"), col("ne"), col("__new")),
+      "incr-members",
+    )
+
+    // 2. combined band census: stored + new reps − demoted store reps
+    val newRepIds = touchedMembers
+      .where(col("__new") && col("id") === col("rid"))
+      .select(col("id"))
+    val newRepBands = graft.sources.Checkpoint.tableGated(
+      sigBands(newSh.join(newRepIds, Seq("id"), "left_semi")),
+      "incr-newrepbands",
+    )
+    val storedRepIds = stMembers.where(col("id") === col("rid")).select(col("id"))
+    val demotedIds = touchedMembers
+      .where(!col("__new") && col("id") =!= col("rid"))
+      .select(col("id"))
+      .join(storedRepIds, Seq("id"), "left_semi")
+    val demotedBands = stRepbands.join(demotedIds, Seq("id"), "left_semi")
+    val okBands = stBandstats
+      .select(col("band"), col("cnt"))
+      .unionByName(newRepBands.groupBy(col("band")).agg(count(lit(1)).as("cnt")))
+      .unionByName(demotedBands.groupBy(col("band")).agg((-count(lit(1))).as("cnt")))
+      .groupBy(col("band"))
+      .agg(sum(col("cnt")).as("s"))
+      .where(col("s") <= maxBucket)
+      .select(col("band"))
+
+    // 3. candidates: active reps (touched groups) × all surviving reps
+    val activeRids = touchedMembers.select(col("rid").as("id")).distinct()
+    val survivorActiveBands = stRepbands.join(activeRids, Seq("id"), "left_semi")
+    val activeBands = newRepBands.unionByName(survivorActiveBands)
+    val allBands = stRepbands
+      .join(demotedIds, Seq("id"), "left_anti")
+      .unionByName(newRepBands)
+    val activePruned = activeBands.join(okBands, Seq("band"), "left_semi")
+    val allPruned = allBands.join(okBands, Seq("band"), "left_semi")
+    val cand = activePruned
+      .as("a")
+      .join(allPruned.as("b"), col("a.band") === col("b.band") && col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+      )
+      .distinct()
+
+    // 4. exact-Jaccard verify (same double tree as the one-shot)
+    val hslAll = stShingles.unionByName(newSh)
+    val repPairs = cand
+      .join(hslAll.select(col("id").as("id_a"), col("hsl").as("sh_a")).hint("shuffle_hash"), "id_a")
+      .join(hslAll.select(col("id").as("id_b"), col("hsl").as("sh_b")).hint("shuffle_hash"), "id_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
+      )
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // 5. expansion — combined membership = untouched store rows ∪ regroup
+    val membersAll = stMembers
+      .join(touchedMembers.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("__new", lit(false))
+      .unionByName(touchedMembers)
+    // intra: exact twins of a new doc (cluster partners are always in
+    // touched groups, so the small regroup table is the partner side)
+    val newM = touchedMembers.where(col("__new") && col("ne"))
+    val intra = newM
+      .as("a")
+      .join(
+        touchedMembers.where(col("ne")).as("b"),
+        col("a.rid") === col("b.rid") && col("a.id") =!= col("b.id"),
+      )
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        lit(1.0).as("jaccard"),
+      )
+      .where(lit(1.0) >= threshold)
+      .distinct()
+    // inter: every member pair inherits its rep pair's Jaccard; keep
+    // only pairs reaching the new batch
+    val inter = repPairs
+      .join(
+        membersAll
+          .select(col("rid").as("id_a"), col("id").as("ma"), col("__new").as("na"))
+          .hint("shuffle_hash"),
+        "id_a",
+      )
+      .join(
+        membersAll
+          .select(col("rid").as("id_b"), col("id").as("mb"), col("__new").as("nb"))
+          .hint("shuffle_hash"),
+        "id_b",
+      )
+      .where(col("na") || col("nb"))
+      .select(
+        least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("jaccard"),
+      )
+    intra.unionByName(inter)
+  }
+}

@@ -124,6 +124,58 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals one-shot restricted to new-batch pairs") {
+    import graft.operators.IncrementalDedup
+    val base =
+      "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single afternoon"
+    val nearDup = base.replace("afternoon", "evening")
+    val other =
+      "completely different content about spark query optimization and distributed shuffle exchanges at petabyte scale"
+    val otherNear = other.replace("petabyte", "terabyte")
+    val solo = "a third topic entirely concerning oceanic plankton migration patterns across hemispheres in winter"
+    // old batch: twins (1,2) of base, near-dup 3, cluster rep 10 for
+    // `other`, plus its twin 14
+    // new batch: 5 joins the base twin cluster; 0 is an `other` twin
+    // with the SMALLEST id (demotes stored rep 10); 11 near-dups
+    // `other` (reaches new member 0 via expansion); 12/13 are a
+    // new-new twin pair of `solo`
+    val all = Seq(
+      1L -> base, 2L -> base, 3L -> nearDup, 10L -> other, 14L -> other,
+      5L -> base, 0L -> other, 11L -> otherNear, 12L -> solo, 13L -> solo,
+    ).map { case (i, t) => (i, t, "src") }.toDF("doc_id", "text", "source")
+    val newIds = Set(5L, 0L, 11L, 12L, 13L)
+    val oneShot = Dedup
+      .minhashLsh(all, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => newIds(p._1) || newIds(p._2))
+      .sortBy(p => (p._1, p._2))
+    val store = java.nio.file.Files.createTempDirectory("graft-incr-test").toString
+    IncrementalDedup.buildStore(all.where(!col("doc_id").isin(newIds.toSeq: _*)), store)
+    val incr = IncrementalDedup
+      .incrementalPairs(spark, store, all.where(col("doc_id").isin(newIds.toSeq: _*)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(incr.nonEmpty)
+    // the demotion + cross-cluster expansion cases are really present
+    assert(incr.exists(p => p._1 == 0L && p._2 == 10L && p._3 == 1.0)) // new twin of old rep
+    assert(incr.exists(p => p._1 == 0L && p._2 == 11L)) // old-rep pair reaching the new member
+    assert(incr.exists(p => p._1 == 12L && p._2 == 13L && p._3 == 1.0)) // new-new twins
+    // old-old rep pair (1,3) whose cluster gained new member 5: the
+    // expansion must reach (3,5) even though neither rep is new
+    assert(incr.exists(p => p._1 == 3L && p._2 == 5L))
+    // exact equality, jaccard bit-for-bit
+    assert(incr.length == oneShot.length, s"${incr.toSeq} vs ${oneShot.toSeq}")
+    incr.zip(oneShot).foreach { case (a, b) =>
+      assert(a._1 == b._1 && a._2 == b._2, s"$a vs $b")
+      assert(
+        java.lang.Double.doubleToLongBits(a._3) == java.lang.Double.doubleToLongBits(b._3),
+        s"$a vs $b",
+      )
+    }
+  }
+
   test("connected components: driver union-find equals distributed star contraction") {
     // two chains, one triangle, one isolated pair — chains are the
     // adversarial shape for label propagation and the reason both
