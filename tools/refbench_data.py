@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Generate trade data in the reference benchmark's shape.
+
+Mirrors polars-trading's `generate_trade_data(n_rows, n_companies)`
+fixture (see /root/reference/polars_trading/_testing/data.py):
+unsorted random event timestamps over ~25 years, 2-decimal prices
+uniform in [1, 100], integer sizes in [10_000, 100_000], symbols drawn
+from n_companies fake tickers — plus a trade_id row index (this
+engine's deterministic tie-breaker; the reference relies on implicit
+row order instead).
+
+Usage: python3 tools/refbench_data.py <outdir>
+Writes <outdir>/s{N}c{C}/trades.parquet for each benchmark shape.
+"""
+import os
+import string
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# the reference's published grid (10k rows), plus the same scenarios
+# at 100x, where a distributed engine's overheads must amortize
+SHAPES = [(10_000, 5), (10_000, 3), (1_000_000, 5), (1_000_000, 3)]
+
+
+def gen(n_rows: int, n_companies: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed + n_rows + n_companies)
+    tickers = []
+    while len(tickers) < n_companies:
+        t = "".join(rng.choice(list(string.ascii_uppercase), size=4))
+        if t not in tickers:
+            tickers.append(t)
+    lo = np.datetime64("2000-01-01T00:00:00").astype("datetime64[s]").astype(np.int64)
+    hi = np.datetime64("2025-01-01T00:00:00").astype("datetime64[s]").astype(np.int64)
+    ts = rng.integers(lo, hi, size=n_rows) * 1_000_000  # microseconds
+    price = np.round(rng.uniform(1.0, 100.0, size=n_rows), 2)
+    size = rng.integers(10_000, 100_001, size=n_rows)
+    sym = rng.choice(tickers, size=n_rows)
+    return pa.table(
+        {
+            "ts_event": pa.array(ts, type=pa.timestamp("us")),
+            "price": pa.array(price, type=pa.float64()),
+            "size": pa.array(size, type=pa.int64()),
+            "symbol": pa.array(sym, type=pa.string()),
+            "trade_id": pa.array(np.arange(n_rows), type=pa.int64()),
+        }
+    )
+
+
+def main(outdir: str) -> None:
+    for n, c in SHAPES:
+        d = os.path.join(outdir, f"s{n}c{c}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(gen(n, c), os.path.join(d, "trades.parquet"))
+        print(f"wrote {d}/trades.parquet ({n} rows, {c} companies)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_refbench")
