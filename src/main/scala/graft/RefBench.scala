@@ -31,14 +31,20 @@ object RefBench {
       dir: String,
       n: Long,
   ): Seq[(String, () => DataFrame)] = {
-    def trades(c: Int) = spark.read.parquet(s"$dir/s${n}c$c/trades.parquet")
+    // frac_diff/daily_vol: the pandas twins crash on duplicate
+    // timestamps (certain at 1M second-resolution rows), so both
+    // engines run those scenarios on the unique-microsecond variant
+    def trades(c: Int, uniqueUs: Boolean = false) = {
+      val suffix = if (uniqueUs && n > 100000L) "u" else ""
+      spark.read.parquet(s"$dir/s${n}c$c$suffix/trades.parquet")
+    }
     Seq(
       "time_bars" -> (() => operators.Bars.timeBars(trades(5), "1 minute", cols)),
       "tick_bars" -> (() => operators.Bars.tickBars(trades(5), 100, c = cols)),
       "volume_bars" -> (() => operators.Bars.volumeBars(trades(5), 10000L, c = cols)),
       "dollar_bars" -> (() => operators.Bars.dollarBars(trades(5), 1000000.0, c = cols)),
       "frac_diff" -> { () =>
-        val t = trades(3)
+        val t = trades(3, uniqueUs = true)
         t.select(
           col("ts_event"),
           col("symbol"),
@@ -53,7 +59,8 @@ object RefBench {
             .as("frac_diff"),
         )
       },
-      "daily_vol" -> (() => operators.Labels.dailyVol(trades(5), span = 100, c = cols)),
+      "daily_vol" -> (() =>
+        operators.Labels.dailyVol(trades(5, uniqueUs = true), span = 100, c = cols)),
       "fixed_time_return_class" -> (() =>
         operators.Labels
           .fixedTimeReturnClassification(trades(5), window = 50, threshold = Some(lit(0.2)), c = cols)),

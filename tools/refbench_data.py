@@ -21,11 +21,22 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # the reference's published grid (10k rows), plus the same scenarios
-# at 100x, where a distributed engine's overheads must amortize
-SHAPES = [(10_000, 5), (10_000, 3), (1_000_000, 5), (1_000_000, 3)]
+# at 100x, where a distributed engine's overheads must amortize.
+# unique_us=True adds sub-second jitter: at 1M rows the second-
+# resolution mimesis shape guarantees duplicate timestamps, which the
+# reference's own pandas frac_diff/daily_vol twins crash on — the
+# 'u'-suffixed variants keep those scenarios measurable at 100x.
+SHAPES = [
+    (10_000, 5, False),
+    (10_000, 3, False),
+    (1_000_000, 5, False),
+    (1_000_000, 3, False),
+    (1_000_000, 5, True),
+    (1_000_000, 3, True),
+]
 
 
-def gen(n_rows: int, n_companies: int, seed: int = 42) -> pa.Table:
+def gen(n_rows: int, n_companies: int, unique_us: bool, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed + n_rows + n_companies)
     tickers = []
     while len(tickers) < n_companies:
@@ -35,6 +46,12 @@ def gen(n_rows: int, n_companies: int, seed: int = 42) -> pa.Table:
     lo = np.datetime64("2000-01-01T00:00:00").astype("datetime64[s]").astype(np.int64)
     hi = np.datetime64("2025-01-01T00:00:00").astype("datetime64[s]").astype(np.int64)
     ts = rng.integers(lo, hi, size=n_rows) * 1_000_000  # microseconds
+    if unique_us:
+        # sub-second jitter: collisions need equal (second, us) — over
+        # 25 years of seconds x 1e6 offsets the space is ~8e14, so 1M
+        # draws are unique with overwhelming probability; assert it
+        ts = ts + rng.integers(0, 1_000_000, size=n_rows)
+        assert len(np.unique(ts)) == n_rows, "timestamp collision — bump the seed"
     price = np.round(rng.uniform(1.0, 100.0, size=n_rows), 2)
     size = rng.integers(10_000, 100_001, size=n_rows)
     sym = rng.choice(tickers, size=n_rows)
@@ -50,11 +67,11 @@ def gen(n_rows: int, n_companies: int, seed: int = 42) -> pa.Table:
 
 
 def main(outdir: str) -> None:
-    for n, c in SHAPES:
-        d = os.path.join(outdir, f"s{n}c{c}")
+    for n, c, uq in SHAPES:
+        d = os.path.join(outdir, f"s{n}c{c}" + ("u" if uq else ""))
         os.makedirs(d, exist_ok=True)
-        pq.write_table(gen(n, c), os.path.join(d, "trades.parquet"))
-        print(f"wrote {d}/trades.parquet ({n} rows, {c} companies)")
+        pq.write_table(gen(n, c, uq), os.path.join(d, "trades.parquet"))
+        print(f"wrote {d}/trades.parquet ({n} rows, {c} companies, unique_us={uq})")
 
 
 if __name__ == "__main__":

@@ -112,12 +112,18 @@ def main(datadir: str, sizes):
                 if isinstance(small, float):
                     out[name][str(n)] = f"extrapolated:{round(small * n / 10_000, 1)}"
                 continue
-            df = pd.read_parquet(f"{datadir}/s{n}c{comp}/trades.parquet")
+            # frac_diff/daily_vol: the reference twins index by
+            # timestamp and crash on duplicates, which the mimesis
+            # second-resolution shape guarantees at 1M rows — use the
+            # unique-microsecond variant there (suffix recorded)
+            suffix = "u" if name in ("frac_diff", "daily_vol") and n > 100_000 else ""
+            df = pd.read_parquet(f"{datadir}/s{n}c{comp}{suffix}/trades.parquet")
+            key = str(n) + suffix
             try:
-                out[name][str(n)] = round(best_of(fn, df), 4)
+                out[name][key] = round(best_of(fn, df), 4)
             except Exception as e:  # noqa: BLE001 — record, keep measuring
-                out[name][str(n)] = f"error: {type(e).__name__}: {e}"
-            print(f"{name} n={n}: {out[name][str(n)]}", file=sys.stderr)
+                out[name][key] = f"error: {type(e).__name__}: {e}"
+            print(f"{name} n={key}: {out[name][key]}", file=sys.stderr)
     print(json.dumps(out, indent=2))
 
 
