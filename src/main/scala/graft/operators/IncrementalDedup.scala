@@ -109,6 +109,76 @@ object IncrementalDedup {
       .parquet(s"$dir/bandstats")
   }
 
+  /** The store's five tables plus the per-increment intermediates
+    * shared by [[incrementalPairs]] and [[appendStore]].
+    */
+  private final case class Increment(
+      stKeyed: DataFrame,
+      stShingles: DataFrame,
+      stMembers: DataFrame,
+      stRepbands: DataFrame,
+      stBandstats: DataFrame,
+      newSh: DataFrame,
+      newKeyed: DataFrame,
+      touchedMembers: DataFrame,
+      newRepBands: DataFrame,
+      demotedIds: DataFrame,
+  )
+
+  private def increment(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): Increment = {
+    val stKeyed = spark.read.parquet(s"$dir/keyed")
+    val stMembers = spark.read.parquet(s"$dir/members")
+    val stRepbands = spark.read.parquet(s"$dir/repbands")
+
+    val newSh =
+      graft.sources.Checkpoint.tableGated(shingled(newDocs, idCol, textCol), "incr-sh")
+    val newKeyed = keyedOf(newSh)
+
+    // exact-dup regroup over touched hk-groups only
+    val newHks = newKeyed.select(col("hk")).distinct()
+    val touchedKeyed = stKeyed
+      .join(newHks, Seq("hk"), "left_semi")
+      .withColumn("__new", lit(false))
+      .unionByName(newKeyed.withColumn("__new", lit(true)))
+    val touchedMembers = graft.sources.Checkpoint.tableGated(
+      touchedKeyed
+        .join(touchedKeyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
+        .select(col("id"), col("rid"), col("ne"), col("__new")),
+      "incr-members",
+    )
+
+    val newRepIds = touchedMembers
+      .where(col("__new") && col("id") === col("rid"))
+      .select(col("id"))
+    val newRepBands = graft.sources.Checkpoint.tableGated(
+      sigBands(newSh.join(newRepIds, Seq("id"), "left_semi")),
+      "incr-newrepbands",
+    )
+    val storedRepIds = stMembers.where(col("id") === col("rid")).select(col("id"))
+    val demotedIds = touchedMembers
+      .where(!col("__new") && col("id") =!= col("rid"))
+      .select(col("id"))
+      .join(storedRepIds, Seq("id"), "left_semi")
+    Increment(
+      stKeyed,
+      spark.read.parquet(s"$dir/shingles"),
+      stMembers,
+      stRepbands,
+      spark.read.parquet(s"$dir/bandstats"),
+      newSh,
+      newKeyed,
+      touchedMembers,
+      newRepBands,
+      demotedIds,
+    )
+  }
+
   /** Near-dup pairs (id_a < id_b, exact Jaccard on the hashed
     * shingle space) between a new batch and the store — new-vs-old
     * AND new-vs-new; already-known old-vs-old pairs are never
@@ -124,42 +194,10 @@ object IncrementalDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
-    val stKeyed = spark.read.parquet(s"$dir/keyed")
-    val stShingles = spark.read.parquet(s"$dir/shingles")
-    val stMembers = spark.read.parquet(s"$dir/members")
-    val stRepbands = spark.read.parquet(s"$dir/repbands")
-    val stBandstats = spark.read.parquet(s"$dir/bandstats")
+    val inc = increment(spark, dir, newDocs, idCol, textCol)
+    import inc._
 
-    val newSh =
-      graft.sources.Checkpoint.tableGated(shingled(newDocs, idCol, textCol), "incr-sh")
-    val newKeyed = keyedOf(newSh)
-
-    // 1. exact-dup regroup over touched hk-groups only
-    val newHks = newKeyed.select(col("hk")).distinct()
-    val touchedKeyed = stKeyed
-      .join(newHks, Seq("hk"), "left_semi")
-      .withColumn("__new", lit(false))
-      .unionByName(newKeyed.withColumn("__new", lit(true)))
-    val touchedMembers = graft.sources.Checkpoint.tableGated(
-      touchedKeyed
-        .join(touchedKeyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
-        .select(col("id"), col("rid"), col("ne"), col("__new")),
-      "incr-members",
-    )
-
-    // 2. combined band census: stored + new reps − demoted store reps
-    val newRepIds = touchedMembers
-      .where(col("__new") && col("id") === col("rid"))
-      .select(col("id"))
-    val newRepBands = graft.sources.Checkpoint.tableGated(
-      sigBands(newSh.join(newRepIds, Seq("id"), "left_semi")),
-      "incr-newrepbands",
-    )
-    val storedRepIds = stMembers.where(col("id") === col("rid")).select(col("id"))
-    val demotedIds = touchedMembers
-      .where(!col("__new") && col("id") =!= col("rid"))
-      .select(col("id"))
-      .join(storedRepIds, Seq("id"), "left_semi")
+    // combined band census: stored + new reps − demoted store reps
     val demotedBands = stRepbands.join(demotedIds, Seq("id"), "left_semi")
     val okBands = stBandstats
       .select(col("band"), col("cnt"))
@@ -244,5 +282,58 @@ object IncrementalDedup {
         col("jaccard"),
       )
     intra.unionByName(inter)
+  }
+
+  /** Rolls the store forward: writes the snapshot for corpus ∪ batch
+    * to `outDir`, identical table-for-table to
+    * `buildStore(corpus ∪ batch)` (pinned in ScalaTest) but with no
+    * old-corpus text reprocessing — keyed/shingles copy forward
+    * unchanged, members/repbands/bandstats are patched only where
+    * touched hk-groups moved. Snapshot-dir versioning (`outDir` must
+    * differ from `dir`): the store read path stays immutable while
+    * the new version writes, the lakehouse pattern; on an object
+    * store the unchanged keyed/shingles copies become metadata-only
+    * moves. Chain increments by pointing the next
+    * [[incrementalPairs]] at `outDir`.
+    */
+  def appendStore(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    require(new java.io.File(outDir).getCanonicalPath != new java.io.File(dir).getCanonicalPath,
+      "appendStore writes a NEW snapshot dir (read-while-overwrite is unsafe)")
+    val inc = increment(spark, dir, newDocs, idCol, textCol)
+    import inc._
+    stKeyed.unionByName(newKeyed).write.mode("overwrite").parquet(s"$outDir/keyed")
+    stShingles.unionByName(newSh).write.mode("overwrite").parquet(s"$outDir/shingles")
+    stMembers
+      .join(touchedMembers.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(touchedMembers.drop("__new"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/members")
+    stRepbands
+      .join(demotedIds, Seq("id"), "left_anti")
+      .unionByName(newRepBands)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/repbands")
+    // merged census; bands whose only reps were demoted drop to zero
+    // rows, matching a fresh build over the union
+    val demotedBands = stRepbands.join(demotedIds, Seq("id"), "left_semi")
+    stBandstats
+      .select(col("band"), col("cnt"))
+      .unionByName(newRepBands.groupBy(col("band")).agg(count(lit(1)).as("cnt")))
+      .unionByName(demotedBands.groupBy(col("band")).agg((-count(lit(1))).as("cnt")))
+      .groupBy(col("band"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") > 0)
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/bandstats")
   }
 }

@@ -176,6 +176,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("appendStore rolls the snapshot to exactly buildStore of the union; chained increments stay exact") {
+    import graft.operators.IncrementalDedup
+    val base =
+      "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill every single afternoon"
+    val other =
+      "completely different content about spark query optimization and distributed shuffle exchanges at petabyte scale"
+    val solo = "a third topic entirely concerning oceanic plankton migration patterns across hemispheres in winter"
+    val b1 = Seq(1L -> base, 2L -> base, 10L -> other, 14L -> other)
+    val b2 = Seq(5L -> base, 0L -> other, 11L -> other.replace("petabyte", "terabyte"))
+    val b3 = Seq(20L -> base.replace("afternoon", "evening"), 21L -> solo, 22L -> solo)
+    def df(b: Seq[(Long, String)]) =
+      b.map { case (i, t) => (i, t, "src") }.toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr-chain").toString
+    IncrementalDedup.buildStore(df(b1), s"$tmp/s1")
+    IncrementalDedup.appendStore(spark, s"$tmp/s1", df(b2), s"$tmp/s2")
+    IncrementalDedup.buildStore(df(b1 ++ b2), s"$tmp/fresh")
+    // snapshot == fresh build, table for table (multiset compare)
+    for (t <- Seq("keyed", "shingles", "members", "repbands", "bandstats")) {
+      val a = spark.read.parquet(s"$tmp/s2/$t")
+      val b = spark.read.parquet(s"$tmp/fresh/$t")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"table $t diverged")
+    }
+    // a second increment against the rolled snapshot equals one-shot
+    // over all three batches restricted to batch-3 pairs
+    val newIds = b3.map(_._1).toSet
+    val oneShot = Dedup
+      .minhashLsh(df(b1 ++ b2 ++ b3), threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => newIds(p._1) || newIds(p._2))
+      .sortBy(p => (p._1, p._2))
+    val incr = IncrementalDedup
+      .incrementalPairs(spark, s"$tmp/s2", df(b3))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(incr.exists(p => p._2 == 20L && p._3 < 1.0)) // near-dup reaches batch-1 cluster
+    assert(incr.exists(p => p._1 == 21L && p._2 == 22L && p._3 == 1.0)) // in-batch twins
+    assert(incr.toSeq == oneShot.toSeq, s"${incr.toSeq} vs ${oneShot.toSeq}")
+  }
+
   test("connected components: driver union-find equals distributed star contraction") {
     // two chains, one triangle, one isolated pair — chains are the
     // adversarial shape for label propagation and the reason both
