@@ -446,6 +446,47 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(java.lang.Double.doubleToRawLongBits(out(2)) == java.lang.Double.doubleToRawLongBits(0.0))
   }
 
+  test("OrderedHead: (ord1, ord2) tiebreak, null-value carry, cross-partition merge") {
+    import graft.functions.OrderedAgg
+    // same ts for rows 1/2 -> trade_id breaks the tie; row 0 is the
+    // earliest; 8 partitions force the merge path
+    val d = Seq(
+      ("a", 100L, 1L, 10.0), ("a", 200L, 5L, 20.0), ("a", 200L, 3L, 30.0),
+      ("a", 300L, 9L, 40.0), ("b", 50L, 2L, 5.0),
+    ).toDF("k", "ts", "tid", "p").repartition(8)
+    val out = d
+      .groupBy("k")
+      .agg(
+        OrderedAgg.firstByOrd(col("p"), col("ts"), col("tid")).as("first"),
+        OrderedAgg.lastByOrd(col("p"), col("ts"), col("tid")).as("last"),
+      )
+      .orderBy("k")
+      .as[(String, Double, Double)]
+      .collect()
+    assert(out(0) == (("a", 10.0, 40.0)))
+    assert(out(1) == (("b", 5.0, 5.0)))
+    // equal max-ts group: the larger trade_id wins last, smaller wins first
+    val ties = Seq(("a", 200L, 5L, 20.0), ("a", 200L, 3L, 30.0))
+      .toDF("k", "ts", "tid", "p").repartition(4)
+      .groupBy("k")
+      .agg(
+        OrderedAgg.firstByOrd(col("p"), col("ts"), col("tid")).as("f"),
+        OrderedAgg.lastByOrd(col("p"), col("ts"), col("tid")).as("l"),
+      )
+      .as[(String, Double, Double)]
+      .head()
+    assert(ties == (("a", 30.0, 20.0)))
+    // a null VALUE at the winning ordering is carried (not skipped)
+    val nv = Seq(("a", 1L, 1L, Option.empty[Double]), ("a", 2L, 2L, Some(7.0)))
+      .toDF("k", "ts", "tid", "p")
+      .groupBy("k")
+      .agg(OrderedAgg.firstByOrd(col("p"), col("ts"), col("tid")).as("f"))
+      .select("f")
+      .as[Option[Double]]
+      .head()
+    assert(nv.isEmpty)
+  }
+
   test("dynamic bet sizing: monotone in divergence, bounded, break-even limit prices") {
     import graft.operators.BetSizing
     val d = Seq(

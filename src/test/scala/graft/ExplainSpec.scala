@@ -80,6 +80,18 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("partial_"))
   }
 
+  test("bars stay in HashAggregate: OrderedHead keeps open/close codegen-resident") {
+    // min_by(price, struct(ts, trade_id)) would demote the WHOLE bar
+    // aggregation to ObjectHashAggregate's row path (~3.5 µs/row);
+    // the flat-buffer OrderedHead keeps every bar agg hash+codegen
+    for (q <- Seq("time_bars", "tick_bars")) {
+      val p = plan(q)
+      assert(p.contains("ordered_first") && p.contains("ordered_last"), q)
+      assert(!p.contains("ObjectHashAggregate"), s"$q fell off the hash-agg path:\n$p")
+      assert(!p.contains("SortAggregate"), s"$q fell off the hash-agg path:\n$p")
+    }
+  }
+
   test("bar operators are unsorted: exactly one range exchange per query") {
     // the operator no longer embeds an orderBy, so the only sort is
     // the caller's final presentation ordering
