@@ -741,6 +741,17 @@ object SparkEntry {
         .incrementalPairs(s, store, docs.where(col("doc_id") % 4 === 3), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "dedup_incremental_simhash" -> { (s, dir) =>
+      // hamming-radius companion: batch 2 vs the store's 120-bit
+      // fingerprints, only new text fingerprinted; equals one-shot
+      // simhashPairs restricted to batch-2-side pairs
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val store = java.nio.file.Files.createTempDirectory("graft-incr-store-sh").toString
+      operators.IncrementalDedup.buildStore(docs.where(col("doc_id") % 4 =!= 3), store)
+      operators.IncrementalDedup
+        .incrementalSimhashPairs(s, store, docs.where(col("doc_id") % 4 === 3), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       Dedup
         .ngramJaccard(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.3)
@@ -1206,6 +1217,44 @@ object SparkEntry {
   }
 
   private val simhashVotesSql: String = simhashVotesWordSql(0)
+
+  /** simhash_pairs oracle: 7 bands over the 120-bit wide fingerprint
+    * (two 60-bit words) — exact recall at maxHamming=6 (pigeonhole
+    * needs maxHamming+1 bands); layout + split-band stitch shared
+    * with Dedup.simhashPairs/bandBounds. `restrict` appends an extra
+    * pair filter (the incremental-dedup oracle reuses the chain).
+    */
+  private def simhashPairsOracleSql(restrict: String): String = {
+    val bands = operators.Dedup.bandLayout(120, 7)
+    val bandList = bands
+      .map { case (off, w) =>
+        operators.Dedup.bandBounds(off, w) match {
+          case Left((k, b)) => s"(sh$k >> $b) & ${(1L << w) - 1}"
+          case Right((k, b, lo)) =>
+            s"((sh$k >> $b) & ${(1L << lo) - 1}) | ((sh${k + 1} & ${(1L << (w - lo)) - 1}) << $lo)"
+        }
+      }
+      .mkString(", ")
+    val bidxList = bands.indices.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),
+       |s AS (SELECT doc_id AS id,
+       |             ${simhashVotesWordSql(0)} AS sh0,
+       |             ${simhashVotesWordSql(1)} AS sh1
+       |      FROM h),
+       |bands AS (
+       |  SELECT id, sh0, sh1,
+       |         unnest([$bandList]) AS band,
+       |         unnest([$bidxList]) AS bidx
+       |  FROM s),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |         CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) AS INTEGER) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.band = b.band AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 $restrict
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // event timestamps are unique (checked at sf0.01/sf0.1), so plain
   // arg_min/arg_max on ts is deterministic — DuckDB 1.0 has no
@@ -3263,41 +3312,10 @@ object SparkEntry {
          |              RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
          |ORDER BY symbol, ts""".stripMargin
     },
-    "simhash_pairs" -> {
-      // 7 bands over the 120-bit wide fingerprint (two 60-bit words):
-      // exact recall at the query's maxHamming=6 (pigeonhole needs
-      // maxHamming+1 bands); layout + split-band stitch shared with
-      // Dedup.simhashPairs/bandBounds
-      val bands = operators.Dedup.bandLayout(120, 7)
-      val bandList = bands
-        .map { case (off, w) =>
-          operators.Dedup.bandBounds(off, w) match {
-            case Left((k, b)) => s"(sh$k >> $b) & ${(1L << w) - 1}"
-            case Right((k, b, lo)) =>
-              s"((sh$k >> $b) & ${(1L << lo) - 1}) | ((sh${k + 1} & ${(1L << (w - lo)) - 1}) << $lo)"
-          }
-        }
-        .mkString(", ")
-      val bidxList = bands.indices.mkString(", ")
-      s"""WITH h AS (
-         |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),
-         |s AS (SELECT doc_id AS id,
-         |             ${simhashVotesWordSql(0)} AS sh0,
-         |             ${simhashVotesWordSql(1)} AS sh1
-         |      FROM h),
-         |bands AS (
-         |  SELECT id, sh0, sh1,
-         |         unnest([$bandList]) AS band,
-         |         unnest([$bidxList]) AS bidx
-         |  FROM s),
-         |pairs AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |         CAST(bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) AS INTEGER) AS hamming
-         |  FROM bands a JOIN bands b
-         |    ON a.bidx = b.bidx AND a.band = b.band AND a.id < b.id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "simhash_pairs" -> simhashPairsOracleSql(""),
+    // restricted to batch-2-side pairs (the incremental contract)
+    "dedup_incremental_simhash" ->
+      simhashPairsOracleSql("AND (id_a % 4 = 3 OR id_b % 4 = 3)"),
     "dedup_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id, list_transform($toksSql, t -> md5(t)) AS hs FROM documents),

@@ -633,7 +633,7 @@ object Dedup {
     if (b + w <= 60) Left((k, b)) else Right((k, b, 60 - b))
   }
 
-  private def bandCol(words: Seq[Column], off: Int, w: Int): Column =
+  private[graft] def bandCol(words: Seq[Column], off: Int, w: Int): Column =
     bandBounds(off, w) match {
       case Left((k, b)) =>
         shiftright(words(k), b).bitwiseAND(lit((1L << w) - 1))

@@ -51,6 +51,7 @@ object IncrementalDedup {
 
   private val NHashes = 16
   private val Bands = 4
+  private val SimBits = 120 // wide fingerprint, two 60-bit words
 
   private def shingled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
@@ -60,6 +61,13 @@ object IncrementalDedup {
 
   private def keyedOf(sh: DataFrame): DataFrame =
     sh.select(col("id"), xxhash64(col("hsl")).as("hk"), (size(col("hsl")) > 0).as("ne"))
+
+  private def simhashOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      element_at(Dedup.simhashWide(col(textCol), SimBits), 1).as("sh0"),
+      element_at(Dedup.simhashWide(col(textCol), SimBits), 2).as("sh1"),
+    )
 
   private def sigBands(shRows: DataFrame): DataFrame =
     shRows
@@ -95,6 +103,7 @@ object IncrementalDedup {
     sh.write.mode("overwrite").parquet(s"$dir/shingles")
     keyed.write.mode("overwrite").parquet(s"$dir/keyed")
     members.write.mode("overwrite").parquet(s"$dir/members")
+    simhashOf(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/simhash")
     val spark = docs.sparkSession
     val mem = spark.read.parquet(s"$dir/members")
     val repIds = mem.where(col("id") === col("rid")).select(col("id"))
@@ -284,6 +293,59 @@ object IncrementalDedup {
     intra.unionByName(inter)
   }
 
+  /** SimHash companion to [[incrementalPairs]]: hamming-radius
+    * near-dup pairs between a new batch and the store's 120-bit wide
+    * fingerprints, with exact recall at `maxHamming` (the pigeonhole
+    * banding of [[Dedup.simhashPairs]]). Only the NEW batch's text is
+    * fingerprinted; the store side is pure bit-ops over the compact
+    * `simhash` table (16 B/doc). Output equals the one-shot
+    * `simhashPairs(B1 ∪ B2)` restricted to pairs with a new side —
+    * exact by construction, since simhash candidates have no
+    * collapse/cap state: the restriction is a pure filter on the
+    * self-join.
+    */
+  def incrementalSimhashPairs(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val nWords = (SimBits + 59) / 60
+    val bands = Dedup.bandLayout(SimBits, maxHamming + 1)
+    val wordCols = Seq.tabulate(nWords)(k => col(s"sh$k"))
+    val stSim = spark.read.parquet(s"$dir/simhash").withColumn("__new", lit(false))
+    val newSim = graft.sources.Checkpoint
+      .tableGated(simhashOf(newDocs, idCol, textCol), "incr-simhash")
+      .withColumn("__new", lit(true))
+    val allSim = stSim.unionByName(newSim)
+    val bandStructs = allSim.select(
+      col("id") +: col("__new") +: wordCols :+
+        posexplode(
+          array(bands.map { case (off, w) => Dedup.bandCol(wordCols, off, w) }: _*)
+        ).as(Seq("bidx", "band")): _*
+    )
+    val hamming = Seq
+      .tabulate(nWords)(k => bit_count(col(s"a.sh$k").bitwiseXOR(col(s"b.sh$k"))))
+      .reduceLeft(_ + _)
+    bandStructs
+      .as("a")
+      .join(
+        bandStructs.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.band") === col("b.band") &&
+          col("a.id") < col("b.id"),
+      )
+      .where(col("a.__new") || col("b.__new"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        hamming.cast("int").as("hamming"),
+      )
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Rolls the store forward: writes the snapshot for corpus ∪ batch
     * to `outDir`, identical table-for-table to
     * `buildStore(corpus ∪ batch)` (pinned in ScalaTest) but with no
@@ -322,6 +384,12 @@ object IncrementalDedup {
       .write
       .mode("overwrite")
       .parquet(s"$outDir/repbands")
+    spark.read
+      .parquet(s"$dir/simhash")
+      .unionByName(simhashOf(newDocs, idCol, textCol))
+      .write
+      .mode("overwrite")
+      .parquet(s"$outDir/simhash")
     // merged census; bands whose only reps were demoted drop to zero
     // rows, matching a fresh build over the union
     val demotedBands = stRepbands.join(demotedIds, Seq("id"), "left_semi")

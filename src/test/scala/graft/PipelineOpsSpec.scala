@@ -193,7 +193,7 @@ class PipelineOpsSpec extends SparkSpec {
     IncrementalDedup.appendStore(spark, s"$tmp/s1", df(b2), s"$tmp/s2")
     IncrementalDedup.buildStore(df(b1 ++ b2), s"$tmp/fresh")
     // snapshot == fresh build, table for table (multiset compare)
-    for (t <- Seq("keyed", "shingles", "members", "repbands", "bandstats")) {
+    for (t <- Seq("keyed", "shingles", "members", "repbands", "bandstats", "simhash")) {
       val a = spark.read.parquet(s"$tmp/s2/$t")
       val b = spark.read.parquet(s"$tmp/fresh/$t")
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"table $t diverged")
@@ -215,6 +215,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(incr.exists(p => p._2 == 20L && p._3 < 1.0)) // near-dup reaches batch-1 cluster
     assert(incr.exists(p => p._1 == 21L && p._2 == 22L && p._3 == 1.0)) // in-batch twins
     assert(incr.toSeq == oneShot.toSeq, s"${incr.toSeq} vs ${oneShot.toSeq}")
+    // simhash companion over the same rolled snapshot: equals
+    // one-shot simhashPairs restricted to batch-3-side pairs
+    val shOne = Dedup
+      .simhashPairs(df(b1 ++ b2 ++ b3), maxHamming = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => newIds(p._1) || newIds(p._2))
+      .sortBy(p => (p._1, p._2))
+    val shIncr = IncrementalDedup
+      .incrementalSimhashPairs(spark, s"$tmp/s2", df(b3), maxHamming = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(shIncr.exists(p => p._1 == 21L && p._2 == 22L && p._3 == 0)) // twins at hamming 0
+    assert(shIncr.toSeq == shOne.toSeq, s"${shIncr.toSeq} vs ${shOne.toSeq}")
   }
 
   test("connected components: driver union-find equals distributed star contraction") {
