@@ -61,7 +61,12 @@ object BacktestStats {
         col(c.tradeId).cast("long").as("trade_id"),
       )
       .groupBy(col("symbol"), col("date"))
-      .agg(max_by(col("pc"), struct(col("ts"), col("trade_id"))).as("close_pc"))
+      .agg(
+        // codegen-resident ordered last (see OrderedAgg: a struct
+        // ordering key would demote the aggregation to the row path)
+        graft.functions.OrderedAgg
+          .lastByOrd(col("pc"), col("ts"), col("trade_id"))
+          .as("close_pc"))
 
   /** Per-symbol date-ordered moment sums of daily returns:
     * symbol, n_days, __s1..__s4 (shared by [[psr]] and [[dsr]]).

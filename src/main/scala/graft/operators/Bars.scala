@@ -396,16 +396,19 @@ object Bars {
           greatest(col("__cum_start"), col("__g") * barCents),
       )
       .where(col("__amount") > 0)
-    val ord = struct(col(c.ts), col(c.tradeId))
     pieces
       .groupBy((keyNames :+ "__g").map(col): _*)
       .agg(
         min(col(c.ts)).as("ts_start"),
         max(col(c.ts)).as("ts_end"),
-        min_by(col(c.price), ord).as("open"),
+        graft.functions.OrderedAgg
+          .firstByOrd(col(c.price), col(c.ts), col(c.tradeId))
+          .as("open"),
         max(col(c.price)).as("high"),
         min(col(c.price)).as("low"),
-        max_by(col(c.price), ord).as("close"),
+        graft.functions.OrderedAgg
+          .lastByOrd(col(c.price), col(c.ts), col(c.tradeId))
+          .as("close"),
         (sum(col("__amount")) / 100.0).as("dollar_volume"),
         // exact-cents vwap (see ohlcvAggs): Σ pc·amount is an
         // associative Long sum; bounded by maxCents·barCents ≪ 2^63

@@ -306,8 +306,8 @@ object Microstructure {
       )
       .groupBy(col("symbol"), col("date"))
       .agg(
-        min_by(col("pc"), struct(col("ts"), col("trade_id"))).as("open_pc"),
-        max_by(col("pc"), struct(col("ts"), col("trade_id"))).as("close_pc"),
+        graft.functions.OrderedAgg.firstByOrd(col("pc"), col("ts"), col("trade_id")).as("open_pc"),
+        graft.functions.OrderedAgg.lastByOrd(col("pc"), col("ts"), col("trade_id")).as("close_pc"),
         sum(col("pc") * col("size")).as("dv_cents"),
         count(lit(1)).as("n_ticks"),
       )

@@ -73,7 +73,7 @@ object Pq {
         .groupBy(col("id"), col("sub"))
         .agg(
           first(col("sv")).as("sv"),
-          min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          graft.functions.OrderedAgg.firstByOrd(col("code"), col("d"), col("code")).as("code"),
         )
       assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
