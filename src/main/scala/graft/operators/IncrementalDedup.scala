@@ -14,6 +14,12 @@ import graft.operators.TextAnalysis.normText
   * (hashed shingles ≈ 8 B/shingle, band/member rows ≈ 16-24 B/doc)
   * and runs the text stage on the new batch alone.
   *
+  * Contract: doc ids are globally unique ACROSS batches (the usual
+  * ingest invariant — re-submitting an id would duplicate its store
+  * rows). Ids need not be ordered: a new doc with a smaller id than
+  * its stored exact-twin correctly takes over as cluster
+  * representative (the "demotion" path, pinned in ScalaTest).
+  *
   * ==Store layout== (plain parquet under `dir/`, written by
   * [[buildStore]]; ref semantics: polars-trading has no incremental
   * surface — this extends the LLM-pipeline dedup family)
