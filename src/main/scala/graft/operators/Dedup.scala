@@ -273,14 +273,23 @@ object Dedup {
         * parallel and free of any single-node bottleneck.
         */
       maxPersistCorpusBytes: Long = 2L << 30,
+      /** Third size gate (same shave as dedupParagraphs): under it the
+        * native gram hashing is sub-second on one core, so the spread
+        * exchange and the gram persist cost more in fixed stage
+        * scheduling than they save — both are skipped and AQE
+        * coalesces. Set 0 to force the spread+persist mid-size path
+        * regardless of input size (used by the plan pins).
+        */
+      tinyCorpusBytes: Long = 64L << 20,
   ): DataFrame = {
     require(window >= 2, s"dup-span window must be >= 2 tokens, got $window")
     val w = window
     val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val small = corpusBytes <= maxPersistCorpusBytes
+    val tiny = corpusBytes <= tinyCorpusBytes
     // spread BEFORE the gram projection: an under-split corpus would
     // build every gram string on one core (see Par.spread)
-    val docsIn = graft.sources.Par.spread(docs)
+    val docsIn = if (tiny) docs else graft.sources.Par.spread(docs)
     val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
     val base = docsIn.select(
       col(idCol).as("doc_id"),
@@ -294,7 +303,10 @@ object Dedup {
     val windowsRaw = base
       .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
-    val windows = if (small) windowsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else windowsRaw
+    val windows =
+      if (small && !tiny)
+        windowsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else windowsRaw
     val dupHashesRaw = windows
       .groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
@@ -305,8 +317,15 @@ object Dedup {
     // one computation of the gram aggregation, then broadcast iff it
     // fits. Without the gate the r9 shape shuffled the gram stream
     // twice (count + probe) and tripled small-scale wall time.
+    // bytes fast path (see dedupParagraphs): duplicated-gram hashes
+    // are bounded by total grams ≈ corpus bytes / ~5 B-per-token, so
+    // under cap·5 bytes the set cannot exceed the broadcast cap —
+    // broadcast with no count job; the build folds into the
+    // broadcast exchange itself
+    val certainlyFew = corpusBytes <= BigInt(maxBroadcastDupHashes) * 5
     val dupHashes =
       if (maxBroadcastDupHashes <= 0L) dupHashesRaw
+      else if (certainlyFew) broadcast(dupHashesRaw)
       else {
         val cached = dupHashesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (cached.count() <= maxBroadcastDupHashes) broadcast(cached) else cached

@@ -482,9 +482,28 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("Join"), "the pair-materializing join must be gone")
   }
 
+  test("dup spans, tiny corpus: broadcast semi-join, no persist, no spread exchange") {
+    spark.catalog.clearCache()
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // default gates: a sub-64MB corpus takes the tiny path — dup
+    // hashes broadcast with no count job, gram stream recomputed from
+    // lineage (cheaper than the persist's fixed stage scheduling),
+    // no round-robin spread exchange
+    val q = graft.operators.Dedup.dupSpans(d, window = 8)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "dup hashes must BROADCAST-semi-join the gram stream on tiny corpora: " + p)
+    assert(!p.contains("InMemoryTableScan"),
+      "the tiny path must not persist the gram stream: " + p)
+    assert(!p.contains("RoundRobinPartitioning"),
+      "the tiny path must skip the spread exchange: " + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dup spans, small corpus: broadcast semi-join over a persisted gram stream") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val q = graft.operators.Dedup.dupSpans(d, window = 8)
+    // tiny gate forced off = the mid-size (64MB..2GB) shape
+    val q = graft.operators.Dedup.dupSpans(d, window = 8, tinyCorpusBytes = 0L)
     val p = q.queryExecution.executedPlan.toString
     // Small-corpus gates engaged: the dup-hash set is force-broadcast
     // (the gram probe never shuffles) and the exploded gram stream is
@@ -506,7 +525,8 @@ class ExplainSpec extends SparkSpec {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     // gates forced off = the shape that survives billions of dup grams
     val q = graft.operators.Dedup
-      .dupSpans(d, window = 8, maxBroadcastDupHashes = 0L, maxPersistCorpusBytes = 0L)
+      .dupSpans(d, window = 8, maxBroadcastDupHashes = 0L, maxPersistCorpusBytes = 0L,
+        tinyCorpusBytes = 0L)
     val p = q.queryExecution.executedPlan.toString
     // The global gram count must partial-aggregate map-side (a
     // Window.partitionBy(h) count buffers a 10^6-copy boilerplate gram
