@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler._
+
+/** Scratch diagnostic main: per-job wall/task breakdown for one
+  * operator (edit the body while tuning; not part of the contract
+  * surface). Currently wired to the incremental-dedup store build.
+  */
 object JobProbe {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -16,16 +23,27 @@ object JobProbe {
         println(f"JOB ${je.jobId}%3d  ${(System.nanoTime()-t0)/1e9}%6.3f s  tasks=$nt")
       }
     })
+    // warm the execution classes on an unrelated shape
     spark.range(0, 1000000, 1, 32).selectExpr("id % 97 AS k").groupBy("k").count()
       .write.format("noop").mode("overwrite").save()
-    val c = graft.api.TradingCols(ts = "ts_event")
-    val t = spark.read.parquet("/tmp/graft_refbench/s1000000c5u/trades.parquet")
-    // warm
-    graft.operators.Labels.dailyVol(t, span = 100, c = c).write.format("noop").mode("overwrite").save()
-    println("=== timed daily_vol ===")
-    val t0 = System.nanoTime()
-    graft.operators.Labels.dailyVol(t, span = 100, c = c).write.format("noop").mode("overwrite").save()
-    println(f"TOTAL ${(System.nanoTime()-t0)/1e9}%6.3f s")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def timed[A](label: String)(f: => A): A = {
+      println(s"=== $label ===")
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"TOTAL $label ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+      r
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft-probe-store").toString
+    timed("buildStore") {
+      operators.IncrementalDedup.buildStore(docs.where(col("doc_id") % 4 =!= 3), store)
+    }
+    timed("incrementalPairs") {
+      operators.IncrementalDedup
+        .incrementalPairs(spark, store, docs.where(col("doc_id") % 4 === 3), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

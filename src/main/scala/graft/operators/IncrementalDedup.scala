@@ -101,27 +101,51 @@ object IncrementalDedup {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): Unit = {
-    val sh = graft.sources.Checkpoint.tableGated(shingled(docs, idCol, textCol), "incr-build-sh")
+    // spread only when the corpus is big enough that hashing it on an
+    // under-split input partitioning would be a real bottleneck: the
+    // checkpoint below materializes the shingle projection on the
+    // INPUT partitioning (unlike the one-shot minhashLsh, whose lazy
+    // lineage reshuffles downstream anyway). Below the gate the
+    // exchange + task scheduling cost more than they save (A/B at
+    // sf0.01: 5.2 s -> 6.7 s with an unconditional spread); on a
+    // well-split large corpus spread is a no-op.
+    val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val docsIn = if (corpusBytes <= (64L << 20)) docs else graft.sources.Par.spread(docs)
+    val sh = graft.sources.Checkpoint.tableGated(shingled(docsIn, idCol, textCol), "incr-build-sh")
     val keyed = graft.sources.Checkpoint.tableGated(keyedOf(sh), "incr-build-keyed")
     val members = keyed
       .join(keyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
       .select(col("id"), col("rid"), col("ne"))
-    sh.write.mode("overwrite").parquet(s"$dir/shingles")
-    keyed.write.mode("overwrite").parquet(s"$dir/keyed")
-    members.write.mode("overwrite").parquet(s"$dir/members")
-    simhashOf(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/simhash")
+    // with sh/keyed pinned by the eager checkpoints above, the six
+    // table writes are independent actions — overlap them (concurrent
+    // jobs in one SparkSession share the scheduler; the repbands ->
+    // bandstats chain stays sequential inside its own future, reading
+    // the written repbands back so the band explode runs once)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val spark = docs.sparkSession
-    val mem = spark.read.parquet(s"$dir/members")
-    val repIds = mem.where(col("id") === col("rid")).select(col("id"))
-    val repbands = sigBands(sh.join(repIds, Seq("id"), "left_semi"))
-    repbands.write.mode("overwrite").parquet(s"$dir/repbands")
-    spark.read
-      .parquet(s"$dir/repbands")
-      .groupBy(col("band"))
-      .agg(count(lit(1)).as("cnt"))
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/bandstats")
+    val writes = Seq(
+      Future { sh.write.mode("overwrite").parquet(s"$dir/shingles") },
+      Future { keyed.write.mode("overwrite").parquet(s"$dir/keyed") },
+      Future { members.write.mode("overwrite").parquet(s"$dir/members") },
+      Future {
+        simhashOf(docsIn, idCol, textCol).write.mode("overwrite").parquet(s"$dir/simhash")
+      },
+      Future {
+        val repIds = members.where(col("id") === col("rid")).select(col("id"))
+        sigBands(sh.join(repIds, Seq("id"), "left_semi"))
+          .write.mode("overwrite").parquet(s"$dir/repbands")
+        spark.read
+          .parquet(s"$dir/repbands")
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("cnt"))
+          .write
+          .mode("overwrite")
+          .parquet(s"$dir/bandstats")
+      },
+    )
+    writes.foreach(Await.result(_, Duration.Inf))
   }
 
   /** The store's five tables plus the per-increment intermediates
@@ -151,8 +175,15 @@ object IncrementalDedup {
     val stMembers = spark.read.parquet(s"$dir/members")
     val stRepbands = spark.read.parquet(s"$dir/repbands")
 
-    val newSh =
-      graft.sources.Checkpoint.tableGated(shingled(newDocs, idCol, textCol), "incr-sh")
+    // NOTE: the three checkpoints below are load-bearing at EVERY
+    // scale (unlike the spread/persist tiny gates elsewhere): the
+    // regroup/band intermediates each feed 2-3 downstream branches,
+    // and an A/B with them skipped (sf0.01) grew the un-barriered
+    // plan enough that planning + recompute cost 1.5x the whole query
+    def gated(df: DataFrame, name: String): DataFrame =
+      graft.sources.Checkpoint.tableGated(df, name)
+
+    val newSh = gated(shingled(newDocs, idCol, textCol), "incr-sh")
     val newKeyed = keyedOf(newSh)
 
     // exact-dup regroup over touched hk-groups only
@@ -161,7 +192,7 @@ object IncrementalDedup {
       .join(newHks, Seq("hk"), "left_semi")
       .withColumn("__new", lit(false))
       .unionByName(newKeyed.withColumn("__new", lit(true)))
-    val touchedMembers = graft.sources.Checkpoint.tableGated(
+    val touchedMembers = gated(
       touchedKeyed
         .join(touchedKeyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
         .select(col("id"), col("rid"), col("ne"), col("__new")),
@@ -171,7 +202,7 @@ object IncrementalDedup {
     val newRepIds = touchedMembers
       .where(col("__new") && col("id") === col("rid"))
       .select(col("id"))
-    val newRepBands = graft.sources.Checkpoint.tableGated(
+    val newRepBands = gated(
       sigBands(newSh.join(newRepIds, Seq("id"), "left_semi")),
       "incr-newrepbands",
     )
