@@ -848,6 +848,30 @@ object SparkEntry {
         )
         .orderBy(col("vec_id"))
     },
+    "semantic_dedup_incremental" -> { (s, dir) =>
+      // cross-run SemDeDup: freeze the IVF index on batch 1
+      // (vec_id % 4 != 3), then dedup batch 2 against stored ∪ new —
+      // no batch-1 re-assignment; the oracle replays the
+      // frozen-centroid flow (seeds = 16 smallest batch-1 ids)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val store = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+      operators.VectorIndex
+        .buildIndex(emb.where(col("vec_id") % 4 =!= 3), store, nCells = 16, kmeansIters = 0)
+      operators.VectorIndex
+        .incrementalSemanticDedup(s, store, emb.where(col("vec_id") % 4 === 3), threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+    "ann_incr_topk" -> { (s, dir) =>
+      // cross-run IVF serving: batch-2 queries against the frozen
+      // batch-1 index plus the batch itself, probes partition-pruned
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val store = java.nio.file.Files.createTempDirectory("graft-vidx-topk").toString
+      operators.VectorIndex
+        .buildIndex(emb.where(col("vec_id") % 4 =!= 3), store, nCells = 16, kmeansIters = 0)
+      operators.VectorIndex
+        .incrementalTopK(s, store, emb.where(col("vec_id") % 4 === 3), nQueries = 10, k = 10, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    },
     "multimodal_meta" -> { (s, dir) =>
       Multimodal
         .metadata(Multimodal.attachPayload(s.read.parquet(s"$dir/documents.parquet")))
@@ -3418,6 +3442,59 @@ object SparkEntry {
          |       d.dup_of, d.max_sim
          |FROM assign av LEFT JOIN dups d ON d.id = av.id
          |ORDER BY av.id""".stripMargin,
+    "semantic_dedup_incremental" ->
+      // frozen-centroid replay: seeds = the 16 smallest BATCH-1 ids,
+      // every vector (old and new) assigned against those centroids,
+      // pair b-side restricted to the new batch
+      s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS nv FROM embeddings),
+         |cents AS (SELECT id AS cent_id, nv AS cv FROM nv WHERE id % 4 != 3 ORDER BY id LIMIT 16),
+         |assign AS (
+         |  SELECT id, nv, cent_id AS cell FROM (
+         |    SELECT nv.id, nv.nv, c.cent_id,
+         |           row_number() OVER (PARTITION BY nv.id
+         |                              ORDER BY ${dotNormSql("nv.nv", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM nv, cents c)
+         |  WHERE r = 1),
+         |dups AS (
+         |  SELECT bid AS id, min(aid) AS dup_of, max(s) AS max_sim FROM (
+         |    SELECT a.id AS aid, b.id AS bid, ${dotNormSql("a.nv", "b.nv")} AS s
+         |    FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.id < b.id AND b.id % 4 = 3) p
+         |  WHERE s >= 0.3 GROUP BY bid)
+         |SELECT av.id AS vec_id, av.cell,
+         |       CAST(d.dup_of IS NOT NULL AS INTEGER) AS is_dup,
+         |       d.dup_of, d.max_sim
+         |FROM assign av LEFT JOIN dups d ON d.id = av.id
+         |WHERE av.id % 4 = 3
+         |ORDER BY av.id""".stripMargin,
+    "ann_incr_topk" ->
+      // frozen batch-1 centroids; corpus = all vectors (batch 1 at
+      // build time + batch 2 at query time, same assignment tree);
+      // queries = the 10 smallest batch-2 ids
+      s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS nv FROM embeddings),
+         |cents AS (SELECT id AS cent_id, nv AS cv FROM nv WHERE id % 4 != 3 ORDER BY id LIMIT 16),
+         |assign AS (
+         |  SELECT id, nv, cent_id AS cell FROM (
+         |    SELECT nv.id, nv.nv, c.cent_id,
+         |           row_number() OVER (PARTITION BY nv.id
+         |                              ORDER BY ${dotNormSql("nv.nv", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM nv, cents c)
+         |  WHERE r = 1),
+         |qsel AS (SELECT id, nv FROM nv WHERE id % 4 = 3 ORDER BY id LIMIT 10),
+         |qprobe AS (
+         |  SELECT id AS query_id, nv AS qv, cent_id AS cell FROM (
+         |    SELECT q.id, q.nv, c.cent_id,
+         |           row_number() OVER (PARTITION BY q.id
+         |                              ORDER BY ${dotNormSql("q.nv", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM qsel q, cents c)
+         |  WHERE r <= 4),
+         |scored AS (
+         |  SELECT q.query_id, a.id AS neighbor_id, ${dotNormSql("q.qv", "a.nv")} AS score
+         |  FROM assign a JOIN qprobe q ON a.cell = q.cell AND a.id != q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
     "multimodal_meta" ->
       s"""WITH m AS (
          |  SELECT doc_id, 'application/octet-' || source AS mime, encode(text) AS content

@@ -47,7 +47,7 @@ object Similarity {
     * row, not per element). Cosine of normalized vectors = plain dot
     * — 3x fewer dot products in pair joins.
     */
-  private def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+  private[operators] def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
       .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__nrm")))
       .drop("__nrm")
@@ -279,7 +279,7 @@ object Similarity {
     * centroid (broadcast join + max_by partial agg), average members
     * per cell per dimension, re-normalize the means onto the sphere.
     */
-  private def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = nv
       .join(broadcast(cents), lit(true))
       .withColumn("cs", dotNorm(col("nv"), col("cv")))

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.operators.VectorIndex
+
+/** Streaming twin of [[graft.operators.VectorIndex]] ingest: new
+  * embedding batches arrive on a stream and join the frozen-centroid
+  * store continuously.
+  *
+  * Two entry points, matching the two deployment shapes:
+  *
+  *  - [[assigned]] — a STATELESS streaming transform: per-row
+  *    nearest-centroid assignment with the store's frozen centroids
+  *    inlined as a literal (collected once at plan time, bounded by
+  *    [[maxInlineCells]]). No aggregation, no state, any sink/output
+  *    mode; the argmax replays the batch `max_by(cent_id,
+  *    struct(cs, -cent_id))` ordering comparison-for-comparison, so
+  *    a vector gets the IDENTICAL cell in both modes (pinned).
+  *  - [[ingest]] — the store writer: `foreachBatch` delegating each
+  *    micro-batch to [[VectorIndex.appendIndex]], i.e. the exact
+  *    batch code path (broadcast argmax + cell-partitioned append) —
+  *    the standard Structured Streaming shape for batch-only sinks.
+  *    The streamed store is file-identical in content to batch
+  *    appends of the same rows.
+  *
+  * Ordering contract: assignment is per-row (no cross-row state), so
+  * ANY arrival order produces the same store contents — unlike the
+  * bar/CSW streaming operators there is no ordered-arrival caveat.
+  * Ids must be globally unique across the stream's lifetime (the
+  * [[VectorIndex]] ingest invariant; replays after a sink failure
+  * are idempotent only at the micro-batch level parquet append
+  * provides).
+  */
+object StreamingVectorIndex {
+
+  /** Inline-literal cap for [[assigned]]: 4096 cells × 64 dims ≈
+    * 2 MB of plan literals — the same bound as
+    * [[graft.operators.Similarity.directAssignMax]]. Larger indexes
+    * should ingest via [[ingest]] (whose broadcast join has no such
+    * cap) and run queries batch-side.
+    */
+  val maxInlineCells = 4096
+
+  /** (id, nv, cell) for a streaming embedding frame, assigned
+    * against the store's frozen centroids. Stateless — usable in
+    * append mode with any downstream sink, or composed with further
+    * per-row logic (e.g. an online near-dup flag against a static
+    * sample).
+    */
+  def assigned(
+      spark: SparkSession,
+      dir: String,
+      stream: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val cents = spark.read
+      .parquet(s"$dir/centroids")
+      .orderBy(col("cent_id"))
+      .collect()
+      .map { r => (r.getLong(0), r.getSeq[Double](1)) }
+    require(
+      cents.length <= maxInlineCells,
+      s"${cents.length} cells exceed the $maxInlineCells inline cap — use ingest()/appendIndex",
+    )
+    val centsLit = typedLit(cents.toSeq)
+    val nv = VectorIndex.normalized(stream, idCol, vecCol)
+    // per-row argmax over the literal centroid array: max of
+    // struct(score, -cent_id) is the same lexicographic comparison
+    // as the batch max_by ordering (highest cosine, then SMALLEST
+    // centroid id), evaluated on identical doubles
+    nv.select(
+      col("id"),
+      col("nv"),
+      (-array_max(
+        transform(
+          centsLit,
+          c =>
+            struct(
+              graft.functions.VectorExprs.dotNative(c.getField("_2"), col("nv")).as("s"),
+              (-c.getField("_1")).as("nid"),
+            ),
+        )
+      ).getField("nid")).as("cell"),
+    )
+  }
+
+  /** Continuous store ingest: every micro-batch runs the batch
+    * [[VectorIndex.appendIndex]] (same assignment tree, same
+    * cell-partitioned append). Start with any trigger;
+    * `Trigger.AvailableNow` drains a backlog and stops.
+    */
+  def ingest(
+      spark: SparkSession,
+      dir: String,
+      stream: DataFrame,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        VectorIndex.appendIndex(spark, dir, batch, idCol, vecCol)
+      }
+}

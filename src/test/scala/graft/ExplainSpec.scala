@@ -568,4 +568,29 @@ class ExplainSpec extends SparkSpec {
       p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("vector index: probe and dedup scans dynamically prune the cell partitions") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-vidx-explain").toString
+    graft.operators.VectorIndex
+      .buildIndex(emb.where(col("vec_id") < 80), store, nCells = 16, kmeansIters = 0)
+    // the store write is cell-partitioned, so the topk probe's store
+    // scan must carry a dynamic PartitionFilter on cell (reads only
+    // the probed cells' directories at any corpus size); same for the
+    // dedup pair join's store side (the new batch's touched cells)
+    val pTopk = graft.operators.VectorIndex
+      .incrementalTopK(spark, store, emb.where(col("vec_id") >= 80), nQueries = 5, k = 7, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(pTopk.contains("dynamicpruningexpression"),
+      "topk store scan must dynamically prune cell partitions: " + pTopk)
+    // the only nested-loop product allowed is the bounded
+    // query × centroid probe (nQueries·nCells rows); the corpus-side
+    // assignment is checkpointed out of the visible plan
+    assert(!pTopk.contains("CartesianProduct"), pTopk)
+    val pDedup = graft.operators.VectorIndex
+      .incrementalSemanticDedup(spark, store, emb.where(col("vec_id") >= 80), threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!pDedup.contains("CartesianProduct") && !pDedup.contains("BroadcastNestedLoopJoin"), pDedup)
+  }
 }

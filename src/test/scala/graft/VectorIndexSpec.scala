@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, VectorIndex}
+
+class VectorIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def tempStore(): String =
+    java.nio.file.Files.createTempDirectory("graft-vidx-spec").toString
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  // B1 holds every id below the split, so the one-shot union seeds
+  // (its 16 smallest ids) all lie in B1 and the frozen store
+  // centroids EQUAL the one-shot's — the exactness contract's
+  // precondition (see VectorIndex scaladoc)
+  private val split = 80L
+
+  test("incremental semantic dedup == one-shot over the union, restricted to the new batch") {
+    val store = tempStore()
+    VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
+    val incr = VectorIndex
+      .incrementalSemanticDedup(spark, store, emb.where(col("vec_id") >= split), threshold = 0.3)
+      .orderBy(col("vec_id"))
+    val oneShot = Similarity
+      .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
+      .where(col("vec_id") >= split)
+      .orderBy(col("vec_id"))
+    val a = rows(incr)
+    val b = rows(oneShot)
+    assert(a.nonEmpty && a == b) // bit-equal cells, dup_of and cosines
+  }
+
+  test("chained append: increment after appendIndex still equals the one-shot union") {
+    val store = tempStore()
+    val mid = 40L
+    VectorIndex.buildIndex(emb.where(col("vec_id") < mid), store, nCells = 16, kmeansIters = 0)
+    VectorIndex
+      .appendIndex(spark, store, emb.where(col("vec_id") >= mid && col("vec_id") < split))
+    val incr = VectorIndex
+      .incrementalSemanticDedup(spark, store, emb.where(col("vec_id") >= split), threshold = 0.3)
+      .orderBy(col("vec_id"))
+    val oneShot = Similarity
+      .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
+      .where(col("vec_id") >= split)
+      .orderBy(col("vec_id"))
+    assert(rows(incr) == rows(oneShot))
+  }
+
+  test("appended vectors land in the frozen-centroid cells (store == one-shot assignment)") {
+    val store = tempStore()
+    VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
+    VectorIndex.appendIndex(spark, store, emb.where(col("vec_id") >= split))
+    val stored = spark.read
+      .parquet(s"$store/vectors")
+      .select(col("id"), col("cell").cast("long").as("cell"))
+    val expected = Similarity
+      .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
+      .select(col("vec_id").as("id"), col("cell"))
+    assert(stored.count() == emb.count())
+    assert(rows(stored.orderBy("id")) == rows(expected.orderBy("id")))
+    // the layout a probe can prune: one directory per cell
+    val dirs = new java.io.File(s"$store/vectors").listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("cell=")))
+  }
+
+  test("incremental top-k: ranks dense 1..k, scores non-increasing, deterministic") {
+    val store = tempStore()
+    VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
+    val run1 = VectorIndex
+      .incrementalTopK(spark, store, emb.where(col("vec_id") >= split), nQueries = 5, k = 7, nProbe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+    val r1 = rows(run1)
+    assert(r1.nonEmpty)
+    // queries are the 5 smallest new-batch ids
+    val qids = r1.map(_.head.asInstanceOf[Long]).distinct.sorted
+    assert(qids == (split until split + 5).toSeq)
+    r1.groupBy(_.head).foreach { case (_, g) =>
+      val ranks = g.map(_(2).asInstanceOf[Int])
+      assert(ranks == (1 to ranks.max).toList)
+      val scores = g.sortBy(_(2).asInstanceOf[Int]).map(_(3).asInstanceOf[Double])
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    val run2 = VectorIndex
+      .incrementalTopK(spark, store, emb.where(col("vec_id") >= split), nQueries = 5, k = 7, nProbe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+    assert(r1 == rows(run2))
+  }
+}
