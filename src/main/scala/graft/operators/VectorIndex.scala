@@ -118,12 +118,29 @@ object VectorIndex {
       "vidx-cents",
     )
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    assignCells(nv, cents)
-      .write
-      .mode("overwrite")
+    writeVectors(assignCells(nv, cents), dir, "overwrite", isTiny(emb))
+  }
+
+  /** Cell-partitioned vector write. Above the tiny gate it is
+    * pre-shuffled ON the partition column: without that, every
+    * upstream task opens a file per cell it sees — tasks × cells
+    * files (millions at √N cells); with it each cell's rows land in
+    * one task (IVF cells are size-balanced by construction, so the
+    * per-cell task bound is ~corpus/cells). Below the gate AQE has
+    * already coalesced the upstream to a handful of tasks, the file
+    * count is bounded by tasks × cells ≈ cells, and the extra
+    * exchange costs more than it saves (A/B: +0.5 s at sf0.001).
+    */
+  private def writeVectors(assigned: DataFrame, dir: String, mode: String, tiny: Boolean): Unit = {
+    val out = if (tiny) assigned else assigned.repartition(col("cell"))
+    out.write
+      .mode(mode)
       .partitionBy("cell")
       .parquet(s"$dir/vectors")
   }
+
+  private def isTiny(input: DataFrame): Boolean =
+    input.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
 
   /** Assigns a new batch to the STORED centroids and appends it to
     * the vector table — the whole increment is one map-side pass over
@@ -139,11 +156,7 @@ object VectorIndex {
       vecCol: String = "embedding",
   ): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    assignCells(normalized(newEmb, idCol, vecCol), cents)
-      .write
-      .mode("append")
-      .partitionBy("cell")
-      .parquet(s"$dir/vectors")
+    writeVectors(assignCells(normalized(newEmb, idCol, vecCol), cents), dir, "append", isTiny(newEmb))
   }
 
   /** SemDeDup status of a NEW batch against the store: each new
