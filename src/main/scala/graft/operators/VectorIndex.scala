@@ -54,19 +54,61 @@ import graft.operators.Similarity.{dotNorm, kmeansRound, withNormalized}
   */
 object VectorIndex {
 
-  /** Nearest-centroid cell per vector (broadcast argmax; smallest
-    * cent_id tiebreak — the same tree as the one-shot assignment, so
-    * stored and freshly-assigned cells are bit-comparable).
+  /** Inline-argmax cap: 4096 cells × 64 dims ≈ 2 MB of plan
+    * literals (the [[Similarity.directAssignMax]] bound). Below it
+    * assignment is a PER-ROW argmax over the centroid array — no
+    * join, no aggregation, one tight codegen'd pass; the
+    * broadcast-join + max_by form (kept above the cap) pays the
+    * ObjectHashAggregate fallback (`first(nv)` + struct-keyed
+    * max_by pin it off codegen) over N × cells intermediate rows —
+    * measured 23.6 s vs 2.9 s for 200k × 781 on local[32].
     */
-  private def assignCells(nv: DataFrame, cents: DataFrame): DataFrame =
-    nv.join(broadcast(cents), lit(true))
-      .withColumn("cs", dotNorm(col("nv"), col("cv")))
-      .groupBy(col("id"))
-      .agg(
-        first(col("nv")).as("nv"),
-        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+  private[graft] val maxInlineCells = 4096
+
+  /** cell = argmax over `cents` of struct(cosine, -cent_id): max of
+    * the struct is the same lexicographic comparison as the join
+    * form's `max_by(cent_id, struct(cs, -cent_id))` ordering —
+    * highest cosine, then SMALLEST centroid id — evaluated on
+    * identical doubles, so the two forms are bit-equal (pinned).
+    */
+  private[graft] def inlineCellExpr(
+      cents: Seq[(Long, Seq[Double])],
+      nv: org.apache.spark.sql.Column,
+  ): org.apache.spark.sql.Column =
+    -array_max(
+      transform(
+        typedLit(cents),
+        c =>
+          struct(
+            graft.functions.VectorExprs.dotNative(c.getField("_2"), nv).as("s"),
+            (-c.getField("_1")).as("nid"),
+          ),
       )
-      .select(col("id"), col("nv"), col("cell"))
+    ).getField("nid")
+
+  /** Nearest-centroid cell per vector, smallest-cent_id tiebreak.
+    * ≤ [[maxInlineCells]] centroids (every √N index up to a 16M-row
+    * corpus, and all stores this library builds by default at
+    * ≤ 65536 cells for ≤ 4·10^9 rows — above 4096 cells the collect
+    * falls back to the join) inline as a literal; the fallback is
+    * the broadcast-join + max_by form.
+    */
+  private def assignCells(nv: DataFrame, cents: DataFrame): DataFrame = {
+    val local = cents.take(maxInlineCells + 1)
+    if (local.length <= maxInlineCells) {
+      val arr: Seq[(Long, Seq[Double])] =
+        local.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      nv.select(col("id"), col("nv"), inlineCellExpr(arr, col("nv")).as("cell"))
+    } else
+      nv.join(broadcast(cents), lit(true))
+        .withColumn("cs", dotNorm(col("nv"), col("cv")))
+        .groupBy(col("id"))
+        .agg(
+          first(col("nv")).as("nv"),
+          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+        )
+        .select(col("id"), col("nv"), col("cell"))
+  }
 
   /** `cell` comes back as a partition column (directory value) —
     * type it BIGINT via an explicit read schema rather than a cast:
@@ -118,29 +160,29 @@ object VectorIndex {
       "vidx-cents",
     )
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    writeVectors(assignCells(nv, cents), dir, "overwrite", isTiny(emb))
+    writeVectors(assignCells(nv, cents), dir, "overwrite", cells.toLong)
   }
 
-  /** Cell-partitioned vector write. Above the tiny gate it is
-    * pre-shuffled ON the partition column: without that, every
-    * upstream task opens a file per cell it sees — tasks × cells
-    * files (millions at √N cells); with it each cell's rows land in
-    * one task (IVF cells are size-balanced by construction, so the
-    * per-cell task bound is ~corpus/cells). Below the gate AQE has
-    * already coalesced the upstream to a handful of tasks, the file
-    * count is bounded by tasks × cells ≈ cells, and the extra
-    * exchange costs more than it saves (A/B: +0.5 s at sf0.001).
+  /** Cell-partitioned vector write, pre-shuffled ON the partition
+    * column above 64 cells: without the shuffle every upstream task
+    * writes a file per cell it sees — tasks × cells files plus a
+    * per-file open/footer cost that DOMINATES the write (measured
+    * 79 s vs 16 s for 200k rows × 781 cells on local[32]; at √N
+    * cells on a real corpus it is millions of files). With it each
+    * cell's rows land in one task (IVF cells are size-balanced by
+    * construction, so the per-cell bound is ~corpus/cells). At ≤ 64
+    * cells the file count is bounded by 64 × tasks and the extra
+    * exchange costs more than it saves (A/B: +0.5 s at 16 cells,
+    * sf0.001). The gate is CELL count, not bytes — the file
+    * explosion scales with cells × tasks regardless of corpus size.
     */
-  private def writeVectors(assigned: DataFrame, dir: String, mode: String, tiny: Boolean): Unit = {
-    val out = if (tiny) assigned else assigned.repartition(col("cell"))
+  private def writeVectors(assigned: DataFrame, dir: String, mode: String, nCells: Long): Unit = {
+    val out = if (nCells <= 64) assigned else assigned.repartition(col("cell"))
     out.write
       .mode(mode)
       .partitionBy("cell")
       .parquet(s"$dir/vectors")
   }
-
-  private def isTiny(input: DataFrame): Boolean =
-    input.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
 
   /** Assigns a new batch to the STORED centroids and appends it to
     * the vector table — the whole increment is one map-side pass over
@@ -156,7 +198,7 @@ object VectorIndex {
       vecCol: String = "embedding",
   ): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    writeVectors(assignCells(normalized(newEmb, idCol, vecCol), cents), dir, "append", isTiny(newEmb))
+    writeVectors(assignCells(normalized(newEmb, idCol, vecCol), cents), dir, "append", cents.count())
   }
 
   /** SemDeDup status of a NEW batch against the store: each new

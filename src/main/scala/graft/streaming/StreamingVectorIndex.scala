@@ -43,7 +43,7 @@ object StreamingVectorIndex {
     * should ingest via [[ingest]] (whose broadcast join has no such
     * cap) and run queries batch-side.
     */
-  val maxInlineCells = 4096
+  val maxInlineCells: Int = graft.operators.VectorIndex.maxInlineCells
 
   /** (id, nv, cell) for a streaming embedding frame, assigned
     * against the store's frozen centroids. Stateless — usable in
@@ -67,26 +67,15 @@ object StreamingVectorIndex {
       cents.length <= maxInlineCells,
       s"${cents.length} cells exceed the $maxInlineCells inline cap — use ingest()/appendIndex",
     )
-    val centsLit = typedLit(cents.toSeq)
-    val nv = VectorIndex.normalized(stream, idCol, vecCol)
-    // per-row argmax over the literal centroid array: max of
-    // struct(score, -cent_id) is the same lexicographic comparison
-    // as the batch max_by ordering (highest cosine, then SMALLEST
-    // centroid id), evaluated on identical doubles
-    nv.select(
-      col("id"),
-      col("nv"),
-      (-array_max(
-        transform(
-          centsLit,
-          c =>
-            struct(
-              graft.functions.VectorExprs.dotNative(c.getField("_2"), col("nv")).as("s"),
-              (-c.getField("_1")).as("nid"),
-            ),
-        )
-      ).getField("nid")).as("cell"),
-    )
+    // the same inline argmax the batch assignment uses below its own
+    // inline cap — identical cells by construction
+    VectorIndex
+      .normalized(stream, idCol, vecCol)
+      .select(
+        col("id"),
+        col("nv"),
+        VectorIndex.inlineCellExpr(cents.toSeq, col("nv")).as("cell"),
+      )
   }
 
   /** Continuous store ingest: every micro-batch runs the batch
