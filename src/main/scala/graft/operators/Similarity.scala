@@ -242,21 +242,10 @@ object Similarity {
       .select(col("id"), col("nv"))
     val seed = nv.where(col("id") < cells).select(col("id").as("cent_id"), col("nv").as("cv"))
     val cents = (0 until kmeansIters).foldLeft(seed) { (c, _) => kmeansRound(nv, c) }
-    // cell assignment: nearest centroid by cosine (deterministic
-    // tiebreak on the SMALLEST centroid id, hence -cent_id in the
-    // ordering struct). groupBy + max_by gets partial map-side
-    // aggregation — one row per vector enters the exchange; the
-    // row_number window formulation would sort-shuffle all N×nCells
-    // scored rows.
-    val assigned = nv
-      .join(broadcast(cents), lit(true))
-      .withColumn("cs", dotNorm(col("nv"), col("cv")))
-      .groupBy(col("id"))
-      .agg(
-        first(col("nv")).as("nv"),
-        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
-      )
-      .select(col("id"), col("nv"), col("cell"))
+    // cell assignment: nearest centroid by cosine with the SMALLEST
+    // centroid id tiebreak — per-row inline argmax at ≤4096 cells
+    // (see assignToCells), the join + max_by partial-agg form above
+    val assigned = assignToCells(nv, cents)
     // queries probe their nProbe nearest cells
     val qProbe = nv
       .where(col("id") < nQueries)
@@ -279,6 +268,35 @@ object Similarity {
     * centroid (broadcast join + max_by partial agg), average members
     * per cell per dimension, re-normalize the means onto the sphere.
     */
+  /** Final nearest-centroid assignment, smallest-cent_id tiebreak.
+    * At ≤ [[VectorIndex.maxInlineCells]] centroids the cell is a
+    * PER-ROW argmax over the collected centroid array inlined as a
+    * plan literal ([[VectorIndex.inlineCellExpr]]) — no join, no
+    * aggregation, whole-stage codegen; the broadcast-join +
+    * `max_by(struct)` + `first(nv)` form (kept above the cap, where
+    * the literal would bloat the plan) pays the ObjectHashAggregate
+    * fallback over N × cells intermediate rows — measured 23.6 s vs
+    * 2.9 s for 200k vectors × 781 cells (SURVEY §6j). Both forms run
+    * the same double comparisons, so cells are bit-equal (pinned in
+    * VectorIndexSpec / StreamingVectorIndexSpec).
+    */
+  private[operators] def assignToCells(nv: DataFrame, cents: DataFrame): DataFrame = {
+    val local = cents.take(VectorIndex.maxInlineCells + 1)
+    if (local.length <= VectorIndex.maxInlineCells) {
+      val arr: Seq[(Long, Seq[Double])] =
+        local.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      nv.select(col("id"), col("nv"), VectorIndex.inlineCellExpr(arr, col("nv")).as("cell"))
+    } else
+      nv.join(broadcast(cents), lit(true))
+        .withColumn("cs", dotNorm(col("nv"), col("cv")))
+        .groupBy(col("id"))
+        .agg(
+          first(col("nv")).as("nv"),
+          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
+        )
+        .select(col("id"), col("nv"), col("cell"))
+  }
+
   private[operators] def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
     val assigned = nv
       .join(broadcast(cents), lit(true))
@@ -405,14 +423,7 @@ object Similarity {
           nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
         ) { (c, _) => kmeansRound(nv, c) }
         graft.sources.Checkpoint.tableGated(
-          nv.join(broadcast(cents), lit(true))
-            .withColumn("cs", dotNorm(col("nv"), col("cv")))
-            .groupBy(col("id"))
-            .agg(
-              first(col("nv")).as("nv"),
-              max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
-            )
-            .select(col("id"), col("nv"), col("cell")),
+          assignToCells(nv, cents),
           "semdedup-assign",
         )
       } else twoLevelAssign(nv, cells, kmeansIters)

@@ -86,29 +86,12 @@ object VectorIndex {
       )
     ).getField("nid")
 
-  /** Nearest-centroid cell per vector, smallest-cent_id tiebreak.
-    * ≤ [[maxInlineCells]] centroids (every √N index up to a 16M-row
-    * corpus, and all stores this library builds by default at
-    * ≤ 65536 cells for ≤ 4·10^9 rows — above 4096 cells the collect
-    * falls back to the join) inline as a literal; the fallback is
-    * the broadcast-join + max_by form.
+  /** Nearest-centroid cell per vector, smallest-cent_id tiebreak —
+    * the shared [[Similarity.assignToCells]] (inline argmax at
+    * ≤ [[maxInlineCells]], broadcast-join + max_by above it).
     */
-  private def assignCells(nv: DataFrame, cents: DataFrame): DataFrame = {
-    val local = cents.take(maxInlineCells + 1)
-    if (local.length <= maxInlineCells) {
-      val arr: Seq[(Long, Seq[Double])] =
-        local.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-      nv.select(col("id"), col("nv"), inlineCellExpr(arr, col("nv")).as("cell"))
-    } else
-      nv.join(broadcast(cents), lit(true))
-        .withColumn("cs", dotNorm(col("nv"), col("cv")))
-        .groupBy(col("id"))
-        .agg(
-          first(col("nv")).as("nv"),
-          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
-        )
-        .select(col("id"), col("nv"), col("cell"))
-  }
+  private def assignCells(nv: DataFrame, cents: DataFrame): DataFrame =
+    Similarity.assignToCells(nv, cents)
 
   /** `cell` comes back as a partition column (directory value) —
     * type it BIGINT via an explicit read schema rather than a cast:

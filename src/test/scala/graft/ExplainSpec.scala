@@ -223,12 +223,16 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
-  test("ivf cell assignment is a partial aggregation, not a window sort") {
+  test("ivf cell assignment is an inline per-row argmax, nothing object-aggregated") {
     val p = plan("ann_ivf_topk")
-    // nearest-centroid via max_by gets map-side combine: one row per
-    // vector enters the exchange, instead of sort-shuffling N×nCells
-    // scored rows through a row_number window
-    assert(p.contains("partial_max_by") || p.contains("partial_maxby"), p)
+    // ≤4096 cells: nearest-centroid is a per-row argmax over the
+    // inlined centroid literal — no corpus × centroid join, no
+    // ObjectHashAggregate (the old max_by(struct) + first(nv) agg
+    // demoted the whole aggregation off whole-stage codegen)
+    // (the one remaining nested-loop product is the bounded
+    // query × centroid probe, nQueries·nCells rows)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("partial_max_by"), p)
   }
 
   test("microstructure moments aggregate with a map-side partial phase") {
