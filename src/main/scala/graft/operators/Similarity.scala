@@ -298,14 +298,10 @@ object Similarity {
   }
 
   private[operators] def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = nv
-      .join(broadcast(cents), lit(true))
-      .withColumn("cs", dotNorm(col("nv"), col("cv")))
-      .groupBy(col("id"))
-      .agg(
-        first(col("nv")).as("nv"),
-        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
-      )
+    // the shared assignment (inline argmax ≤4096 cells — each round's
+    // N × cells object-agg was the dominant k-means cost); identical
+    // cells, so refined centroids are bit-equal to the old form
+    val assigned = assignToCells(nv, cents)
     val means = assigned
       .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
