@@ -220,6 +220,18 @@ object SparkEntry {
         .realizedVol(TradeData.fromEvents(s, dir))
         .orderBy(col("symbol"), col("date"))
     },
+    "hasbrouck_lambda" -> { (s, dir) =>
+      operators.Microstructure
+        .hasbrouck(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
+    "becker_parkinson" -> { (s, dir) =>
+      operators.Microstructure
+        .beckerParkinson(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "bet_size" -> { (s, dir) =>
       // AFML ch.10 sizing over sampled events; prob/side are
       // md5-derived deterministic stand-ins for a fitted model's
@@ -980,6 +992,13 @@ object SparkEntry {
     "quality_classifier" -> { (s, dir) =>
       TextAnalysis
         .classifierScore(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id"))
+    },
+    "dsir_weights" -> { (s, dir) =>
+      // DSIR importance weights toward the English subset as the
+      // target distribution (lang is a real column of documents)
+      operators.Dsir
+        .weights(s.read.parquet(s"$dir/documents.parquet"), isTarget = col("lang") === "en")
         .orderBy(col("doc_id"))
     },
     "decontaminate" -> { (s, dir) =>
@@ -2582,6 +2601,71 @@ object SparkEntry {
          |            THEN -ln(2.0) / ln(1.0 + ou_beta) END AS ou_half_life
          |FROM o
          |ORDER BY symbol, date""".stripMargin,
+    // Hasbrouck lambda: tick-rule-signed sqrt dollar volume quantized
+    // to integer hundredths, through-origin BIGINT moments; the
+    // 100·Σxy/Σx² division is the only FP step
+    "hasbrouck_lambda" ->
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id, size,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS rn
+         |  FROM trades),
+         |d1 AS (
+         |  SELECT *, pc - lag(pc) OVER (PARTITION BY symbol, date ORDER BY rn) AS d
+         |  FROM b),
+         |d2 AS (
+         |  SELECT *,
+         |         coalesce(last_value(CASE WHEN d != 0 THEN CAST(sign(d) AS BIGINT) END IGNORE NULLS)
+         |                  OVER (PARTITION BY symbol, date ORDER BY rn ROWS UNBOUNDED PRECEDING),
+         |                  CAST(1 AS BIGINT)) AS sgn
+         |  FROM d1),
+         |xv AS (
+         |  SELECT *, sgn * CAST(round(sqrt(CAST(pc * size AS DOUBLE)) * 100.0) AS BIGINT) AS x
+         |  FROM d2),
+         |m AS (
+         |  SELECT symbol, date,
+         |         CAST(count(d) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN x * d END) AS BIGINT) AS sxy,
+         |         CAST(sum(CASE WHEN d IS NOT NULL THEN x * x END) AS BIGINT) AS sxx
+         |  FROM xv GROUP BY symbol, date)
+         |SELECT symbol, CAST(date AS VARCHAR) AS date, n AS n_deltas,
+         |       CASE WHEN n > 0 AND sxx != 0
+         |            THEN 100.0 * CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE)
+         |       END AS hasbrouck_lambda
+         |FROM m
+         |ORDER BY symbol, date""".stripMargin,
+    // Becker-Parkinson sigma: the corwin_schultz beta/gamma CTEs plus
+    // the op-for-op sigma tree (constants interpolated as the same
+    // IEEE doubles the Spark plan embeds)
+    "becker_parkinson" -> {
+      val k2 = math.sqrt(8.0 / math.Pi)
+      val den = 3.0 - 2.0 * math.sqrt(2.0)
+      val c1 = 1.0 / math.sqrt(2.0) - 1.0
+      val k2den = k2 * den
+      val k2sqden = k2 * k2 * den
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date,
+         |         CAST(round(price * 100) AS BIGINT) AS pc
+         |  FROM trades),
+         |d AS (SELECT symbol, date, max(pc) AS hc, min(pc) AS lc FROM b GROUP BY symbol, date),
+         |p AS (
+         |  SELECT *, lag(hc) OVER (PARTITION BY symbol ORDER BY date) AS hp,
+         |            lag(lc) OVER (PARTITION BY symbol ORDER BY date) AS lp
+         |  FROM d),
+         |q AS (
+         |  SELECT symbol, date,
+         |         ln(CAST(hc AS DOUBLE) / CAST(lc AS DOUBLE)) AS r0,
+         |         ln(CAST(hp AS DOUBLE) / CAST(lp AS DOUBLE)) AS r1,
+         |         ln(CAST(greatest(hc, hp) AS DOUBLE) / CAST(least(lc, lp) AS DOUBLE)) AS rg
+         |  FROM p WHERE hp IS NOT NULL),
+         |e AS (SELECT symbol, date, r0 * r0 + r1 * r1 AS beta, rg * rg AS gamma FROM q)
+         |SELECT symbol, CAST(date AS VARCHAR) AS date, beta, gamma,
+         |       greatest($c1 * sqrt(beta) / $k2den + sqrt(gamma / $k2sqden), 0.0) AS bp_sigma
+         |FROM e
+         |ORDER BY symbol, date""".stripMargin
+    },
     // Bet sizing: identical md5 prob/side derivation, then the same
     // Abramowitz-Stegun erf polynomial (Horner order preserved)
     "bet_size" ->
@@ -3793,6 +3877,38 @@ object SparkEntry {
          |       CASE WHEN a.n IS NULL THEN 0.5
          |            ELSE 1.0 / (1.0 + exp(-(CAST(a.wsum - a.n * 2147483648 AS DOUBLE) / CAST(a.n * 2147483648 AS DOUBLE))))
          |       END AS score
+         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // DSIR importance weights: per-bucket add-one log-likelihood
+    // ratio (target = lang 'en') quantized once to integer
+    // nano-units, per-doc BIGINT sum, deterministic md5 Gumbel key
+    "dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, lang, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
+         |x AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(gl) AS gram FROM g),
+         |hb AS (
+         |  SELECT doc_id, tgt,
+         |         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+         |  FROM x),
+         |bs AS (
+         |  SELECT b,
+         |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+         |         CAST(count(*) AS BIGINT) AS rcnt
+         |  FROM hb GROUP BY b),
+         |tt AS (SELECT CAST(sum(tcnt) AS BIGINT) AS t_total, CAST(sum(rcnt) AS BIGINT) AS r_total FROM bs),
+         |llr AS (
+         |  SELECT b,
+         |         CAST(round((ln(CAST(tcnt + 1 AS DOUBLE) / CAST(t_total + 4096 AS DOUBLE)) -
+         |                     ln(CAST(rcnt + 1 AS DOUBLE) / CAST(r_total + 4096 AS DOUBLE))) * 1e9) AS BIGINT) AS qllr
+         |  FROM bs, tt),
+         |a AS (
+         |  SELECT hb.doc_id, CAST(sum(l.qllr) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM hb JOIN llr l ON hb.b = l.b GROUP BY hb.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_grams, 0) AS n_grams,
+         |       CASE WHEN a.qsum IS NULL THEN 0.0 ELSE CAST(a.qsum AS DOUBLE) / 1e9 END AS dsir_logw,
+         |       CASE WHEN a.qsum IS NULL THEN 0.0 ELSE CAST(a.qsum AS DOUBLE) / 1e9 END
+         |         - ln(-ln((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0)) AS sample_score
          |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "decontaminate" ->

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection with importance resampling (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score every raw document by the log-likelihood
+  * ratio of a TARGET hashed-ngram distribution over the RAW corpus
+  * distribution, then sample proportionally via Gumbel top-k.
+  *
+  *   logw(doc) = Σ_{g ∈ grams(doc)} [ ln p̂_t(b(g)) − ln p̂_r(b(g)) ]
+  *
+  * over unigrams + bigrams hashed into `buckets` feature ids (the
+  * same 32-bit md5 feature hashing as the quality classifier), with
+  * add-one smoothing: p̂(b) = (count_b + 1) / (total + buckets).
+  *
+  * Engine exactness: a per-doc Σ of double log-ratios is
+  * partition-order-dependent, so each bucket's ratio is quantized
+  * ONCE to integer nano-units — qllr_b = round(1e9·(ln t_b − ln r_b))
+  * on the ≤`buckets`-row stat table — and the per-doc sum
+  * accumulates those BIGINTs associatively (map-side partials, any
+  * partition order); logw = Σqllr / 1e9 is the only per-doc FP step.
+  * |qllr| ≤ ~4e10 (ln of corpus scale × 1e9), so the per-doc BIGINT
+  * sum has headroom to ~2e8 grams per document.
+  *
+  * The Gumbel key makes top-k selection a sample WITHOUT replacement
+  * from softmax(logw): score = logw + G_doc with
+  * G = −ln(−ln u), u ∈ (0,1) a deterministic md5 hash of the doc id
+  * (the [[Sampling]] reproducibility idiom) — `ORDER BY score DESC
+  * LIMIT k` downstream is Spark's distributed TakeOrdered, no global
+  * sort materialization.
+  *
+  * Scale shape: one map-side-combinable exchange onto ≤`buckets`
+  * stat rows, the stat table broadcast back over the exploded grams,
+  * one (doc-keyed) aggregation exchange. No corpus-sized join sides,
+  * no windows, no driver materialization.
+  */
+object Dsir {
+
+  /** Per-document importance weights against a target subset.
+    *
+    * @param isTarget row predicate over `docs` marking the target
+    *                 distribution's documents (e.g. `col("lang") === "en"`)
+    * @return doc_id, n_grams, dsir_logw, sample_score (logw + Gumbel)
+    */
+  def weights(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "dsir",
+  ): DataFrame = {
+    val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val hashes = concat(
+      graft.functions.TextExprs.gramHashes32(tk, 1),
+      graft.functions.TextExprs.gramHashes32(tk, 2),
+    )
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("tgt"), explode(hashes).as("h"))
+      .select(col("doc_id"), col("tgt"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+
+    val bucketStats = exploded
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tcnt"),
+        count(lit(1)).as("rcnt"),
+      )
+    // corpus totals via an unpartitioned window over the ≤`buckets`-row
+    // stat table (bounded by construction) — keeps ONE stats subtree
+    // instead of two scans of the gram stream for a separate agg
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // quantized per-bucket log-likelihood ratio — the ONLY log/division
+    // site; ≤ `buckets` rows, broadcast back over the gram stream
+    val llr = bucketStats
+      .withColumn("t_total", sum(col("tcnt")).over(wAll).cast("long"))
+      .withColumn("r_total", sum(col("rcnt")).over(wAll).cast("long"))
+      .select(
+        col("b"),
+        round(
+          (log((col("tcnt") + lit(1L)).cast("double") / (col("t_total") + lit(buckets.toLong)).cast("double")) -
+            log((col("rcnt") + lit(1L)).cast("double") / (col("r_total") + lit(buckets.toLong)).cast("double"))) * lit(1e9)
+        ).cast("long").as("qllr"),
+      )
+
+    val perDoc = exploded
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("qllr")).cast("long").as("qsum"), count(lit(1)).as("n_grams"))
+
+    // deterministic Gumbel(0,1) from the doc id's md5 (u ∈ (0,1))
+    val h32 = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 8),
+      16,
+      10,
+    ).cast("long")
+    val u = (h32.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val logw = col("qsum").cast("double") / lit(1e9)
+    docs
+      .select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("qsum").isNull, lit(0.0)).otherwise(logw).as("dsir_logw"),
+        (when(col("qsum").isNull, lit(0.0)).otherwise(logw) - log(-log(u))).as("sample_score"),
+      )
+  }
+
+  /** The selection step: top-k documents by Gumbel-perturbed weight —
+    * importance resampling without replacement from softmax(logw).
+    */
+  def resample(
+      docs: DataFrame,
+      isTarget: Column,
+      k: Int,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "dsir",
+  ): DataFrame =
+    weights(docs, isTarget, buckets, idCol, textCol, salt)
+      .orderBy(col("sample_score").desc, col("doc_id"))
+      .limit(k)
+}

@@ -629,4 +629,92 @@ object Microstructure {
       }
       .toDF()
   }
+
+  /** Hasbrouck's lambda (Hasbrouck 2009; AFML ch.19.4's third impact
+    * estimator next to Kyle and Amihud): per (symbol, day), the
+    * through-origin slope of the cent price change on SIGNED SQUARE
+    * ROOT dollar volume, Δp_t = λ·sgn_t·√(p_t·v_t) + ε — impact
+    * concave in trade size, per the square-root law.
+    *
+    * Exactness: √(pc·size) is one IEEE sqrt of an exact integer
+    * (identical across engines), quantized to integer hundredths
+    * (x = round(100·√cent-dollars)) so both regression moments Σxy
+    * and Σx² accumulate as associative BIGINTs; λ = 100·Σxy/Σx² is
+    * the only FP step, replicated op-for-op by the oracle. Headroom:
+    * x ≤ 1e6 for $100k trades, so Σx² stays under 2⁶³ to ~9e6 ticks
+    * per symbol-day — beyond that, pre-aggregate to bars first.
+    * Same single (symbol, day) exchange as [[features]].
+    */
+  def hasbrouck(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("date")).orderBy(col("ts"), col("trade_id"))
+    val base = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(w))
+      // tick-rule sign, identical to [[features]]
+      .withColumn(
+        "sgn",
+        coalesce(
+          last(when(col("d") =!= 0, signum(col("d")).cast("long")), ignoreNulls = true).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          ),
+          lit(1L),
+        ),
+      )
+      .withColumn(
+        "x",
+        col("sgn") * round(sqrt((col("pc") * col("size")).cast("double")) * lit(100.0)).cast("long"),
+      )
+    base
+      .groupBy(col("symbol"), col("date"))
+      .agg(
+        count(col("d")).as("n"),
+        sum(when(col("d").isNotNull, col("x") * col("d"))).as("sxy"),
+        sum(when(col("d").isNotNull, col("x") * col("x"))).as("sxx"),
+      )
+      .select(
+        col("symbol"),
+        col("date"),
+        col("n").as("n_deltas"),
+        when(
+          col("n") > 0 && col("sxx") =!= 0L,
+          lit(100.0) * col("sxy").cast("double") / col("sxx").cast("double"),
+        ).as("hasbrouck_lambda"),
+      )
+  }
+
+  /** Becker-Parkinson high-low volatility (AFML ch.19.3, the
+    * companion output of the Corwin-Schultz machinery): from the same
+    * per-(symbol, day) β/γ as [[corwinSchultz]],
+    *
+    *   k₂ = √(8/π),  den = 3 − 2√2,
+    *   σ = (2^{−1/2} − 1)·√β / (k₂·den) + √(γ / (k₂²·den)),
+    *
+    * clamped at 0 (the book's negative-volatility rule). The
+    * constants are computed once driver-side and the σ tree is
+    * replicated op-for-op by the oracle; β/γ exactness is inherited
+    * from corwinSchultz's integer-cent daily extremes.
+    */
+  def beckerParkinson(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val k2 = math.sqrt(8.0 / math.Pi)
+    val den = 3.0 - 2.0 * math.sqrt(2.0)
+    val c1 = 1.0 / math.sqrt(2.0) - 1.0
+    val sigma =
+      lit(c1) * sqrt(col("beta")) / lit(k2 * den) + sqrt(col("gamma") / lit(k2 * k2 * den))
+    corwinSchultz(df, c)
+      .select(
+        col("symbol"),
+        col("date"),
+        col("beta"),
+        col("gamma"),
+        greatest(sigma, lit(0.0)).as("bp_sigma"),
+      )
+  }
 }

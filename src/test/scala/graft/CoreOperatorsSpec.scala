@@ -1147,6 +1147,59 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(u.isNullAt(u.fieldIndex("ou_half_life")))
   }
 
+  test("hasbrouck lambda: hand-computed through-origin slope on signed sqrt dollar flow") {
+    import graft.operators.Microstructure
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val t = Seq(
+      ("H", ts(0L), 100.00, 4L, 0L), // d null
+      ("H", ts(1L), 100.02, 2L, 1L), // d=+2 -> sgn +1
+      ("H", ts(2L), 100.01, 9L, 2L), // d=-1 -> sgn -1
+      ("H", ts(3L), 100.05, 5L, 3L), // d=+4 -> sgn +1
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    // replay the definition: x = sgn * round(100*sqrt(cent-dollars))
+    def q(pc: Long, size: Long) = math.round(math.sqrt((pc * size).toDouble) * 100.0)
+    val xs = Seq((1L, q(10002L, 2L), 2L), (-1L, q(10001L, 9L), -1L), (1L, q(10005L, 5L), 4L))
+    val sxy = xs.map { case (s, x, d) => s * x * d }.sum
+    val sxx = xs.map { case (_, x, _) => x * x }.sum
+    val r = Microstructure.hasbrouck(t).collect().head
+    assert(r.getAs[Long]("n_deltas") == 3L)
+    assert(r.getAs[Double]("hasbrouck_lambda") == 100.0 * sxy.toDouble / sxx.toDouble)
+    // buy pressure moving price up => positive impact coefficient
+    assert(r.getAs[Double]("hasbrouck_lambda") > 0.0)
+    // single-tick day: no deltas -> null lambda
+    val one = Seq(("S", ts(0L), 10.0, 1L, 0L)).toDF("symbol", "ts", "price", "size", "trade_id")
+    val o = Microstructure.hasbrouck(one).collect().head
+    assert(o.getAs[Long]("n_deltas") == 0L)
+    assert(o.isNullAt(o.fieldIndex("hasbrouck_lambda")))
+  }
+
+  test("becker-parkinson sigma: op-for-op formula replay on the CS beta/gamma, first day dropped") {
+    import graft.operators.Microstructure
+    def ts(day: Int, min: Long) = new java.sql.Timestamp(86400000L * day + min * 60000L)
+    val t = Seq(
+      ("B", ts(1, 0L), 100.00, 1L, 0L),
+      ("B", ts(1, 1L), 102.00, 1L, 1L),
+      ("B", ts(2, 0L), 101.00, 1L, 2L),
+      ("B", ts(2, 1L), 103.00, 1L, 3L),
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val rows = Microstructure.beckerParkinson(t).collect()
+    assert(rows.length == 1) // the lag-less first day emits nothing
+    val row = rows.head
+    val beta = row.getAs[Double]("beta")
+    val gamma = row.getAs[Double]("gamma")
+    val k2 = math.sqrt(8.0 / math.Pi)
+    val den = 3.0 - 2.0 * math.sqrt(2.0)
+    val c1 = 1.0 / math.sqrt(2.0) - 1.0
+    val sigma = c1 * math.sqrt(beta) / (k2 * den) + math.sqrt(gamma / (k2 * k2 * den))
+    assert(row.getAs[Double]("bp_sigma") == math.max(sigma, 0.0))
+    assert(row.getAs[Double]("bp_sigma") >= 0.0)
+    // beta replays the CS r0²+r1² on integer-cent daily extremes
+    // (StrictMath: Catalyst's Log evaluates via StrictMath.log)
+    val r0 = StrictMath.log(10300.0 / 10100.0)
+    val r1 = StrictMath.log(10200.0 / 10000.0)
+    assert(beta == r0 * r0 + r1 * r1)
+  }
+
   test("realized vol: hand-computed RV/BV/jump; sparse-day nulls") {
     import graft.operators.Microstructure
     def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)

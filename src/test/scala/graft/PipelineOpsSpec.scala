@@ -991,4 +991,62 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids1 == ids2)
   }
+
+  test("dsirWeights: target-vocabulary docs score positive, off-target negative, empty docs zero") {
+    // target docs speak 'alpha beta', raw-only docs speak 'gamma delta'
+    // The corpus must outweigh the 4096-bucket add-one smoothing for
+    // the likelihood-ratio signs to surface (tiny corpora flatten to
+    // the ln((R+B)/(T+B)) ≈ 0 regime).
+    val d = (
+      (0 until 200).map(i => (i.toLong, "alpha beta alpha beta alpha", "t")) ++
+        (200 until 400).map(i => (i.toLong, "gamma delta gamma delta gamma", "r")) ++
+        Seq((400L, "alpha beta alpha", "r"), (401L, "gamma delta", "t"), (402L, "", "r"))
+    ).toDF("doc_id", "text", "lab")
+    val w = operators.Dsir
+      .weights(d, isTarget = col("lab") === "t")
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "dsir_logw", "sample_score")
+      .as[(Long, Long, Double, Double)].collect()
+    // empty doc: zero grams, zero weight, pure-Gumbel score (finite)
+    val empty = w.find(_._1 == 402L).get
+    assert(empty._2 == 0L && empty._3 == 0.0 && !empty._4.isNaN && !empty._4.isInfinite)
+    // 5 unigrams + 4 bigrams
+    assert(w.find(_._1 == 0L).get._2 == 9L)
+    // the raw doc written in the target's vocabulary outranks every
+    // doc written in the raw-only vocabulary (likelihood-ratio sign)
+    val inTgt = w.find(_._1 == 400L).get._3
+    val offTgt = w.find(_._1 == 200L).get._3
+    assert(inTgt > 0.0 && offTgt < 0.0 && inTgt > offTgt)
+    // deterministic: recompute bit-equal (integer qllr sums + fixed Gumbel)
+    val w2 = operators.Dsir
+      .weights(d, isTarget = col("lab") === "t")
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "dsir_logw", "sample_score")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(w.toSeq == w2.toSeq)
+    // partition-order invariance of the BIGINT gram sums
+    val w3 = operators.Dsir
+      .weights(d.repartition(7), isTarget = col("lab") === "t")
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "dsir_logw", "sample_score")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(w.toSeq == w3.toSeq)
+  }
+
+  test("dsirResample: Gumbel top-k is k rows, deterministic, and weight-biased toward the target") {
+    val d = (
+      (0 until 30).map(i => (i.toLong, "alpha beta alpha beta", "t")) ++
+        (30 until 60).map(i => (i.toLong, "gamma delta gamma delta", "r")) ++
+        (60 until 90).map(i => (i.toLong, if (i % 2 == 0) "alpha beta alpha" else "gamma delta gamma", "r"))
+    ).toDF("doc_id", "text", "lab")
+    val sel = operators.Dsir.resample(d, col("lab") === "t", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sel.size == 20)
+    val again = operators.Dsir.resample(d, col("lab") === "t", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sel == again)
+    // softmax over logw: target-vocabulary docs dominate the sample
+    val tgtVocab = sel.count(id => id < 30 || (id >= 60 && id % 2 == 0))
+    assert(tgtVocab >= 15, s"expected target-vocab majority, got $tgtVocab/20")
+  }
 }
