@@ -532,4 +532,104 @@ object StreamingDaily {
       )
       .as[Tick]
   }
+
+  // ---- Hasbrouck lambda ----
+
+  final case class HbState(
+      day: String,
+      prevPc: Long,
+      lastSign: Int,
+      n: Long,
+      sxy: Long,
+      sxx: Long,
+  )
+
+  final case class HbRow(
+      symbol: String,
+      date: String,
+      n_deltas: Long,
+      hasbrouck_lambda: Option[Double],
+  )
+
+  /** Streaming twin of `operators.Microstructure.hasbrouck`: the
+    * tick-rule sign, quantized √dollar x, and both BIGINT moments
+    * live in O(1) per-symbol state; day-rollover finality; the
+    * single 100·Σxy/Σx² division is the batch tree op-for-op
+    * (math.round(positive < 2⁵²) ≡ Catalyst's BigDecimal HALF_UP,
+    * math.sqrt is the same IEEE-exact sqrt).
+    */
+  def hasbrouck(trades: DataFrame): Dataset[HbRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[StatefulBars.Tick]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processHb)
+  }
+
+  private def hbRow(symbol: String, st: HbState): HbRow = {
+    val lambda =
+      if (st.n > 0 && st.sxx != 0L) Some(100.0 * st.sxy.toDouble / st.sxx.toDouble)
+      else None
+    HbRow(symbol, st.day, st.n, lambda)
+  }
+
+  private def processHb(
+      symbol: String,
+      rows: Iterator[StatefulBars.Tick],
+      state: GroupState[HbState],
+  ): Iterator[HbRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[HbRow]
+    sorted.foreach { t =>
+      val d0 = dayOf(t.ts)
+      val pc = StatefulBars.cents(t.price)
+      if (st == null) st = HbState(d0, pc, 1, 0L, 0L, 0L)
+      else if (st.day != d0) { out += hbRow(symbol, st); st = HbState(d0, pc, 1, 0L, 0L, 0L) }
+      else {
+        val d = pc - st.prevPc
+        val sign = if (d != 0) (if (d > 0) 1 else -1) else st.lastSign
+        val x = sign * math.round(math.sqrt((pc * t.size).toDouble) * 100.0)
+        st = HbState(d0, pc, sign, st.n + 1, st.sxy + x * d, st.sxx + x * x)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  // ---- Becker-Parkinson sigma ----
+
+  final case class BpRow(
+      symbol: String,
+      date: String,
+      beta: Double,
+      gamma: Double,
+      bp_sigma: Double,
+  )
+
+  /** Streaming twin of `operators.Microstructure.beckerParkinson`:
+    * the Corwin-Schultz twin's completed-day rows mapped through the
+    * identical σ tree (same driver-side constants, same op order).
+    */
+  def beckerParkinson(trades: DataFrame): Dataset[BpRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val k2 = math.sqrt(8.0 / math.Pi)
+    val den = 3.0 - 2.0 * math.sqrt(2.0)
+    val c1 = 1.0 / math.sqrt(2.0) - 1.0
+    val k2den = k2 * den
+    val k2sqden = k2 * k2 * den
+    corwinSchultz(trades).map { r =>
+      val sigma = c1 * math.sqrt(r.beta) / k2den + math.sqrt(r.gamma / k2sqden)
+      BpRow(r.symbol, r.date, r.beta, r.gamma, math.max(sigma, 0.0))
+    }
+  }
 }

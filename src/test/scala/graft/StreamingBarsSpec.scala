@@ -613,6 +613,73 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming hasbrouck lambda equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-shb").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .hasbrouck(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_hb")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_hb")
+    val batch = graft.operators.Microstructure
+      .hasbrouck(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    // identical integer moments + identical division: bit-equal
+    assert(
+      joined.where(
+        col("s.n_deltas") =!= col("b.n_deltas") ||
+          !(col("s.hasbrouck_lambda") <=> col("b.hasbrouck_lambda"))
+      ).count() == 0
+    )
+  }
+
+  test("streaming becker-parkinson equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sbp").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .beckerParkinson(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_bp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_bp")
+    val batch = graft.operators.Microstructure
+      .beckerParkinson(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    assert(
+      joined.where(
+        col("s.beta") =!= col("b.beta") || col("s.gamma") =!= col("b.gamma") ||
+          col("s.bp_sigma") =!= col("b.bp_sigma")
+      ).count() == 0
+    )
+  }
+
   test("streaming realized vol equals batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-srv").toString
