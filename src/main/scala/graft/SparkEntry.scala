@@ -226,6 +226,17 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"))
     },
+    "pairwise_corr" -> { (s, dir) =>
+      operators.Hrp
+        .pairwiseCorr(TradeData.fromEvents(s, dir))
+        .orderBy(col("s1"), col("s2"))
+    },
+    "hrp_weights" -> { (s, dir) =>
+      // rows-only: the recursive bisection is not SQL-expressible;
+      // construction pinned in CoreOperatorsSpec, corr matrix
+      // oracle-gated via pairwise_corr
+      operators.Hrp.weights(TradeData.fromEvents(s, dir))
+    },
     "becker_parkinson" -> { (s, dir) =>
       operators.Microstructure
         .beckerParkinson(TradeData.fromEvents(s, dir))
@@ -2635,6 +2646,42 @@ object SparkEntry {
          |       END AS hasbrouck_lambda
          |FROM m
          |ORDER BY symbol, date""".stripMargin,
+    // Pairwise return correlation: exact-cents closes -> micro-unit
+    // quantized daily returns -> BIGINT moments; the corr tree is
+    // the only FP step, replicated op-for-op
+    "pairwise_corr" ->
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts DESC, trade_id DESC) AS rnd
+         |  FROM trades),
+         |d AS (
+         |  SELECT symbol, date, CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc
+         |  FROM b GROUP BY symbol, date),
+         |p AS (SELECT *, lag(close_pc) OVER (PARTITION BY symbol ORDER BY date) AS prev_pc FROM d),
+         |r AS (
+         |  SELECT symbol, date,
+         |         CAST(round(CAST(close_pc - prev_pc AS DOUBLE) / CAST(prev_pc AS DOUBLE) * 1000000.0) AS BIGINT) AS rq
+         |  FROM p WHERE prev_pc IS NOT NULL AND prev_pc > 0),
+         |j AS (
+         |  SELECT a.symbol AS s1, b2.symbol AS s2, a.rq AS x, b2.rq AS y
+         |  FROM r a JOIN r b2 ON a.date = b2.date WHERE a.symbol < b2.symbol),
+         |m AS (
+         |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM j GROUP BY s1, s2)
+         |SELECT s1, s2, n_days,
+         |       CASE WHEN n_days > 1 AND CAST(n_days * sxx - sx * sx AS DOUBLE) > 0.0
+         |                 AND CAST(n_days * syy - sy * sy AS DOUBLE) > 0.0
+         |            THEN CAST(n_days * sxy - sx * sy AS DOUBLE) /
+         |                 (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+         |       END AS corr
+         |FROM m
+         |ORDER BY s1, s2""".stripMargin,
     // Becker-Parkinson sigma: the corwin_schultz beta/gamma CTEs plus
     // the op-for-op sigma tree (constants interpolated as the same
     // IEEE doubles the Spark plan embeds)

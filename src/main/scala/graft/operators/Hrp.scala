@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.TradingCols
+
+/** Hierarchical Risk Parity (López de Prado 2016; AFML ch.16):
+  * allocate across symbols by single-linkage clustering of the
+  * return-correlation distance, quasi-diagonal ordering, and
+  * recursive bisection with inverse-cluster-variance splits — the
+  * book's full getQuasiDiag/getRecBipart pipeline.
+  *
+  * Scale split (the connected-components pattern): the DATA-sized
+  * work — daily closes, returns, and the S×(S−1)/2 correlation
+  * moments — is fully distributed; only the S-sized matrix problem
+  * (clustering + bisection, information that genuinely must be
+  * global) runs driver-side, behind an explicit `maxSymbols` gate
+  * (default 2048 → ≤2M pair rows collected), like the ≤4M-edge
+  * union-find gate in [[Dedup]].
+  *
+  * Exactness: daily close-to-close returns are quantized ONCE to
+  * integer micro-units (round(1e6·Δc/c_prev) — one deterministic
+  * IEEE division+round from exact cent closes), so every
+  * correlation/variance moment is an associative BIGINT sum
+  * (partition-order invariant; |rq| ≤ 3e5 for ±30% days keeps
+  * Σrq² under 2⁶³ to ~10⁸ symbol-days). The corr/variance trees are
+  * the only FP steps and are replicated op-for-op by the
+  * `pairwise_corr` oracle. HRP weights themselves are not
+  * SQL-expressible (recursive bisection) — they are pinned by
+  * construction-replay ScalaTests instead.
+  */
+object Hrp {
+
+  /** Per-(symbol, date) close-to-close returns in integer
+    * micro-units: symbol, date, rq (BIGINT). First day per symbol
+    * has no previous close and emits nothing.
+    */
+  def dailyReturns(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val daily = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .groupBy(col("symbol"), col("date"))
+      .agg(graft.functions.OrderedAgg.lastByOrd(col("pc"), col("ts"), col("trade_id")).as("close_pc"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    daily
+      .withColumn("prev_pc", lag(col("close_pc"), 1).over(w))
+      .where(col("prev_pc").isNotNull && col("prev_pc") > 0L)
+      .select(
+        col("symbol"),
+        col("date"),
+        round(
+          (col("close_pc") - col("prev_pc")).cast("double") / col("prev_pc").cast("double") * lit(1e6)
+        ).cast("long").as("rq"),
+      )
+  }
+
+  /** Pairwise return correlations over shared days (s1 < s2):
+    * s1, s2, n_days, corr. One date-keyed self-join, then one
+    * map-side-combinable (s1, s2) aggregation of BIGINT moments;
+    * pairs with fewer than 2 shared days or a flat side emit null.
+    */
+  def pairwiseCorr(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val r = dailyReturns(df, c)
+    val a = r.select(col("symbol").as("s1"), col("date"), col("rq").as("x"))
+    val b = r.select(col("symbol").as("s2"), col("date"), col("rq").as("y"))
+    a.join(b, Seq("date"))
+      .where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+      )
+      .select(
+        col("s1"),
+        col("s2"),
+        col("n_days"), {
+          val vx = (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
+          val vy = (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")
+          when(
+            col("n_days") > 1 && vx > 0.0 && vy > 0.0,
+            (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt(vx) * sqrt(vy)),
+          ).as("corr")
+        },
+      )
+  }
+
+  /** HRP weights: symbol, hrp_weight (sums to 1 over allocatable
+    * symbols). Symbols with fewer than 2 return days or zero return
+    * variance cannot carry an inverse-variance allocation and emit
+    * weight 0 (documented policy); missing pair overlaps read as
+    * ρ = 0. Ties in merge height break by symbol index
+    * (deterministic dendrogram).
+    */
+  def weights(
+      df: DataFrame,
+      c: TradingCols = TradingCols.default,
+      maxSymbols: Int = 2048,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val r = dailyReturns(df, c)
+    // per-symbol variance from the same BIGINT moments
+    val perSym = r
+      .groupBy(col("symbol"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rq")).as("s"),
+        sum(col("rq") * col("rq")).as("ss"),
+      )
+      .select(
+        col("symbol"),
+        col("n"),
+        when(
+          col("n") > 1,
+          (col("n") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("n") * col("n")).cast("double"),
+        ).otherwise(lit(0.0)).as("variance"),
+      )
+      .collect()
+      .sortBy(_.getString(0))
+    require(
+      perSym.length <= maxSymbols,
+      s"HRP driver-side matrix gated at $maxSymbols symbols (got ${perSym.length}); " +
+        "raise maxSymbols explicitly or pre-cluster the universe",
+    )
+    val active = perSym.filter(row => row.getLong(1) > 1 && row.getDouble(2) > 0.0)
+    val syms = active.map(_.getString(0))
+    val n = syms.length
+    val out: Seq[(String, Double)] =
+      if (n == 0) Seq.empty
+      else if (n == 1) Seq(syms(0) -> 1.0)
+      else {
+        val idx = syms.zipWithIndex.toMap
+        val variance = active.map(_.getDouble(2))
+        val corr = Array.fill(n, n)(0.0)
+        for (i <- 0 until n) corr(i)(i) = 1.0
+        pairwiseCorr(df, c)
+          .where(col("corr").isNotNull)
+          .collect()
+          .foreach { row =>
+            (idx.get(row.getString(0)), idx.get(row.getString(1))) match {
+              case (Some(i), Some(j)) =>
+                corr(i)(j) = row.getDouble(3); corr(j)(i) = row.getDouble(3)
+              case _ => ()
+            }
+          }
+        val order = quasiDiagOrder(corr)
+        val w = recursiveBisection(order, variance, corr)
+        syms.zip(w).toSeq
+      }
+    val zero = perSym.map(_.getString(0)).filterNot(out.map(_._1).toSet).map(_ -> 0.0)
+    import spark.implicits._
+    (out ++ zero).toDF("symbol", "hrp_weight").orderBy(col("symbol"))
+  }
+
+  /** Single-linkage dendrogram leaf order on the AFML correlation
+    * distance d = √((1−ρ)/2): SLINK (Sibson 1973) pointer
+    * representation, merges replayed in (height, index) order
+    * through a union-find building the cluster tree, in-order leaf
+    * traversal. O(n²) time, deterministic under ties.
+    */
+  private[graft] def quasiDiagOrder(corr: Array[Array[Double]]): Array[Int] = {
+    val n = corr.length
+    def dist(i: Int, j: Int): Double = math.sqrt(math.max(0.5 * (1.0 - corr(i)(j)), 0.0))
+    // SLINK: pi(i) = first higher-indexed point i joins, lambda(i) = height
+    val pi = new Array[Int](n)
+    val lambda = new Array[Double](n)
+    val m = new Array[Double](n)
+    pi(0) = 0; lambda(0) = Double.PositiveInfinity
+    for (t <- 1 until n) {
+      pi(t) = t; lambda(t) = Double.PositiveInfinity
+      for (i <- 0 until t) m(i) = dist(i, t)
+      for (i <- 0 until t) {
+        if (lambda(i) >= m(i)) {
+          m(pi(i)) = math.min(m(pi(i)), lambda(i))
+          lambda(i) = m(i); pi(i) = t
+        } else m(pi(i)) = math.min(m(pi(i)), m(i))
+      }
+      for (i <- 0 until t) if (lambda(i) >= lambda(pi(i))) pi(i) = t
+    }
+    // replay merges by ascending (height, index); union-find tracks
+    // each cluster's current tree for the in-order leaf walk
+    sealed trait Tree
+    final case class Leaf(i: Int) extends Tree
+    final case class Node(l: Tree, r: Tree) extends Tree
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    val tree = scala.collection.mutable.Map[Int, Tree]()
+    for (i <- 0 until n) tree(i) = Leaf(i)
+    val merges = (0 until n - 1).sortBy(i => (lambda(i), i))
+    merges.foreach { i =>
+      val a = find(i); val b = find(pi(i))
+      if (a != b) {
+        val merged = Node(tree(a), tree(b))
+        parent(a) = b
+        tree.remove(a)
+        tree(b) = merged
+      }
+    }
+    val order = Array.newBuilder[Int]
+    def walk(t: Tree): Unit = t match {
+      case Leaf(i)    => order += i
+      case Node(l, r) => walk(l); walk(r)
+    }
+    walk(tree(find(0)))
+    order.result()
+  }
+
+  /** AFML getRecBipart: split the quasi-diagonal order in half,
+    * weight each half by 1 − v₁/(v₁+v₂) with v = inverse-variance-
+    * portfolio cluster variance wᵀVw, recurse.
+    */
+  private[graft] def recursiveBisection(
+      order: Array[Int],
+      variance: Array[Double],
+      corr: Array[Array[Double]],
+  ): Array[Double] = {
+    val n = variance.length
+    def cov(i: Int, j: Int): Double =
+      if (i == j) variance(i) else corr(i)(j) * math.sqrt(variance(i)) * math.sqrt(variance(j))
+    def clusterVar(items: Array[Int]): Double = {
+      val inv = items.map(i => 1.0 / variance(i))
+      val tot = inv.sum
+      val w = inv.map(_ / tot)
+      var v = 0.0
+      for (a <- items.indices; b <- items.indices) v += w(a) * cov(items(a), items(b)) * w(b)
+      v
+    }
+    val weight = Array.fill(n)(1.0)
+    def split(items: Array[Int]): Unit =
+      if (items.length > 1) {
+        val (l, r) = items.splitAt(items.length / 2)
+        val vl = clusterVar(l); val vr = clusterVar(r)
+        val alpha = 1.0 - vl / (vl + vr)
+        l.foreach(i => weight(i) *= alpha)
+        r.foreach(i => weight(i) *= (1.0 - alpha))
+        split(l); split(r)
+      }
+    split(order)
+    weight
+  }
+}

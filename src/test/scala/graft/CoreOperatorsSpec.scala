@@ -1173,6 +1173,56 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(o.isNullAt(o.fieldIndex("hasbrouck_lambda")))
   }
 
+  test("hrp: SLINK order keeps clones adjacent; bisection is inverse-variance for two assets") {
+    import graft.operators.Hrp
+    // assets 0 and 2 perfectly correlated (distance 0): must merge
+    // first and sit adjacent in the dendrogram leaf order
+    val corr = Array(
+      Array(1.0, 0.0, 1.0),
+      Array(0.0, 1.0, 0.0),
+      Array(1.0, 0.0, 1.0),
+    )
+    val order = Hrp.quasiDiagOrder(corr)
+    assert(order.sorted.toSeq == Seq(0, 1, 2))
+    val pos = order.zipWithIndex.toMap
+    assert(math.abs(pos(0) - pos(2)) == 1, s"clones not adjacent: ${order.toSeq}")
+    // two uncorrelated assets: HRP = inverse-variance split exactly
+    val id2 = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val v = Array(4.0, 1.0)
+    val w = Hrp.recursiveBisection(Array(0, 1), v, id2)
+    assert(math.abs(w(0) - 1.0 / 5.0) < 1e-15 && math.abs(w(1) - 4.0 / 5.0) < 1e-15)
+    // weights multiply to a full allocation
+    assert(math.abs(w.sum - 1.0) < 1e-15)
+  }
+
+  test("hrp weights: distributed end-to-end — sum 1, low-vol tilt, zero-variance symbol excluded") {
+    import graft.operators.Hrp
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // A: ±1% alternating closes; B: ±4% on opposite phase; Z: flat
+    val rows = (1 to 9).flatMap { d =>
+      val a = if (d % 2 == 0) 101.00 else 100.00
+      val b = if (d % 2 == 0) 96.00 else 100.00
+      Seq(
+        ("A", ts(d), a, 1L, d.toLong * 10),
+        ("B", ts(d), b, 1L, d.toLong * 10 + 1),
+        ("Z", ts(d), 50.0, 1L, d.toLong * 10 + 2),
+      )
+    }
+    val df = rows.toDF("symbol", "ts", "price", "size", "trade_id")
+    val w = Hrp.weights(df).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == Set("A", "B", "Z"))
+    assert(w("Z") == 0.0) // flat series carries no inverse-variance allocation
+    assert(math.abs(w("A") + w("B") - 1.0) < 1e-12)
+    assert(w("A") > w("B")) // lower-vol symbol gets the larger share
+    // corr matrix side is oracle-gated; here pin the clone case
+    val clones = (1 to 5).flatMap { d =>
+      val p = if (d % 2 == 0) 102.00 else 100.00
+      Seq(("C1", ts(d), p, 1L, d.toLong * 10), ("C2", ts(d), p, 1L, d.toLong * 10 + 1))
+    }.toDF("symbol", "ts", "price", "size", "trade_id")
+    val pc = Hrp.pairwiseCorr(clones).collect().head
+    assert(math.abs(pc.getAs[Double]("corr") - 1.0) < 1e-12)
+  }
+
   test("becker-parkinson sigma: op-for-op formula replay on the CS beta/gamma, first day dropped") {
     import graft.operators.Microstructure
     def ts(day: Int, min: Long) = new java.sql.Timestamp(86400000L * day + min * 60000L)
