@@ -2670,17 +2670,23 @@ object SparkEntry {
          |m AS (
          |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_days,
          |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         |         CAST(sum(x * y) AS BIGINT) AS sxy,
-         |         CAST(sum(x * x) AS BIGINT) AS sxx,
-         |         CAST(sum(y * y) AS BIGINT) AS syy
-         |  FROM j GROUP BY s1, s2)
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM j GROUP BY s1, s2),
+         |f AS (
+         |  SELECT s1, s2, n_days,
+         |         CAST(n_days AS DOUBLE) AS nd,
+         |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+         |  FROM m)
          |SELECT s1, s2, n_days,
-         |       CASE WHEN n_days > 1 AND CAST(n_days * sxx - sx * sx AS DOUBLE) > 0.0
-         |                 AND CAST(n_days * syy - sy * sy AS DOUBLE) > 0.0
-         |            THEN CAST(n_days * sxy - sx * sy AS DOUBLE) /
-         |                 (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+         |       CASE WHEN n_days > 1 AND nd * sxxd - sxd * sxd > 0.0
+         |                 AND nd * syyd - syd * syd > 0.0
+         |            THEN (nd * sxyd - sxd * syd) /
+         |                 (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))
          |       END AS corr
-         |FROM m
+         |FROM f
          |ORDER BY s1, s2""".stripMargin,
     // Becker-Parkinson sigma: the corwin_schultz beta/gamma CTEs plus
     // the op-for-op sigma tree (constants interpolated as the same

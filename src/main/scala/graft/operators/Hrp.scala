@@ -22,14 +22,16 @@ import graft.api.TradingCols
   *
   * Exactness: daily close-to-close returns are quantized ONCE to
   * integer micro-units (round(1e6·Δc/c_prev) — one deterministic
-  * IEEE division+round from exact cent closes), so every
-  * correlation/variance moment is an associative BIGINT sum
-  * (partition-order invariant; |rq| ≤ 3e5 for ±30% days keeps
-  * Σrq² under 2⁶³ to ~10⁸ symbol-days). The corr/variance trees are
-  * the only FP steps and are replicated op-for-op by the
-  * `pairwise_corr` oracle. HRP weights themselves are not
-  * SQL-expressible (recursive bisection) — they are pinned by
-  * construction-replay ScalaTests instead.
+  * IEEE division+round from exact cent closes). First moments are
+  * associative BIGINT sums; second moments accumulate as exact
+  * DECIMAL(38,0) (degenerate series can move 1000× a day, putting
+  * Σrq² past 2⁶³ — the oracle twins them with HUGEINT), and the
+  * moment combination runs in double with one round-to-nearest
+  * integer→double conversion per moment on BOTH engines. The
+  * corr/variance trees are the only FP steps and are replicated
+  * op-for-op by the `pairwise_corr` oracle. HRP weights themselves
+  * are not SQL-expressible (recursive bisection) — they are pinned
+  * by construction-replay ScalaTests instead.
   */
 object Hrp {
 
@@ -64,13 +66,22 @@ object Hrp {
 
   /** Pairwise return correlations over shared days (s1 < s2):
     * s1, s2, n_days, corr. One date-keyed self-join, then one
-    * map-side-combinable (s1, s2) aggregation of BIGINT moments;
+    * map-side-combinable (s1, s2) aggregation of exact moments;
     * pairs with fewer than 2 shared days or a flat side emit null.
+    *
+    * Synthetic/degenerate series can move 1000× day-over-day
+    * (|rq| ~ 1e9), so the second moments accumulate as exact
+    * DECIMAL(38,0) (the oracle's HUGEINT) — headroom to ~1e38 —
+    * and the moment COMBINATION n·Σxy − Σx·Σy runs in double:
+    * both engines convert the exact integer to double with one
+    * round-to-nearest (BigDecimal.doubleValue / hugeint cast), so
+    * the corr tree stays engine-exact op-for-op.
     */
   def pairwiseCorr(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
     val r = dailyReturns(df, c)
     val a = r.select(col("symbol").as("s1"), col("date"), col("rq").as("x"))
     val b = r.select(col("symbol").as("s2"), col("date"), col("rq").as("y"))
+    val dec = "decimal(38,0)"
     a.join(b, Seq("date"))
       .where(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
@@ -78,20 +89,22 @@ object Hrp {
         count(lit(1)).as("n_days"),
         sum(col("x")).as("sx"),
         sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"),
       )
       .select(
         col("s1"),
         col("s2"),
         col("n_days"), {
-          val vx = (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")
-          val vy = (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")
+          val nD = col("n_days").cast("double")
+          val sxD = col("sx").cast("double")
+          val syD = col("sy").cast("double")
+          val vx = nD * col("sxx").cast("double") - sxD * sxD
+          val vy = nD * col("syy").cast("double") - syD * syD
           when(
             col("n_days") > 1 && vx > 0.0 && vy > 0.0,
-            (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (sqrt(vx) * sqrt(vy)),
+            (nD * col("sxy").cast("double") - sxD * syD) / (sqrt(vx) * sqrt(vy)),
           ).as("corr")
         },
       )
@@ -112,21 +125,23 @@ object Hrp {
     val spark = df.sparkSession
     val r = dailyReturns(df, c)
     // per-symbol variance from the same BIGINT moments
+    val dec = "decimal(38,0)"
     val perSym = r
       .groupBy(col("symbol"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("rq")).as("s"),
-        sum(col("rq") * col("rq")).as("ss"),
+        sum(col("rq").cast(dec) * col("rq").cast(dec)).as("ss"),
       )
       .select(
         col("symbol"),
-        col("n"),
-        when(
-          col("n") > 1,
-          (col("n") * col("ss") - col("s") * col("s")).cast("double") /
-            (col("n") * col("n")).cast("double"),
-        ).otherwise(lit(0.0)).as("variance"),
+        col("n"), {
+          // same double-combination discipline as pairwiseCorr
+          val nD = col("n").cast("double")
+          val sD = col("s").cast("double")
+          when(col("n") > 1, (nD * col("ss").cast("double") - sD * sD) / (nD * nD))
+            .otherwise(lit(0.0)).as("variance")
+        },
       )
       .collect()
       .sortBy(_.getString(0))
