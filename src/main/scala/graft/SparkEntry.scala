@@ -396,6 +396,14 @@ object SparkEntry {
         .withColumn("date", col("date").cast("string"))
         .orderBy(col("symbol"), col("date"))
     },
+    "lz_entropy" -> { (s, dir) =>
+      // rows-only: the longest-match recursion is not SQL-expressible;
+      // pinned in CoreOperatorsSpec against the textbook definition
+      operators.Microstructure
+        .lzEntropyScan(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "sign_entropy" -> { (s, dir) =>
       operators.Microstructure
         .signEntropyScan(TradeData.fromEvents(s, dir))

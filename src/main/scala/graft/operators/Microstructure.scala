@@ -630,6 +630,166 @@ object Microstructure {
       .toDF()
   }
 
+  /** Per-day Kontoyiannis LZ accumulator shared by the batch scan
+    * and its streaming twin: O(window) state (two 2w rings + the
+    * running term sum), O(window) work per tick.
+    *
+    * The binary u/d alphabet makes the match search bit-parallel:
+    * each ring slot carries the w-bit FORWARD window starting at
+    * that index (bit k = code at index+k), filled incrementally as
+    * codes arrive; the longest match between suffixes i and j is
+    * numberOfTrailingZeros(fwd_i ^ fwd_j) capped at w — one XOR per
+    * candidate start instead of a character loop.
+    */
+  private[graft] final class LzAccumulator(val window: Int) {
+    require(window >= 1 && window <= 62, "window must be in [1, 62]")
+    private val ring = 2 * window
+    private val fwd = new Array[Long](ring)
+    private val mask = (1L << window) - 1L
+    private var t = 0L // codes seen this day
+    private var nPoints = 0L
+    private var sum = 0.0
+    private val logTerm = StrictMath.log((window + 1).toDouble) / StrictMath.log(2.0)
+
+    def reset(): Unit = {
+      java.util.Arrays.fill(fwd, 0L)
+      t = 0L; nPoints = 0L; sum = 0.0
+    }
+
+    def n: Long = t
+    def points: Long = nPoints
+
+    /** Feed the next u/d code (1/0) of the day, in tick order. */
+    def add(code: Int): Unit = {
+      val slot = (t % ring).toInt
+      fwd(slot) = 0L
+      // this code is bit (t - p) of every live forward window p > t - w
+      var off = 0
+      while (off < window && off <= t) {
+        fwd(((t - off) % ring).toInt) |= code.toLong << off
+        off += 1
+      }
+      // point i = t - w + 1 is complete once its forward window is
+      // (codes [i, i + w) all seen) AND it has w history starts
+      val i = t - window + 1
+      if (i >= window) {
+        val fi = fwd((i % ring).toInt) & mask
+        var best = 0 // max match length over starts j in [i - w, i)
+        var j = i - window
+        while (j < i) {
+          val ml = java.lang.Long.numberOfTrailingZeros((fwd((j % ring).toInt) & mask) ^ fi)
+          val m = if (ml > window) window else ml
+          if (m > best) best = m
+          j += 1
+        }
+        sum += logTerm / (best + 1).toDouble
+        nPoints += 1L
+      }
+      t += 1L
+    }
+
+    /** Mean log₂(w+1)/Λ over the day's points; None when no point
+      * has both full history and a full forward window (n < 2w).
+      */
+    def entropy: Option[Double] = if (nPoints > 0L) Some(sum / nPoints.toDouble) else None
+
+    // state carry for the streaming twin (micro-batch boundaries)
+    def snapshot: (Long, Long, Double, Array[Long]) = (t, nPoints, sum, fwd.clone())
+    def restore(t0: Long, p0: Long, s0: Double, f0: Array[Long]): Unit = {
+      t = t0; nPoints = p0; sum = s0
+      System.arraycopy(f0, 0, fwd, 0, ring)
+    }
+  }
+
+  private[graft] case class LzDayRow(
+      symbol: String,
+      date: java.sql.Date,
+      n_ticks: Long,
+      n_points: Long,
+      lz_entropy: Option[Double],
+  )
+
+  /** Kontoyiannis window LZ entropy of the tick-rule sign stream
+    * (AFML ch.18.4's second entropy estimator next to the plug-in
+    * [[signEntropyScan]]): per (symbol, day), for every point i with
+    * `window` signs of history and lookahead, Λ_i = 1 + the longest
+    * substring starting at i that re-occurs starting in the trailing
+    * window, and Ĥ = mean(log₂(window+1)/Λ_i) — low for repetitive
+    * (predictable, mean-reverting) sign streams, ≈1 bit for
+    * incompressible ones.
+    *
+    * Not SQL-expressible (sequential longest-match recursion), so
+    * the query is rows-only; the estimator is pinned in ScalaTest on
+    * constant / alternating / pseudo-random streams plus a brute-
+    * force replay of the textbook matchLength definition. Same
+    * single repartition + sorted scan shape as [[signEntropyScan]];
+    * O(window) state, O(window) work per tick (bit-parallel match).
+    */
+  def lzEntropyScan(df: DataFrame, window: Int = 32, c: TradingCols = TradingCols.default): DataFrame = {
+    import df.sparkSession.implicits._
+    df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .repartition(col("symbol"), col("date"))
+      .sortWithinPartitions(col("symbol"), col("date"), col("ts"), col("trade_id"))
+      .as[(String, java.sql.Date, java.sql.Timestamp, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[LzDayRow] {
+          private var pending: LzDayRow = null
+          private var curSym: String = null
+          private var curDate: java.sql.Date = null
+          private var nTicks = 0L
+          private var prevPc = 0L
+          private var lastSgn = 1
+          private val acc = new LzAccumulator(window)
+
+          private def flush(): LzDayRow = {
+            val out = LzDayRow(curSym, curDate, nTicks, acc.points, acc.entropy)
+            nTicks = 0L; lastSgn = 1; acc.reset()
+            out
+          }
+
+          private def advance(): Unit = {
+            while (pending == null && it.hasNext) {
+              val (sym, date, _, pc, _) = it.next()
+              if (curSym != null && (sym != curSym || date.getTime != curDate.getTime)) {
+                pending = flush()
+              }
+              curSym = sym
+              curDate = date
+              if (nTicks > 0L) {
+                val d = pc - prevPc
+                if (d != 0L) lastSgn = if (d > 0L) 1 else -1
+              }
+              prevPc = pc
+              acc.add(if (lastSgn > 0) 1 else 0)
+              nTicks += 1L
+            }
+            if (pending == null && nTicks > 0L) pending = flush()
+          }
+
+          override def hasNext: Boolean = {
+            if (pending == null) advance()
+            pending != null
+          }
+
+          override def next(): LzDayRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val out = pending
+            pending = null
+            out
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Hasbrouck's lambda (Hasbrouck 2009; AFML ch.19.4's third impact
     * estimator next to Kyle and Amihud): per (symbol, day), the
     * through-origin slope of the cent price change on SIGNED SQUARE

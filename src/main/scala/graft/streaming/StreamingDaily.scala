@@ -605,6 +605,79 @@ object StreamingDaily {
     out.result().iterator
   }
 
+  // ---- Kontoyiannis LZ entropy ----
+
+  final case class LzState(
+      day: String,
+      nTicks: Long,
+      prevPc: Long,
+      lastSgn: Int,
+      t: Long,
+      nPoints: Long,
+      sum: Double,
+      fwd: Array[Long],
+  )
+
+  final case class LzRow(
+      symbol: String,
+      date: String,
+      n_ticks: Long,
+      n_points: Long,
+      lz_entropy: Option[Double],
+  )
+
+  /** Streaming twin of `operators.Microstructure.lzEntropyScan`:
+    * the O(window) accumulator (bit rings + running term sum) is the
+    * per-symbol state, snapshot across micro-batches; day-rollover
+    * finality. Term sums accumulate in tick order in both forms, so
+    * emitted rows are bit-identical on completed days.
+    */
+  def lzEntropy(trades: DataFrame, window: Int = 32): Dataset[LzRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    ticks(trades)
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        processLz(window) _
+      )
+  }
+
+  private def processLz(window: Int)(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[LzState],
+  ): Iterator[LzRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    val acc = new graft.operators.Microstructure.LzAccumulator(window)
+    var st = state.getOption.orNull
+    if (st != null) acc.restore(st.t, st.nPoints, st.sum, st.fwd)
+    val out = Seq.newBuilder[LzRow]
+    def emit(): LzRow = LzRow(symbol, st.day, st.nTicks, acc.points, acc.entropy)
+    sorted.foreach { t =>
+      val d0 = dayOf(t.ts)
+      val pc = StatefulBars.cents(t.price)
+      if (st == null) {
+        st = LzState(d0, 0L, pc, 1, 0L, 0L, 0.0, null)
+      } else if (st.day != d0) {
+        out += emit()
+        acc.reset()
+        st = LzState(d0, 0L, pc, 1, 0L, 0L, 0.0, null)
+      }
+      val sgn =
+        if (st.nTicks > 0L) {
+          val d = pc - st.prevPc
+          if (d != 0L) (if (d > 0L) 1 else -1) else st.lastSgn
+        } else st.lastSgn
+      acc.add(if (sgn > 0) 1 else 0)
+      st = st.copy(nTicks = st.nTicks + 1L, prevPc = pc, lastSgn = sgn)
+    }
+    if (st != null) {
+      val (t0, p0, s0, f0) = acc.snapshot
+      state.update(st.copy(t = t0, nPoints = p0, sum = s0, fwd = f0))
+    }
+    out.result().iterator
+  }
+
   // ---- Becker-Parkinson sigma ----
 
   final case class BpRow(

@@ -1173,6 +1173,71 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(o.isNullAt(o.fieldIndex("hasbrouck_lambda")))
   }
 
+  test("lz entropy: accumulator matches the textbook matchLength brute force; extremes behave") {
+    import graft.operators.Microstructure
+    val w = 8
+    // deterministic LCG bit stream
+    def lcgBits(n: Int, seed: Long): Array[Int] = {
+      var s = seed
+      Array.fill(n) { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 40) & 1L).toInt }
+    }
+    def brute(codes: Array[Int], w: Int): (Long, Double) = {
+      // AFML ch.18 matchLength: longest substring starting at i that
+      // also starts in [i-w, i), length capped at w; term log2(w+1)/(l+1)
+      val n = codes.length
+      var cnt = 0L
+      var sum = 0.0
+      for (i <- w to n - w) {
+        var best = 0
+        for (j <- i - w until i) {
+          var l = 0
+          while (l < w && codes(j + l) == codes(i + l)) l += 1
+          if (l > best) best = l
+        }
+        sum += StrictMath.log((w + 1).toDouble) / StrictMath.log(2.0) / (best + 1).toDouble
+        cnt += 1L
+      }
+      (cnt, if (cnt > 0) sum / cnt.toDouble else Double.NaN)
+    }
+    for (seed <- Seq(1L, 42L, 987654321L); n <- Seq(16, 17, 40, 200)) {
+      val codes = lcgBits(n, seed)
+      val acc = new Microstructure.LzAccumulator(w)
+      codes.foreach(acc.add)
+      val (bc, bh) = brute(codes, w)
+      assert(acc.points == bc, s"points seed=$seed n=$n: ${acc.points} vs $bc")
+      if (bc > 0) assert(acc.entropy.get == bh, s"entropy seed=$seed n=$n")
+      else assert(acc.entropy.isEmpty)
+    }
+    // constant stream: every point matches the full window -> minimal H
+    val const = new Microstructure.LzAccumulator(16)
+    (0 until 100).foreach(_ => const.add(1))
+    val hConst = const.entropy.get
+    assert(math.abs(hConst - StrictMath.log(17.0) / StrictMath.log(2.0) / 17.0) < 1e-12)
+    // pseudo-random stream: near 1 bit/symbol
+    val rnd = new Microstructure.LzAccumulator(16)
+    lcgBits(4000, 7L).foreach(rnd.add)
+    assert(rnd.entropy.get > 0.6 && rnd.entropy.get < 1.4, s"random H=${rnd.entropy.get}")
+    assert(hConst < rnd.entropy.get)
+  }
+
+  test("lz entropy scan: monotone day hits the repetitive floor; short days emit null") {
+    import graft.operators.Microstructure
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // 100 strictly increasing closes -> all-'u' stream, window 32
+    val up = (0 until 100)
+      .map(i => ("U", ts(i.toLong), 100.0 + i, 1L, i.toLong))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val r = Microstructure.lzEntropyScan(up).collect().head
+    assert(r.getAs[Long]("n_ticks") == 100L && r.getAs[Long]("n_points") == 100L - 64L + 1L)
+    assert(math.abs(r.getAs[Double]("lz_entropy") - StrictMath.log(33.0) / StrictMath.log(2.0) / 33.0) < 1e-12)
+    // a 40-tick day has no point with full history + lookahead at w=32
+    val short = (0 until 40)
+      .map(i => ("S", ts(i.toLong), 100.0 + i, 1L, i.toLong))
+      .toDF("symbol", "ts", "price", "size", "trade_id")
+    val s = Microstructure.lzEntropyScan(short).collect().head
+    assert(s.getAs[Long]("n_points") == 0L && s.isNullAt(s.fieldIndex("lz_entropy")))
+  }
+
   test("hrp: SLINK order keeps clones adjacent; bisection is inverse-variance for two assets") {
     import graft.operators.Hrp
     // assets 0 and 2 perfectly correlated (distance 0): must merge

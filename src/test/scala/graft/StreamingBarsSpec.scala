@@ -647,6 +647,41 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming lz entropy equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-slz").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .lzEntropy(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_lz")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_lz")
+    val batch = graft.operators.Microstructure
+      .lzEntropyScan(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    // tick-ordered term sums in both forms: bit-equal
+    assert(
+      joined.where(
+        col("s.n_ticks") =!= col("b.n_ticks") ||
+          col("s.n_points") =!= col("b.n_points") ||
+          !(col("s.lz_entropy") <=> col("b.lz_entropy"))
+      ).count() == 0
+    )
+  }
+
   test("streaming becker-parkinson equals batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-sbp").toString
