@@ -1020,6 +1020,18 @@ object SparkEntry {
         .weights(s.read.parquet(s"$dir/documents.parquet"), isTarget = col("lang") === "en")
         .orderBy(col("doc_id"))
     },
+    "dsir_incremental" -> { (s, dir) =>
+      // cross-run DSIR: freeze the bucket stats on batch 1
+      // (doc_id % 3 != 0), score batch 2 against the store — the
+      // oracle replays the frozen-stats flow
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val store = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+      operators.Dsir
+        .buildStore(docs.where(col("doc_id") % 3 =!= 0), col("lang") === "en", store)
+      operators.Dsir
+        .scoreAgainst(s, store, docs.where(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
+    },
     "decontaminate" -> { (s, dir) =>
       // benchmark = every 97th doc (broadcast side); 3-gram overlap
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -3971,6 +3983,47 @@ object SparkEntry {
          |       CASE WHEN a.qsum IS NULL THEN 0.0 ELSE CAST(a.qsum AS DOUBLE) / 1e9 END
          |         - ln(-ln((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0)) AS sample_score
          |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Cross-run DSIR: bucket stats frozen on batch 1 (doc_id%3 != 0),
+    // batch 2 scored against them — identical hash/smoothing/
+    // quantize/Gumbel trees, only the two doc sets differ
+    "dsir_incremental" ->
+      s"""WITH d0 AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |g0 AS (SELECT doc_id, lang, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d0),
+         |xs AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(gl) AS gram FROM g0 WHERE doc_id % 3 <> 0),
+         |hbs AS (
+         |  SELECT doc_id, tgt,
+         |         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+         |  FROM xs),
+         |bs0 AS (
+         |  SELECT b,
+         |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+         |         CAST(count(*) AS BIGINT) AS rcnt
+         |  FROM hbs GROUP BY b),
+         |spine AS (SELECT CAST(unnest(generate_series(0, 4095)) AS BIGINT) AS b),
+         |bs AS (
+         |  SELECT spine.b, coalesce(bs0.tcnt, 0) AS tcnt, coalesce(bs0.rcnt, 0) AS rcnt
+         |  FROM spine LEFT JOIN bs0 ON spine.b = bs0.b),
+         |tt AS (SELECT CAST(sum(tcnt) AS BIGINT) AS t_total, CAST(sum(rcnt) AS BIGINT) AS r_total FROM bs),
+         |llr AS (
+         |  SELECT b,
+         |         CAST(round((ln(CAST(tcnt + 1 AS DOUBLE) / CAST(t_total + 4096 AS DOUBLE)) -
+         |                     ln(CAST(rcnt + 1 AS DOUBLE) / CAST(r_total + 4096 AS DOUBLE))) * 1e9) AS BIGINT) AS qllr
+         |  FROM bs, tt),
+         |xq AS (SELECT doc_id, unnest(gl) AS gram FROM g0 WHERE doc_id % 3 = 0),
+         |hbq AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+         |  FROM xq),
+         |a AS (
+         |  SELECT hbq.doc_id, CAST(sum(l.qllr) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM hbq JOIN llr l ON hbq.b = l.b GROUP BY hbq.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_grams, 0) AS n_grams,
+         |       CASE WHEN a.qsum IS NULL THEN 0.0 ELSE CAST(a.qsum AS DOUBLE) / 1e9 END AS dsir_logw,
+         |       CASE WHEN a.qsum IS NULL THEN 0.0 ELSE CAST(a.qsum AS DOUBLE) / 1e9 END
+         |         - ln(-ln((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0)) AS sample_score
+         |FROM (SELECT doc_id FROM d0 WHERE doc_id % 3 = 0) d LEFT JOIN a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH d0 AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** DSIR-style data selection with importance resampling (Xie et al.
@@ -35,48 +35,55 @@ import org.apache.spark.sql.functions._
   * stat rows, the stat table broadcast back over the exploded grams,
   * one (doc-keyed) aggregation exchange. No corpus-sized join sides,
   * no windows, no driver materialization.
+  *
+  * Cross-run form (the [[IncrementalDedup]]/[[VectorIndex]] store
+  * pattern): [[buildStore]] persists the raw integer bucket counts,
+  * [[appendStore]] rolls them forward snapshot-style (counts add),
+  * and [[scoreAgainst]] scores a NEW batch against the frozen stats
+  * without touching the old corpus — the production shape where the
+  * target/raw distributions are estimated once and reused across
+  * ingests.
   */
 object Dsir {
 
-  /** Per-document importance weights against a target subset.
-    *
-    * @param isTarget row predicate over `docs` marking the target
-    *                 distribution's documents (e.g. `col("lang") === "en"`)
-    * @return doc_id, n_grams, dsir_logw, sample_score (logw + Gumbel)
-    */
-  def weights(
+  /** doc_id, tgt, b — one row per (unigram+bigram) gram occurrence. */
+  private def gramBuckets(
       docs: DataFrame,
       isTarget: Column,
-      buckets: Int = 4096,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      salt: String = "dsir",
+      buckets: Int,
+      idCol: String,
+      textCol: String,
   ): DataFrame = {
     val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
     val hashes = concat(
       graft.functions.TextExprs.gramHashes32(tk, 1),
       graft.functions.TextExprs.gramHashes32(tk, 2),
     )
-    val exploded = docs
+    docs
       .select(col(idCol).as("doc_id"), isTarget.as("tgt"), explode(hashes).as("h"))
       .select(col("doc_id"), col("tgt"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+  }
 
-    val bucketStats = exploded
+  /** b, tcnt, rcnt — integer counts, map-side combinable. */
+  private def statsOf(exploded: DataFrame): DataFrame =
+    exploded
       .groupBy(col("b"))
       .agg(
         sum(when(col("tgt"), lit(1L)).otherwise(lit(0L))).as("tcnt"),
         count(lit(1)).as("rcnt"),
       )
-    // corpus totals via an unpartitioned window over the ≤`buckets`-row
-    // stat table (bounded by construction) — keeps ONE stats subtree
-    // instead of two scans of the gram stream for a separate agg
+
+  /** b, qllr — the quantized per-bucket log-likelihood ratio; the
+    * ONLY log/division site, on ≤`buckets` rows. Corpus totals via
+    * an unpartitioned window over the bounded stat table (keeps ONE
+    * stats subtree instead of two scans of the gram stream).
+    */
+  private def llrOf(bucketStats: DataFrame, buckets: Int): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    // quantized per-bucket log-likelihood ratio — the ONLY log/division
-    // site; ≤ `buckets` rows, broadcast back over the gram stream
-    val llr = bucketStats
+    bucketStats
       .withColumn("t_total", sum(col("tcnt")).over(wAll).cast("long"))
       .withColumn("r_total", sum(col("rcnt")).over(wAll).cast("long"))
       .select(
@@ -86,12 +93,22 @@ object Dsir {
             log((col("rcnt") + lit(1L)).cast("double") / (col("r_total") + lit(buckets.toLong)).cast("double"))) * lit(1e9)
         ).cast("long").as("qllr"),
       )
+  }
 
+  /** Per-doc BIGINT qllr sums + the Gumbel key, left-joined back so
+    * zero-gram docs score 0.
+    */
+  private def scoreDocs(
+      docs: DataFrame,
+      exploded: DataFrame,
+      llr: DataFrame,
+      idCol: String,
+      salt: String,
+  ): DataFrame = {
     val perDoc = exploded
       .join(broadcast(llr), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("qllr")).cast("long").as("qsum"), count(lit(1)).as("n_grams"))
-
     // deterministic Gumbel(0,1) from the doc id's md5 (u ∈ (0,1))
     val h32 = conv(
       substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 8),
@@ -111,6 +128,24 @@ object Dsir {
       )
   }
 
+  /** Per-document importance weights against a target subset.
+    *
+    * @param isTarget row predicate over `docs` marking the target
+    *                 distribution's documents (e.g. `col("lang") === "en"`)
+    * @return doc_id, n_grams, dsir_logw, sample_score (logw + Gumbel)
+    */
+  def weights(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "dsir",
+  ): DataFrame = {
+    val exploded = gramBuckets(docs, isTarget, buckets, idCol, textCol)
+    scoreDocs(docs, exploded, llrOf(statsOf(exploded), buckets), idCol, salt)
+  }
+
   /** The selection step: top-k documents by Gumbel-perturbed weight —
     * importance resampling without replacement from softmax(logw).
     */
@@ -126,4 +161,88 @@ object Dsir {
     weights(docs, isTarget, buckets, idCol, textCol, salt)
       .orderBy(col("sample_score").desc, col("doc_id"))
       .limit(k)
+
+  /** Persist the raw integer bucket counts (b, tcnt, rcnt) plus the
+    * bucket-count meta — counts, not ratios, so stores ADD under
+    * [[appendStore]] and the smoothing stays a scoring-time choice.
+    */
+  def buildStore(
+      docs: DataFrame,
+      isTarget: Column,
+      dir: String,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    statsOf(gramBuckets(docs, isTarget, buckets, idCol, textCol))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    Seq(buckets).toDF("buckets").write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def storeBuckets(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val b = spark.read.parquet(s"$dir/buckets")
+    val k = spark.read.parquet(s"$dir/meta").head().getInt(0)
+    (b, k)
+  }
+
+  /** Roll the store forward with a new batch, snapshot-style (the
+    * [[IncrementalDedup.appendStore]] contract): bucket counts add;
+    * pinned table-equal to a fresh [[buildStore]] over the union.
+    */
+  def appendStore(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      isTarget: Column,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    require(
+      new java.io.File(outDir).getCanonicalPath != new java.io.File(dir).getCanonicalPath,
+      "appendStore writes a NEW snapshot dir (read-while-overwrite is unsafe)",
+    )
+    import spark.implicits._
+    val (old, buckets) = storeBuckets(spark, dir)
+    old
+      .unionByName(statsOf(gramBuckets(newDocs, isTarget, buckets, idCol, textCol)))
+      .groupBy(col("b"))
+      .agg(sum(col("tcnt")).cast("long").as("tcnt"), sum(col("rcnt")).cast("long").as("rcnt"))
+      .write.mode("overwrite").parquet(s"$outDir/buckets")
+    Seq(buckets).toDF("buckets").write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Score a NEW batch against the frozen store — no old-corpus
+    * rescan; equals [[weights]] with the store's stats by
+    * construction (same llr/scoring subtrees).
+    */
+  def scoreAgainst(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "dsir",
+  ): DataFrame = {
+    val (stats, buckets) = storeBuckets(spark, dir)
+    // complete the stats over the full bucket spine: a NEW batch can
+    // hash grams into buckets the stored corpus never saw, and those
+    // must score the smoothed zero-count ratio, not be dropped by
+    // the llr join (add-one smoothing exists exactly for this; the
+    // one-shot path never hits it — every gram's own bucket is
+    // present there). The spine is ≤`buckets` rows; totals are
+    // unchanged by the zero rows.
+    val spine = spark.range(buckets).select(col("id").as("b"))
+    val complete = spine
+      .join(stats, Seq("b"), "left")
+      .select(
+        col("b"),
+        coalesce(col("tcnt"), lit(0L)).as("tcnt"),
+        coalesce(col("rcnt"), lit(0L)).as("rcnt"),
+      )
+    val exploded = gramBuckets(newDocs, lit(false), buckets, idCol, textCol)
+    scoreDocs(newDocs, exploded, llrOf(complete, buckets), idCol, salt)
+  }
 }

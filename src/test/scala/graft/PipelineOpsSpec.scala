@@ -1033,6 +1033,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w.toSeq == w3.toSeq)
   }
 
+  test("dsir store: scoreAgainst(full store) == weights; appendStore == fresh build; unseen buckets smoothed") {
+    import java.nio.file.Files
+    val d = (
+      (0 until 40).map(i => (i.toLong, "alpha beta alpha beta alpha", "t")) ++
+        (40 until 80).map(i => (i.toLong, "gamma delta gamma delta gamma", "r")) ++
+        Seq((80L, "", "r"))
+    ).toDF("doc_id", "text", "lab")
+    val tgt = col("lab") === "t"
+    // 1) freezing the stats over the SAME corpus reproduces weights bit-equal
+    val full = Files.createTempDirectory("graft-dsir-full").toString
+    operators.Dsir.buildStore(d, tgt, full)
+    val viaStore = operators.Dsir.scoreAgainst(spark, full, d).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val direct = operators.Dsir.weights(d, tgt).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(viaStore == direct)
+    // 2) snapshot roll: append(batch2 onto store(batch1)) == build(union)
+    val b1 = d.where(col("doc_id") % 3 =!= 0)
+    val b2 = d.where(col("doc_id") % 3 === 0)
+    val s1 = Files.createTempDirectory("graft-dsir-b1").toString
+    val s12 = Files.createTempDirectory("graft-dsir-b12").toString
+    operators.Dsir.buildStore(b1, tgt, s1)
+    operators.Dsir.appendStore(spark, s1, b2, tgt, s12)
+    val rolled = spark.read.parquet(s"$s12/buckets").orderBy("b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val fresh = spark.read.parquet(s"$full/buckets").orderBy("b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rolled == fresh)
+    // 3) a batch with vocabulary the store never saw scores every
+    //    gram at the smoothed zero-count ratio instead of dropping it
+    val novel = Seq((999L, "zeta eta zeta", "r")).toDF("doc_id", "text", "lab")
+    val sc2 = operators.Dsir.scoreAgainst(spark, s1, novel)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(sc2._2 == 5L) // 3 unigrams + 2 bigrams all counted
+    // zero-count buckets: qllr = round(1e9*ln((R+B)/(T+B))) per gram
+    val st = spark.read.parquet(s"$s1/buckets")
+      .agg(sum("tcnt").cast("long"), sum("rcnt").cast("long"))
+      .as[(Long, Long)].collect().head
+    val expect = math.round(
+      (StrictMath.log(1.0 / (st._1 + 4096).toDouble) - StrictMath.log(1.0 / (st._2 + 4096).toDouble)) * 1e9
+    ) * 5L
+    assert(sc2._3 == expect.toDouble / 1e9)
+  }
+
   test("dsirResample: Gumbel top-k is k rows, deterministic, and weight-biased toward the target") {
     val d = (
       (0 until 30).map(i => (i.toLong, "alpha beta alpha beta", "t")) ++
