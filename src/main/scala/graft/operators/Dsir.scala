@@ -245,4 +245,67 @@ object Dsir {
     val exploded = gramBuckets(newDocs, lit(false), buckets, idCol, textCol)
     scoreDocs(newDocs, exploded, llrOf(complete, buckets), idCol, salt)
   }
+
+  /** Stateless map-side scorer against the frozen store — the
+    * streaming-ingest shape: the ≤`buckets`-row qllr table collapses
+    * to a LITERAL lookup array (bounded driver collect, the
+    * classifier-LUT pattern), so scoring is explode-free and
+    * shuffle-free — works unchanged on a streaming DataFrame (no
+    * aggregation, no watermark, append mode). The per-doc qllr sum
+    * folds the gram array sequentially, but integer addition is
+    * order-free, so rows are bit-equal to [[scoreAgainst]] (pinned).
+    */
+  def scoreMapSide(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "dsir",
+  ): DataFrame = {
+    val (stats, buckets) = storeBuckets(spark, dir)
+    val spine = spark.range(buckets).select(col("id").as("b"))
+    val complete = spine
+      .join(stats, Seq("b"), "left")
+      .select(
+        col("b"),
+        coalesce(col("tcnt"), lit(0L)).as("tcnt"),
+        coalesce(col("rcnt"), lit(0L)).as("rcnt"),
+      )
+    // bounded by construction: exactly `buckets` rows
+    val lut = new Array[Long](buckets)
+    llrOf(complete, buckets).collect().foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+    val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val hashes = concat(
+      graft.functions.TextExprs.gramHashes32(tk, 1),
+      graft.functions.TextExprs.gramHashes32(tk, 2),
+    )
+    val qsum = aggregate(
+      hashes,
+      lit(0L),
+      (acc, h) => acc + element_at(typedLit(lut.toSeq), (pmod(h, lit(buckets.toLong)) + 1).cast("int")),
+    )
+    val h32 = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 8),
+      16,
+      10,
+    ).cast("long")
+    val u = (h32.cast("double") + lit(0.5)) / lit(4294967296.0)
+    newDocs
+      .select(
+        col(idCol).as("doc_id"),
+        // null text -> null array: coalesce to the batch path's
+        // zero-gram outcome (explode drops the row there)
+        coalesce(size(hashes).cast("long"), lit(0L)).as("n_grams"),
+        coalesce(qsum, lit(0L)).as("qsum"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("qsum").cast("double") / lit(1e9)).as("dsir_logw"),
+        (when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("qsum").cast("double") / lit(1e9)) - log(-log(u))).as("sample_score"),
+      )
+  }
 }

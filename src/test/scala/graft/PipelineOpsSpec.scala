@@ -1077,6 +1077,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sc2._3 == expect.toDouble / 1e9)
   }
 
+  test("dsir map-side scorer: bit-equal to scoreAgainst, stateless on a stream") {
+    import java.nio.file.Files
+    val d = (
+      (0 until 30).map(i => (i.toLong, "alpha beta alpha beta alpha", "t")) ++
+        (30 until 60).map(i => (i.toLong, "gamma delta gamma delta gamma", "r")) ++
+        Seq((60L, "zeta eta", "r"), (61L, "", "r"))
+    ).toDF("doc_id", "text", "lab")
+    val store = Files.createTempDirectory("graft-dsir-lut").toString
+    operators.Dsir.buildStore(d.where(col("doc_id") < 60), col("lab") === "t", store)
+    val viaAgg = operators.Dsir.scoreAgainst(spark, store, d).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val viaMap = operators.Dsir.scoreMapSide(spark, store, d).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(viaAgg == viaMap) // integer gram sums: fold order is free
+    // stateless streaming pass emits every row, bit-equal to batch
+    val dir = Files.createTempDirectory("graft-dsir-stream").toString
+    d.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(d.schema).parquet(dir)
+    val q = operators.Dsir
+      .scoreMapSide(spark, store, stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dsir")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_dsir").orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(streamed == viaMap)
+  }
+
   test("dsirResample: Gumbel top-k is k rows, deterministic, and weight-biased toward the target") {
     val d = (
       (0 until 30).map(i => (i.toLong, "alpha beta alpha beta", "t")) ++
