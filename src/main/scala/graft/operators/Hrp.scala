@@ -77,8 +77,10 @@ object Hrp {
     * round-to-nearest (BigDecimal.doubleValue / hugeint cast), so
     * the corr tree stays engine-exact op-for-op.
     */
-  def pairwiseCorr(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
-    val r = dailyReturns(df, c)
+  def pairwiseCorr(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame =
+    pairwiseCorrOfReturns(dailyReturns(df, c))
+
+  private def pairwiseCorrOfReturns(r: DataFrame): DataFrame = {
     val a = r.select(col("symbol").as("s1"), col("date"), col("rq").as("x"))
     val b = r.select(col("symbol").as("s2"), col("date"), col("rq").as("y"))
     val dec = "decimal(38,0)"
@@ -123,7 +125,11 @@ object Hrp {
       maxSymbols: Int = 2048,
   ): DataFrame = {
     val spark = df.sparkSession
-    val r = dailyReturns(df, c)
+    // both the variance agg and the corr self-join consume the daily
+    // returns — materialize the (symbols × days)-sized table once
+    // behind the standard size-gated barrier instead of scanning the
+    // tick stream twice
+    val r = graft.sources.Checkpoint.tableGated(dailyReturns(df, c), "hrp-returns")
     // per-symbol variance from the same BIGINT moments
     val dec = "decimal(38,0)"
     val perSym = r
@@ -161,7 +167,7 @@ object Hrp {
         val variance = active.map(_.getDouble(2))
         val corr = Array.fill(n, n)(0.0)
         for (i <- 0 until n) corr(i)(i) = 1.0
-        pairwiseCorr(df, c)
+        pairwiseCorrOfReturns(r)
           .where(col("corr").isNotNull)
           .collect()
           .foreach { row =>
