@@ -231,6 +231,16 @@ object SparkEntry {
         .pairwiseCorr(TradeData.fromEvents(s, dir))
         .orderBy(col("s1"), col("s2"))
     },
+    "pbo" -> { (s, dir) =>
+      // rows-only: the C(16,8) CSCV sweep is not SQL-expressible;
+      // construction pinned in CoreOperatorsSpec
+      operators.BacktestStats.pbo(TradeData.fromEvents(s, dir))
+    },
+    "hrp_weights_denoised" -> { (s, dir) =>
+      // rows-only like hrp_weights; the MP shrink + eigen sweep is
+      // pinned in CoreOperatorsSpec
+      operators.Hrp.weights(TradeData.fromEvents(s, dir), denoise = true)
+    },
     "hrp_weights" -> { (s, dir) =>
       // rows-only: the recursive bisection is not SQL-expressible;
       // construction pinned in CoreOperatorsSpec, corr matrix

@@ -235,4 +235,102 @@ object BacktestStats {
         .as("dsr"),
     )
   }
+
+  /** Probability of backtest overfitting via combinatorially
+    * symmetric cross-validation (Bailey, Borwein, López de Prado &
+    * Zhu 2015; AFML ch.11): partition the trading days into
+    * `nBlocks` contiguous blocks; for every C(nBlocks, nBlocks/2)
+    * in-sample block subset, pick the strategy (symbol) with the
+    * best IS Sharpe and find its RELATIVE RANK ω among
+    * out-of-sample Sharpes — PBO = P(ω ≤ ½), the frequency with
+    * which the IS winner underperforms the OOS median. λ = logit(ω)
+    * summarizes the overfit distribution.
+    *
+    * Scale split (the [[Hrp]] pattern): the data-sized work — daily
+    * closes, micro-unit quantized returns, per-(strategy, block)
+    * moment sums (exact BIGINT/DECIMAL) — is fully distributed and
+    * collects only strategies × nBlocks bounded rows; the C(16,8) =
+    * 12,870 combination sweep runs driver-side over that tiny moment
+    * matrix (combos × strategies integer-sum arithmetic). Driver
+    * iteration sorts the collected rows, so the output is
+    * deterministic under any partitioning. Degenerate (zero-variance
+    * or short) strategy-sides rank as −∞, never best.
+    *
+    * Output (one row): n_strategies, n_blocks, n_combos, pbo,
+    * mean_logit.
+    */
+  def pbo(
+      df: DataFrame,
+      c: TradingCols = TradingCols.default,
+      nBlocks: Int = 16,
+      maxStrategies: Int = 1024,
+  ): DataFrame = {
+    require(nBlocks >= 2 && nBlocks % 2 == 0 && nBlocks <= 20, "nBlocks: even, in [2, 20]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = Hrp.dailyReturns(df, c)
+    // contiguous equal-ish date blocks, shared across strategies
+    val dates = r
+      .select(col("date")).distinct()
+      .withColumn("__rn", row_number().over(Window.orderBy(col("date"))))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy()))
+      .select(col("date"), (((col("__rn") - 1) * nBlocks) / col("__cnt")).cast("int").as("block"))
+    val dec = "decimal(38,0)"
+    val rows = r
+      .join(broadcast(dates), Seq("date"))
+      .groupBy(col("symbol"), col("block"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rq")).as("s"),
+        sum(col("rq").cast(dec) * col("rq").cast(dec)).cast(dec).as("ss"),
+      )
+      .collect()
+      .map(x =>
+        (x.getString(0), x.getInt(1), x.getLong(2), x.getLong(3),
+          BigInt(x.getDecimal(4).toBigInteger)))
+      .sortBy(x => (x._1, x._2))
+    val syms = rows.map(_._1).distinct.sorted
+    require(
+      syms.length <= maxStrategies,
+      s"PBO driver-side sweep gated at $maxStrategies strategies (got ${syms.length})",
+    )
+    val idx = syms.zipWithIndex.toMap
+    // moment matrix [strategy][block]
+    val n = Array.fill(syms.length, nBlocks)(0L)
+    val s = Array.fill(syms.length, nBlocks)(0L)
+    val ss = Array.fill(syms.length, nBlocks)(BigInt(0))
+    rows.foreach { case (sym, b, nn, sv, ssv) =>
+      val i = idx(sym); n(i)(b) = nn; s(i)(b) = sv; ss(i)(b) = ssv
+    }
+    def srOf(blocks: Seq[Int], i: Int): Double = {
+      var nn = 0L; var sv = 0L; var ssv = BigInt(0)
+      blocks.foreach { b => nn += n(i)(b); sv += s(i)(b); ssv += ss(i)(b) }
+      if (nn < 2) return Double.NegativeInfinity
+      val nd = nn.toDouble
+      // exact integer numerator n·Σx² − (Σx)², one double conversion
+      val varNum = (BigInt(nn) * ssv - BigInt(sv) * BigInt(sv)).toDouble
+      if (varNum <= 0.0) Double.NegativeInfinity
+      else (sv.toDouble / nd) / math.sqrt(varNum / (nd * nd))
+    }
+    val combos = (0 until nBlocks).combinations(nBlocks / 2).toSeq
+    var overfit = 0L
+    var logitSum = 0.0
+    var nCombos = 0L
+    combos.foreach { isBlocks =>
+      val oos = (0 until nBlocks).filterNot(isBlocks.contains)
+      val srIs = syms.indices.map(srOf(isBlocks, _))
+      val best = srIs.indices.maxBy(i => (srIs(i), -i)) // tiebreak: first symbol
+      val srOos = syms.indices.map(srOf(oos, _))
+      val rank = 1 + srOos.indices.count(j =>
+        srOos(j) < srOos(best) || (srOos(j) == srOos(best) && j < best))
+      val omega = rank.toDouble / (syms.length + 1).toDouble
+      if (omega <= 0.5) overfit += 1L
+      logitSum += math.log(omega / (1.0 - omega))
+      nCombos += 1L
+    }
+    Seq(
+      (syms.length.toLong, nBlocks.toLong, nCombos,
+        overfit.toDouble / nCombos.toDouble, logitSum / nCombos.toDouble)
+    ).toDF("n_strategies", "n_blocks", "n_combos", "pbo", "mean_logit")
+  }
 }

@@ -119,10 +119,15 @@ object Hrp {
     * ρ = 0. Ties in merge height break by symbol index
     * (deterministic dendrogram).
     */
+  /** @param denoise Marchenko-Pastur-shrink the correlation matrix
+    *                 before clustering ([[denoiseCorr]], q = T/N
+    *                 from the longest return series)
+    */
   def weights(
       df: DataFrame,
       c: TradingCols = TradingCols.default,
       maxSymbols: Int = 2048,
+      denoise: Boolean = false,
   ): DataFrame = {
     val spark = df.sparkSession
     // both the variance agg and the corr self-join consume the daily
@@ -177,13 +182,98 @@ object Hrp {
               case _ => ()
             }
           }
-        val order = quasiDiagOrder(corr)
-        val w = recursiveBisection(order, variance, corr)
+        val corrUsed =
+          if (!denoise) corr
+          else {
+            val t = active.map(_.getLong(1)).max.toDouble
+            denoiseCorr(corr, t / n.toDouble)
+          }
+        val order = quasiDiagOrder(corrUsed)
+        val w = recursiveBisection(order, variance, corrUsed)
         syms.zip(w).toSeq
       }
     val zero = perSym.map(_.getString(0)).filterNot(out.map(_._1).toSet).map(_ -> 0.0)
     import spark.implicits._
     (out ++ zero).toDF("symbol", "hrp_weight").orderBy(col("symbol"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix
+    * (Golub & Van Loan §8.5 — the classical rotation sweep):
+    * returns (eigenvalues, eigenvectors as COLUMNS of v), both in
+    * the sweep's deterministic order. O(n³) per sweep, converges
+    * quadratically; fine for the gated `maxSymbols` matrix sizes.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) s += a(i)(j) * a(i)(j)
+      s
+    }
+    while (off() > 1e-22 && sweep < 100) {
+      for (p <- 0 until n; q <- p + 1 until n) {
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Marchenko-Pastur denoising of a correlation matrix (López de
+    * Prado, "Machine Learning for Asset Managers" §2, constant-
+    * residual form): eigenvalues below the pure-noise upper edge
+    * λ₊ = (1 + √(1/q))² (q = T/N observations per variable, unit
+    * noise variance assumed — the simplified published variant; the
+    * book's KDE-fitted σ² is a refinement) are replaced by their
+    * average, the matrix is rebuilt V·diag(λ)·Vᵀ and rescaled to
+    * unit diagonal. Keeps the signal factors, kills the noise floor
+    * that makes downstream inverse-variance allocations unstable.
+    */
+  private[graft] def denoiseCorr(corr: Array[Array[Double]], q: Double): Array[Array[Double]] = {
+    require(q > 0.0, "q = T/N must be positive")
+    val n = corr.length
+    val (w, v) = jacobiEigen(corr)
+    val lambdaPlus = { val r = 1.0 + math.sqrt(1.0 / q); r * r }
+    val noise = w.indices.filter(i => w(i) < lambdaPlus)
+    if (noise.isEmpty || noise.length == n) return corr // nothing to shrink / pure noise
+    val avg = noise.map(w).sum / noise.length.toDouble
+    val w2 = w.clone()
+    noise.foreach(i => w2(i) = avg)
+    val rebuilt = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += v(i)(k) * w2(k) * v(j)(k); k += 1 }
+      s
+    }
+    Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 1.0
+      else rebuilt(i)(j) / math.sqrt(rebuilt(i)(i) * rebuilt(j)(j))
+    }
   }
 
   /** Single-linkage dendrogram leaf order on the AFML correlation

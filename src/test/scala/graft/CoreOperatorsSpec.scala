@@ -1173,6 +1173,43 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(o.isNullAt(o.fieldIndex("hasbrouck_lambda")))
   }
 
+  test("pbo: complementary block winners give PBO 1, a uniformly dominant strategy gives PBO 0") {
+    import graft.operators.BacktestStats
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    // 5 days -> nBlocks=2 blocks {d1,d2,d3}, {d4,d5}; returns attach
+    // to d2..d5. A wins block 0 and loses block 1; B mirrors ->
+    // every IS winner is the OOS loser -> PBO = 1, both logits < 0
+    val pa = Seq(100.00, 101.00, 102.21, 101.19, 99.98)
+    val pb = Seq(100.00, 99.00, 97.81, 98.79, 99.98)
+    val flip = (1 to 5).flatMap { d =>
+      Seq(
+        ("A", ts(d), pa(d - 1), 1L, d.toLong * 10),
+        ("B", ts(d), pb(d - 1), 1L, d.toLong * 10 + 1),
+      )
+    }.toDF("symbol", "ts", "price", "size", "trade_id")
+    val r1 = BacktestStats.pbo(flip, nBlocks = 2).collect().head
+    assert(r1.getAs[Long]("n_strategies") == 2L && r1.getAs[Long]("n_combos") == 2L)
+    assert(r1.getAs[Double]("pbo") == 1.0)
+    assert(r1.getAs[Double]("mean_logit") < 0.0)
+    // A strictly up every day (varying steps), B strictly down ->
+    // best IS is always best OOS -> PBO = 0
+    val upA = Seq(100.00, 101.00, 102.20, 103.10, 104.40)
+    val dnB = Seq(100.00, 99.00, 97.90, 96.95, 95.70)
+    val dom = (1 to 5).flatMap { d =>
+      Seq(
+        ("A", ts(d), upA(d - 1), 1L, d.toLong * 10),
+        ("B", ts(d), dnB(d - 1), 1L, d.toLong * 10 + 1),
+      )
+    }.toDF("symbol", "ts", "price", "size", "trade_id")
+    val r2 = BacktestStats.pbo(dom, nBlocks = 2).collect().head
+    assert(r2.getAs[Double]("pbo") == 0.0)
+    assert(r2.getAs[Double]("mean_logit") > 0.0)
+    // determinism under repartitioning
+    val r3 = BacktestStats.pbo(flip.repartition(7), nBlocks = 2).collect().head
+    assert(r3.getAs[Double]("pbo") == 1.0 &&
+      r3.getAs[Double]("mean_logit") == r1.getAs[Double]("mean_logit"))
+  }
+
   test("lz entropy: accumulator matches the textbook matchLength brute force; extremes behave") {
     import graft.operators.Microstructure
     val w = 8
@@ -1258,6 +1295,56 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(math.abs(w(0) - 1.0 / 5.0) < 1e-15 && math.abs(w(1) - 4.0 / 5.0) < 1e-15)
     // weights multiply to a full allocation
     assert(math.abs(w.sum - 1.0) < 1e-15)
+  }
+
+  test("hrp denoising: Jacobi eigen reproduces A·v = λ·v; MP shrink keeps the factor, flattens noise") {
+    import graft.operators.Hrp
+    // hand case: eigenvalues of [[2,1],[1,2]] are 3 and 1
+    val m2 = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (w2, v2) = Hrp.jacobiEigen(m2)
+    assert(w2.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // residual ||A v - w v|| per eigenpair
+    for (k <- 0 until 2) {
+      val av = (0 until 2).map(i => m2(i)(0) * v2(0)(k) + m2(i)(1) * v2(1)(k))
+      assert((0 until 2).forall(i => math.abs(av(i) - w2(k) * v2(i)(k)) < 1e-10))
+    }
+    // trace preservation on a bigger symmetric matrix
+    val n = 6
+    val rng = new scala.util.Random(7)
+    val sym = Array.tabulate(n, n)((_, _) => 0.0)
+    for (i <- 0 until n; j <- i until n) { val x = rng.nextDouble() - 0.5; sym(i)(j) = x; sym(j)(i) = x }
+    val (we, ve) = Hrp.jacobiEigen(sym)
+    assert(math.abs(we.sum - (0 until n).map(i => sym(i)(i)).sum) < 1e-10)
+    for (k <- 0 until n; i <- 0 until n) {
+      val av = (0 until n).map(j => sym(i)(j) * ve(j)(k)).sum
+      assert(math.abs(av - we(k) * ve(i)(k)) < 1e-8)
+    }
+    // one strong equicorrelated factor (rho .6) + tiny noise: after
+    // the MP shrink the off-diagonal factor structure survives and
+    // the diagonal is exactly 1
+    val rho = 0.6
+    val corr = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 1.0 else rho + 0.01 * math.sin((i * n + j + 1).toDouble))
+    for (i <- 0 until n; j <- i + 1 until n) corr(j)(i) = corr(i)(j)
+    val den = Hrp.denoiseCorr(corr, q = 5.0)
+    assert((0 until n).forall(i => den(i)(i) == 1.0))
+    for (i <- 0 until n; j <- 0 until n if i != j)
+      assert(math.abs(den(i)(j) - rho) < 0.1, s"factor lost at ($i,$j): ${den(i)(j)}")
+    // denoised HRP still allocates a full, deterministic budget
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
+    val rows = (1 to 9).flatMap { d =>
+      Seq(
+        ("A", ts(d), if (d % 2 == 0) 101.00 else 100.00, 1L, d.toLong * 10),
+        ("B", ts(d), if (d % 2 == 0) 96.00 else 100.00, 1L, d.toLong * 10 + 1),
+        ("C", ts(d), if (d % 3 == 0) 103.00 else 100.00, 1L, d.toLong * 10 + 2),
+      )
+    }.toDF("symbol", "ts", "price", "size", "trade_id")
+    val w = graft.operators.Hrp.weights(rows, denoise = true).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(w.values.sum - 1.0) < 1e-12 && w.values.forall(_ >= 0.0))
+    val w2b = graft.operators.Hrp.weights(rows, denoise = true).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w == w2b)
   }
 
   test("hrp weights: distributed end-to-end — sum 1, low-vol tilt, zero-variance symbol excluded") {
