@@ -128,6 +128,7 @@ object Hrp {
       c: TradingCols = TradingCols.default,
       maxSymbols: Int = 2048,
       denoise: Boolean = false,
+      detone: Boolean = false,
   ): DataFrame = {
     val spark = df.sparkSession
     // both the variance agg and the corr self-join consume the daily
@@ -182,12 +183,13 @@ object Hrp {
               case _ => ()
             }
           }
-        val corrUsed =
+        val denoised =
           if (!denoise) corr
           else {
             val t = active.map(_.getLong(1)).max.toDouble
             denoiseCorr(corr, t / n.toDouble)
           }
+        val corrUsed = if (detone) detoneCorr(denoised) else denoised
         val order = quasiDiagOrder(corrUsed)
         val w = recursiveBisection(order, variance, corrUsed)
         syms.zip(w).toSeq
@@ -273,6 +275,28 @@ object Hrp {
     Array.tabulate(n, n) { (i, j) =>
       if (i == j) 1.0
       else rebuilt(i)(j) / math.sqrt(rebuilt(i)(i) * rebuilt(j)(j))
+    }
+  }
+
+  /** Detoning ("ML for Asset Managers" §2.6): remove the top
+    * (market) eigencomponent from a correlation matrix and rescale
+    * to unit diagonal — clustering on the detoned matrix sees the
+    * sector/idiosyncratic structure the market mode drowns out.
+    */
+  private[graft] def detoneCorr(corr: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = corr.length
+    if (n < 2) return corr
+    val (w, v) = jacobiEigen(corr)
+    val top = w.indices.maxBy(i => (w(i), -i))
+    val stripped = Array.tabulate(n, n) { (i, j) =>
+      corr(i)(j) - w(top) * v(i)(top) * v(j)(top)
+    }
+    Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 1.0
+      else {
+        val d = math.sqrt(stripped(i)(i) * stripped(j)(j))
+        if (d > 0.0) stripped(i)(j) / d else 0.0
+      }
     }
   }
 

@@ -1330,6 +1330,15 @@ class CoreOperatorsSpec extends SparkSpec {
     assert((0 until n).forall(i => den(i)(i) == 1.0))
     for (i <- 0 until n; j <- 0 until n if i != j)
       assert(math.abs(den(i)(j) - rho) < 0.1, s"factor lost at ($i,$j): ${den(i)(j)}")
+    // detoning an equicorrelated (pure-market) matrix strips the
+    // common mode: off-diagonals collapse toward the negative
+    // equi-residual -1/(n-1), diagonal stays exactly 1
+    val equi = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else rho)
+    val det = Hrp.detoneCorr(equi)
+    assert((0 until n).forall(i => det(i)(i) == 1.0))
+    for (i <- 0 until n; j <- 0 until n if i != j)
+      assert(math.abs(det(i)(j) - (-1.0 / (n - 1).toDouble)) < 1e-8,
+        s"detone residual at ($i,$j): ${det(i)(j)}")
     // denoised HRP still allocates a full, deterministic budget
     def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
     val rows = (1 to 9).flatMap { d =>
