@@ -446,6 +446,21 @@ object SparkEntry {
         .uniquenessWeights(t, ev)
         .orderBy(col("symbol"), col("event_id"))
     },
+    "seq_bootstrap" -> { (s, dir) =>
+      // rows-only: the draw loop is sequential by definition;
+      // construction + determinism pinned in CoreOperatorsSpec.
+      // Same event set as uniqueness_weights.
+      val t = TradeData.fromEvents(s, dir)
+      val ev = t
+        .where(col("trade_id") % 50 === 0)
+        .select(
+          col("symbol"),
+          col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("t1"),
+          col("trade_id").as("event_id"),
+        )
+      operators.SeqBootstrap.sample(ev, k = 500).orderBy(col("draw"))
+    },
     "decay_weights" -> { (s, dir) =>
       // time-decay weights with d(0) = 0.5 over cumulative uniqueness
       // in t1 order (exact quantized-BIGINT cumsum; same events as

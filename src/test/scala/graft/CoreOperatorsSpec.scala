@@ -1173,6 +1173,49 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(o.isNullAt(o.fieldIndex("hasbrouck_lambda")))
   }
 
+  test("seq bootstrap: definition replay, uniqueness-driven tilt toward disjoint events, determinism") {
+    import graft.operators.SeqBootstrap
+    def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // A and B share one bucket-span exactly; C is disjoint
+    val ev = Seq(
+      ("X", ts(0L), ts(9L), 1L),
+      ("X", ts(0L), ts(9L), 2L),
+      ("X", ts(100L), ts(109L), 3L),
+    ).toDF("symbol", "t0", "t1", "event_id")
+    val k = 300
+    val out = SeqBootstrap.sample(ev, k = k, bucketUs = 600000000L)
+      .orderBy("draw").as[(Long, Long, Double)].collect()
+    assert(out.length == k && out.map(_._1).toSeq == (0L until k.toLong))
+    // replay the definition independently (same md5 uniforms)
+    val spans = Seq(1L -> (0L to 0L), 2L -> (0L to 0L), 3L -> (10L to 10L))
+    val conc = scala.collection.mutable.HashMap.empty[Long, Int]
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val expect = (0 until k).map { d =>
+      val u = spans.map { case (_, span) =>
+        span.map(b => 1.0 / (1.0 + conc.getOrElse(b, 0))).sum / span.size.toDouble
+      }
+      val hex = digest.digest(s"seqboot:$d".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      val uni = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      val target = uni * u.sum
+      var acc = 0.0; var pick = 0; var i = 0
+      while (i < 3 && { acc += u(i); acc < target }) { pick = i + 1; i += 1 }
+      if (pick >= 3) pick = 2
+      val span = spans(pick)._2
+      span.foreach(b => conc(b) = conc.getOrElse(b, 0) + 1)
+      (d.toLong, spans(pick)._1, u(pick))
+    }
+    assert(out.toSeq == expect)
+    // the disjoint event is over-sampled relative to either clone
+    val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts(3L) > counts(1L) && counts(3L) > counts(2L),
+      s"expected uniqueness tilt, got $counts")
+    // deterministic repeat
+    val again = SeqBootstrap.sample(ev, k = k, bucketUs = 600000000L)
+      .orderBy("draw").as[(Long, Long, Double)].collect()
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("pbo: complementary block winners give PBO 1, a uniformly dominant strategy gives PBO 0") {
     import graft.operators.BacktestStats
     def ts(day: Int) = new java.sql.Timestamp(86400000L * day)
