@@ -241,6 +241,14 @@ object SparkEntry {
       // pinned in CoreOperatorsSpec
       operators.Hrp.weights(TradeData.fromEvents(s, dir), denoise = true)
     },
+    "otr_grid" -> { (s, _) =>
+      // rows-only: simulation-based by definition (AFML ch.13's own
+      // experiment is Monte Carlo); determinism + regime behavior
+      // pinned in CoreOperatorsSpec. Positive-forecast OU regime.
+      operators.OptimalRules
+        .otrGrid(s, e0 = 100.5, nPaths = 2000)
+        .orderBy(col("pt_mult"), col("sl_mult"))
+    },
     "hrp_weights" -> { (s, dir) =>
       // rows-only: the recursive bisection is not SQL-expressible;
       // construction pinned in CoreOperatorsSpec, corr matrix
@@ -901,6 +909,16 @@ object SparkEntry {
         .semanticDedup(
           s.read.parquet(s"$dir/embeddings.parquet"),
           threshold = 0.3, nCells = 16, kmeansIters = 0,
+        )
+        .orderBy(col("vec_id"))
+    },
+    "diversity_sample" -> { (s, dir) =>
+      // D4 SSL-prototypes step on the same explicit-seed cells as
+      // semantic_dedup; drop the most-prototypical quarter per cell
+      Similarity
+        .diversitySample(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          removeFrac = 0.25, nCells = 16, kmeansIters = 0,
         )
         .orderBy(col("vec_id"))
     },
@@ -3624,6 +3642,31 @@ object SparkEntry {
          |       d.dup_of, d.max_sim
          |FROM assign av LEFT JOIN dups d ON d.id = av.id
          |ORDER BY av.id""".stripMargin,
+    "diversity_sample" ->
+      // D4 diversification replay: same seed-centroid assignment as
+      // semantic_dedup, centroid cosine per member, per-cell rank
+      // (sim DESC, id), drop rank <= ceil(0.25 * cell size)
+      s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS nv FROM embeddings),
+         |cents AS (SELECT id AS cent_id, nv AS cv FROM nv WHERE id < 16),
+         |assign AS (
+         |  SELECT id, nv, cent_id AS cell FROM (
+         |    SELECT nv.id, nv.nv, c.cent_id,
+         |           row_number() OVER (PARTITION BY nv.id
+         |                              ORDER BY ${dotNormSql("nv.nv", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM nv, cents c)
+         |  WHERE r = 1),
+         |sim AS (
+         |  SELECT a.id, a.cell, ${dotNormSql("a.nv", "c.cv")} AS proto_sim
+         |  FROM assign a JOIN cents c ON a.cell = c.cent_id),
+         |rk AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY cell ORDER BY proto_sim DESC, id) AS proto_rank,
+         |         CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+         |  FROM sim)
+         |SELECT id AS vec_id, cell, proto_sim, proto_rank,
+         |       CAST(proto_rank > ceil(0.25 * n) AS INTEGER) AS kept
+         |FROM rk
+         |ORDER BY vec_id""".stripMargin,
     "semantic_dedup_incremental" ->
       // frozen-centroid replay: seeds = the 16 smallest BATCH-1 ids,
       // every vector (old and new) assigned against those centroids,

@@ -408,21 +408,7 @@ object Similarity {
       else math.max(16, (emb.count() / 256L).min(Int.MaxValue.toLong).toInt)
     val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
       .select(col("id"), col("nv"))
-    val assigned =
-      if (cells <= directAssignMax) {
-        // seeds = the `cells` smallest ids (NOT `id < cells`, which is
-        // empty when the id space is sparse or offset — global/hashed
-        // ids would silently produce zero cells and an empty result).
-        // Identical to `id < cells` on dense 0-based corpora, so the
-        // pinned oracle is unchanged.
-        val cents = (0 until kmeansIters).foldLeft(
-          nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
-        ) { (c, _) => kmeansRound(nv, c) }
-        graft.sources.Checkpoint.tableGated(
-          assignToCells(nv, cents),
-          "semdedup-assign",
-        )
-      } else twoLevelAssign(nv, cells, kmeansIters)
+    val (assigned, _) = cellPartition(nv, cells, kmeansIters)
     val dups = assigned
       .as("a")
       .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -450,6 +436,75 @@ object Similarity {
     */
   private[graft] val directAssignMax = 4096
 
+  /** Cell partition of a normalized corpus: returns (assignments
+    * (id, nv, cell), centroids (cent_id, cv)) by the path matching
+    * the cell count — the single-level broadcast argmax at
+    * ≤[[directAssignMax]] (seeds = the `cells` smallest ids — NOT
+    * `id < cells`, which is empty when the id space is sparse or
+    * offset; identical on dense 0-based corpora, so the pinned
+    * oracles are unchanged), the coarse/fine split above it.
+    */
+  private def cellPartition(
+      nv: DataFrame,
+      cells: Int,
+      kmeansIters: Int,
+  ): (DataFrame, DataFrame) =
+    if (cells <= directAssignMax) {
+      val cents = (0 until kmeansIters).foldLeft(
+        nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
+      ) { (c, _) => kmeansRound(nv, c) }
+      (graft.sources.Checkpoint.tableGated(assignToCells(nv, cents), "semdedup-assign"), cents)
+    } else twoLevelAssign(nv, cells, kmeansIters)
+
+  /** D4-style semantic diversification (Tirumala et al. 2023's
+    * SSL-prototypes step, the companion of [[semanticDedup]] in the
+    * D4 pipeline): within each cell, the vectors MOST similar to
+    * their cluster centroid are the prototypical/redundant mass —
+    * drop the top `removeFrac` of each cell by centroid cosine and
+    * keep the diverse remainder.
+    *
+    * Same cell machinery and scale shape as [[semanticDedup]]
+    * (N/256 default cells, two-level assignment past
+    * [[directAssignMax]]); the extra work is one cell-keyed join to
+    * the centroid table and one per-cell rank window (cells are
+    * size-balanced by construction). Ranks tiebreak by id; use
+    * binary-representable `removeFrac` values (0.25, 0.5, …) when
+    * cross-engine hash-exactness of the cut row matters.
+    *
+    * Output: vec_id, cell, proto_sim (cosine to own centroid),
+    * proto_rank (1 = most prototypical in its cell), kept (0/1).
+    */
+  def diversitySample(
+      emb: DataFrame,
+      removeFrac: Double = 0.25,
+      nCells: Int = 0,
+      kmeansIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    require(removeFrac >= 0.0 && removeFrac < 1.0, "removeFrac in [0, 1)")
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(16, (emb.count() / 256L).min(Int.MaxValue.toLong).toInt)
+    val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
+      .select(col("id"), col("nv"))
+    val (assigned, cents) = cellPartition(nv, cells, kmeansIters)
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("proto_sim").desc, col("id"))
+    val wN = Window.partitionBy(col("cell"))
+    assigned
+      .join(cents, col("cell") === col("cent_id"))
+      .withColumn("proto_sim", dotNorm(col("nv"), col("cv")))
+      .withColumn("proto_rank", row_number().over(wCell))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .select(
+        col("id").as("vec_id"),
+        col("cell"),
+        col("proto_sim"),
+        col("proto_rank"),
+        (col("proto_rank") > ceil(lit(removeFrac) * col("__n"))).cast("int").as("kept"),
+      )
+  }
+
   /** Two-level centroid assignment: √cells coarse centroids assign
     * map-side (broadcast argmax), then each vector meets only its
     * coarse cell's fine centroids via an equi-join on the coarse key.
@@ -463,7 +518,7 @@ object Similarity {
     * assignment is the same coarse-key equi-join, so no round is ever
     * N·cells work).
     */
-  private def twoLevelAssign(nv: DataFrame, cells: Int, kmeansIters: Int): DataFrame = {
+  private def twoLevelAssign(nv: DataFrame, cells: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
     val coarse = math.max(16, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val finePer = math.max(1, math.ceil(cells.toDouble / coarse).toInt)
     val ccents = (0 until kmeansIters).foldLeft(
@@ -491,7 +546,7 @@ object Similarity {
       .where(col("r") <= finePer)
       .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
     val fcents = (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) }
-    graft.sources.Checkpoint.tableGated(
+    val assigned = graft.sources.Checkpoint.tableGated(
       members
         .join(fcents, Seq("coarse"))
         .withColumn("cs", dotNorm(col("nv"), col("cv")))
@@ -506,6 +561,11 @@ object Similarity {
         .select(col("id"), col("nv"), col("cell")),
       "semdedup-assign",
     )
+    val cents = fcents.select(
+      (col("coarse").cast("long") * finePer + col("fine")).as("cent_id"),
+      col("cv"),
+    )
+    (assigned, cents)
   }
 
   /** One spherical k-means round scoped WITHIN coarse cells: assign

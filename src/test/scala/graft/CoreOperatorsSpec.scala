@@ -1173,6 +1173,35 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(o.isNullAt(o.fieldIndex("hasbrouck_lambda")))
   }
 
+  test("otr grid: deterministic OU sweep; zero-vol path is exact; positive forecast pays") {
+    import graft.operators.OptimalRules
+    val g = OptimalRules.otrGrid(spark, e0 = 100.5, nPaths = 300, maxHold = 50)
+      .orderBy("pt_mult", "sl_mult")
+      .collect()
+    assert(g.length == 16 && g.forall(_.getAs[Long]("n_paths") == 300L))
+    // reverting toward a level above entry: the best cell is profitable
+    val bestSharpe = g.flatMap(r => Option(r.getAs[java.lang.Double]("sharpe")).map(_.toDouble)).max
+    val best = g.filter(r => Option(r.getAs[java.lang.Double]("sharpe")).exists(_ == bestSharpe)).head
+    assert(best.getAs[Double]("mean_ret") > 0.0)
+    // pure function of the parameters: bit-equal rerun
+    val g2 = OptimalRules.otrGrid(spark, e0 = 100.5, nPaths = 300, maxHold = 50)
+      .orderBy("pt_mult", "sl_mult")
+      .collect()
+    assert(g.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq)
+    // sigma = 0: the deterministic path climbs toward e0; every path
+    // is identical -> std 0, null sharpe, and the mean replays the
+    // closed-form cumulative P&L scan exactly
+    val z = OptimalRules.otrGrid(spark, e0 = 100.5, sigma = 0.0, nPaths = 7, maxHold = 50,
+      ptMults = Seq(1.0), slMults = Seq(1.0)).collect().head
+    assert(z.getAs[Double]("std_ret") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("sharpe")))
+    // thresholds are 0 at sigma = 0, so cp(0) >= 0 exits immediately:
+    // the trade pockets exactly the first-step climb toward e0
+    val phi = StrictMath.pow(2.0, -1.0 / 10.0)
+    val p1 = (1.0 - phi) * 100.5 + phi * 100.0
+    assert(z.getAs[Double]("mean_ret") == p1 - 100.0)
+  }
+
   test("seq bootstrap: definition replay, uniqueness-driven tilt toward disjoint events, determinism") {
     import graft.operators.SeqBootstrap
     def ts(min: Long) = new java.sql.Timestamp(86400000L + min * 60000L)

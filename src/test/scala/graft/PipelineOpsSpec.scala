@@ -1077,6 +1077,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sc2._3 == expect.toDouble / 1e9)
   }
 
+  test("diversitySample: drops the per-cell prototypical head, keeps the centroid-far tail") {
+    // two seed cells (ids 0, 1); members fan out at growing angles so
+    // proto_sim strictly decreases with id within each cell
+    def v(theta: Double, axis: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f)
+      a(axis) = math.cos(theta).toFloat
+      a((axis + 2) % 4) = math.sin(theta).toFloat
+      a
+    }
+    val emb = (
+      Seq((0L, v(0.0, 0)), (1L, v(0.0, 1))) ++
+        (0 until 8).map(i => (2L + i, v(0.05 + 0.04 * i, 0))) ++
+        (0 until 4).map(i => (10L + i, v(0.05 + 0.04 * i, 1)))
+    ).toDF("vec_id", "embedding")
+    val out = operators.Similarity
+      .diversitySample(emb, removeFrac = 0.25, nCells = 2, kmeansIters = 0)
+      .orderBy("vec_id")
+      .select("vec_id", "cell", "proto_rank", "kept")
+      .as[(Long, Long, Int, Int)].collect()
+    val cellA = out.filter(_._2 == 0L)
+    val cellB = out.filter(_._2 == 1L)
+    assert(cellA.map(_._1).toSeq == (Seq(0L) ++ (2L to 9L)))
+    assert(cellB.map(_._1).toSeq == (Seq(1L) ++ (10L to 13L)))
+    // ranks follow the angle order = id order within each cell
+    assert(cellA.sortBy(_._1).map(_._3).toSeq == (1 to 9))
+    // cell A: 9 members -> ceil(0.25*9) = 3 dropped (ids 0, 2, 3)
+    assert(cellA.filter(_._4 == 0).map(_._1).toSeq == Seq(0L, 2L, 3L))
+    // cell B: 5 members -> ceil(0.25*5) = 2 dropped (ids 1, 10)
+    assert(cellB.filter(_._4 == 0).map(_._1).toSeq == Seq(1L, 10L))
+    // determinism under partitioning
+    val again = operators.Similarity
+      .diversitySample(emb.repartition(5), removeFrac = 0.25, nCells = 2, kmeansIters = 0)
+      .orderBy("vec_id")
+      .select("vec_id", "cell", "proto_rank", "kept")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("dsir map-side scorer: bit-equal to scoreAgainst, stateless on a stream") {
     import java.nio.file.Files
     val d = (
