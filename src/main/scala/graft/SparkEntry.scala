@@ -255,6 +255,12 @@ object SparkEntry {
       // oracle-gated via pairwise_corr
       operators.Hrp.weights(TradeData.fromEvents(s, dir))
     },
+    "onc_clusters" -> { (s, dir) =>
+      // rows-only: ONC's k-means/silhouette recursion is not
+      // SQL-expressible; block-recovery + determinism pinned in
+      // CoreOperatorsSpec, corr matrix oracle-gated via pairwise_corr
+      operators.Onc.clusters(TradeData.fromEvents(s, dir))
+    },
     "becker_parkinson" -> { (s, dir) =>
       operators.Microstructure
         .beckerParkinson(TradeData.fromEvents(s, dir))
@@ -326,6 +332,25 @@ object SparkEntry {
         .dsr(TradeData.fromEvents(s, dir))
         .withColumn("n_days", col("n_days").cast("long"))
         .orderBy(col("symbol"))
+    },
+    "strategy_risk" -> { (s, dir) =>
+      // AFML ch.15: implied precision / implied betting frequency
+      // from the empirical binary betting record (defaults:
+      // freq=252 bets/yr, target annualized SR 1.0)
+      operators.BacktestStats
+        .strategyRisk(TradeData.fromEvents(s, dir))
+        .orderBy(col("symbol"))
+    },
+    "roll_adjust" -> { (s, dir) =>
+      // ETF trick: roll-gap-adjusted continuous series (contract
+      // months = calendar months), sampled 1/101 to bound the output
+      operators.RollAdjust
+        .adjust(TradeData.fromEvents(s, dir))
+        .where(col("trade_id") % 101 === 0)
+        .select(
+          col("symbol"), col("trade_id"), col("price"),
+          col("cum_gap_cents"), col("adj_price"))
+        .orderBy(col("symbol"), col("trade_id"))
     },
     "feature_ic" -> { (s, dir) =>
       // Spearman IC of 10-tick momentum against the 10-tick forward
@@ -709,6 +734,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     },
+    "gopher_filter" -> { (s, dir) =>
+      // published Gopher rule set; verdict cast to int for a stable
+      // cross-engine encoding (the dedup_exact is_dup precedent)
+      TextAnalysis
+        .gopherFilter(s.read.parquet(s"$dir/documents.parquet"))
+        .withColumn("gopher_pass", col("gopher_pass").cast("int"))
+        .orderBy(col("doc_id"))
+    },
     "quality_score" -> { (s, dir) =>
       s.read
         .parquet(s"$dir/documents.parquet")
@@ -864,6 +897,14 @@ object SparkEntry {
     "ann_topk" -> { (s, dir) =>
       Similarity
         .bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    "rp_topk" -> { (s, dir) =>
+      // Johnson-Lindenstrauss candidate generation: cosine top-k in
+      // the 16-dim Rademacher projection of the 64-dim corpus
+      Similarity
+        .rpTopK(s.read.parquet(s"$dir/embeddings.parquet"), rDim = 16, nQueries = 10, k = 10)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     },
@@ -1063,6 +1104,13 @@ object SparkEntry {
         .weights(s.read.parquet(s"$dir/documents.parquet"), isTarget = col("lang") === "en")
         .orderBy(col("doc_id"))
     },
+    "corpus_kl" -> { (s, dir) =>
+      // per-source distribution drift vs the whole corpus (KL + TV
+      // over the full smoothed bucket spine)
+      operators.Dsir
+        .corpusKl(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("source"))
+    },
     "dsir_incremental" -> { (s, dir) =>
       // cross-run DSIR: freeze the bucket stats on batch 1
       // (doc_id % 3 != 0), score batch 2 against the store — the
@@ -1176,6 +1224,27 @@ object SparkEntry {
   }
 
   private val tblListSql = "[0, 1, 2, 3]"
+
+  /** Rademacher projection list (mirrors Similarity.rpProject: ±1
+    * "rp"-prefixed planes inlined as literals, left-to-right f64
+    * folds).
+    */
+  private def rpSql(v: String, rDim: Int = 16): String = {
+    val w = Similarity.planeWeights(rDim, 64, prefix = "rp")
+    (0 until rDim)
+      .map { j =>
+        val wl = w(j).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($v[i] AS DOUBLE) * ($wl)[i]), (x, y) -> x + y)"
+      }
+      .mkString("[", ",\n        ", "]")
+  }
+
+  /** Cosine of two rDim-dim DOUBLE lists (projection space). */
+  private def cosRpSql(a: String, b: String, rDim: Int = 16): String = {
+    def d(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, $rDim), i -> $x[i] * $y[i]), (x, y) -> x + y)"
+    s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+  }
 
   /** Full BPE replay in DuckDB: the greedy rank-ordered merge loop is
     * not expressible as a fixed SQL query, but `oracleSql` is a
@@ -2834,6 +2903,96 @@ object SparkEntry {
     // PSR: daily closes in exact cents, moment folds in date order
     // (left fold == engine's sorted-array aggregate), then the AFML
     // 14.4 statistic + the shared A&S erf chain, all op-for-op
+    // Strategy risk: same exact-cents daily-close spine as
+    // backtest_psr, conditional BIGINT up/down sums, then the
+    // quadratic implied-precision / implied-frequency double tree
+    // op-for-op (constants interpolated as the same IEEE doubles)
+    "strategy_risk" -> {
+      val sqrtFreq = StrictMath.sqrt(252.0)
+      s"""WITH $T,
+         |d1 AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts DESC, trade_id DESC) AS rnd
+         |  FROM trades),
+         |cl AS (
+         |  SELECT symbol, date, CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc
+         |  FROM d1 GROUP BY symbol, date),
+         |mv AS (
+         |  SELECT symbol,
+         |         close_pc - lag(close_pc) OVER (PARTITION BY symbol ORDER BY date) AS d
+         |  FROM cl),
+         |ag AS (
+         |  SELECT symbol,
+         |         CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS sp,
+         |         CAST(sum(CASE WHEN d < 0 THEN d ELSE 0 END) AS BIGINT) AS sn,
+         |         CAST(count(CASE WHEN d > 0 THEN 1 END) AS BIGINT) AS np,
+         |         CAST(count(CASE WHEN d < 0 THEN 1 END) AS BIGINT) AS nn
+         |  FROM mv WHERE d IS NOT NULL GROUP BY symbol),
+         |t1 AS (
+         |  SELECT *,
+         |         CASE WHEN np > 0 THEN CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) END AS pt,
+         |         CASE WHEN nn > 0 THEN CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE) END AS sl,
+         |         CAST(np AS DOUBLE) / CAST(np + nn AS DOUBLE) AS p
+         |  FROM ag),
+         |t2 AS (SELECT *, pt - sl AS spread FROM t1),
+         |t3 AS (
+         |  SELECT *,
+         |         253.0 * spread * spread AS a,
+         |         (504.0 * sl - 1.0 * spread) * spread AS b,
+         |         252.0 * sl * sl AS c0,
+         |         spread * p + sl AS denb
+         |  FROM t2),
+         |t4 AS (SELECT *, b * b - 4.0 * a * c0 AS disc FROM t3)
+         |SELECT symbol,
+         |       np + nn AS n_bets,
+         |       CASE WHEN np > 0 AND nn > 0 THEN p END AS p,
+         |       pt AS pt_cents,
+         |       sl AS sl_cents,
+         |       CASE WHEN np > 0 AND nn > 0
+         |            THEN (spread * p + sl) * $sqrtFreq / (spread * sqrt(p * (1.0 - p))) END AS sharpe_ann,
+         |       CASE WHEN np > 0 AND nn > 0
+         |            THEN CASE WHEN disc >= 0.0 AND a > 0.0 THEN (-b + sqrt(disc)) / (2.0 * a) END END AS implied_p,
+         |       CASE WHEN np > 0 AND nn > 0
+         |            THEN CASE WHEN denb <> 0.0
+         |                      THEN (1.0 * spread) * (1.0 * spread) * p * (1.0 - p) / (denb * denb) END END AS implied_freq
+         |FROM t4
+         |ORDER BY symbol""".stripMargin
+    },
+    // ETF trick: per-(symbol, month) open/close in exact cents, roll
+    // gaps by month lag, cumulative-gap window over the tiny month
+    // table, joined back to the sampled ticks; the cents→price
+    // division is the only FP step
+    "roll_adjust" ->
+      s"""WITH $T,
+         |tk AS (
+         |  SELECT symbol, ts, trade_id, price,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         date_trunc('month', CAST(ts AS DATE)) AS m
+         |  FROM trades),
+         |rk AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY symbol, m ORDER BY ts ASC, trade_id ASC) AS rna,
+         |         row_number() OVER (PARTITION BY symbol, m ORDER BY ts DESC, trade_id DESC) AS rnd
+         |  FROM tk),
+         |mo AS (
+         |  SELECT symbol, m,
+         |         CAST(max(CASE WHEN rna = 1 THEN pc END) AS BIGINT) AS open_pc,
+         |         CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc
+         |  FROM rk GROUP BY symbol, m),
+         |g AS (
+         |  SELECT symbol, m,
+         |         COALESCE(open_pc - lag(close_pc) OVER (PARTITION BY symbol ORDER BY m), 0) AS gap
+         |  FROM mo),
+         |cg AS (
+         |  SELECT symbol, m,
+         |         CAST(sum(gap) OVER (PARTITION BY symbol ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_gap_cents
+         |  FROM g)
+         |SELECT t.symbol, t.trade_id, t.price, c.cum_gap_cents,
+         |       CAST(t.pc - c.cum_gap_cents AS DOUBLE) / 100.0 AS adj_price
+         |FROM tk t JOIN cg c ON t.symbol = c.symbol AND t.m = c.m
+         |WHERE t.trade_id % 101 = 0
+         |ORDER BY t.symbol, t.trade_id""".stripMargin,
     "backtest_psr" ->
       s"""WITH $T,
          |d1 AS (
@@ -3378,6 +3537,45 @@ object SparkEntry {
          |FROM m
          |ORDER BY doc_id""".stripMargin
     },
+    // Gopher rules: every metric a ratio of integer counts (exact
+    // doubles), rule conjunction replayed with the same short-circuit
+    // false on the word-count bound
+    "gopher_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |         str_split(text, chr(10)) AS lns
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS lensum,
+         |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha,
+         |         CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], s -> list_contains(toks, s))) AS BIGINT) AS stop_distinct,
+         |         CAST(len(list_filter(lns, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '•'))) AS BIGINT) AS bl,
+         |         CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS BIGINT) AS el,
+         |         CAST(len(lns) AS BIGINT) AS nl,
+         |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+         |           + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS sym
+         |  FROM d),
+         |m AS (
+         |  SELECT doc_id, n_words,
+         |         CASE WHEN n_words > 0 THEN CAST(lensum AS DOUBLE) / CAST(n_words AS DOUBLE) END AS mean_word_len,
+         |         CASE WHEN n_words > 0 THEN CAST(alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_frac,
+         |         stop_distinct,
+         |         CAST(bl AS DOUBLE) / CAST(nl AS DOUBLE) AS bullet_frac,
+         |         CAST(el AS DOUBLE) / CAST(nl AS DOUBLE) AS ellipsis_frac,
+         |         CASE WHEN n_words > 0 THEN CAST(sym AS DOUBLE) / CAST(n_words AS DOUBLE) END AS symbol_frac
+         |  FROM f)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_distinct,
+         |       bullet_frac, ellipsis_frac, symbol_frac,
+         |       CAST(n_words >= 50 AND n_words <= 100000
+         |            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |            AND symbol_frac <= 0.1
+         |            AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+         |            AND alpha_frac >= 0.8 AND stop_distinct >= 2 AS INTEGER) AS gopher_pass
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
     "quality_score" -> {
       val en = TextAnalysis.langProfiles.head._2
       s"""WITH d AS (
@@ -3555,6 +3753,21 @@ object SparkEntry {
          |  SELECT q.query_id, e.vec_id AS neighbor_id,
          |         ${cosSql("q.qv", "e.embedding")} AS score
          |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    // Random-projection top-k: project with the same inlined ±1
+    // planes, then the ann_topk ranking in the 16-dim space
+    "rp_topk" ->
+      s"""WITH rv AS (
+         |  SELECT vec_id, ${rpSql("embedding")} AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM rv WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosRpSql("q.qv", "e.v")} AS score
+         |  FROM rv e, q WHERE e.vec_id != q.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
          |      FROM scored)
          |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score FROM r WHERE rnk <= 10
@@ -4052,6 +4265,41 @@ object SparkEntry {
          |         - ln(-ln((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), 1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0)) AS sample_score
          |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Per-source KL/TV drift: same gram/bucket/smoothing trees as
+    // dsir_weights, full spine via range(buckets), per-term nano-unit
+    // quantization so the source sums are associative BIGINTs
+    "corpus_kl" ->
+      s"""WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+         |g AS (SELECT source, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
+         |x AS (SELECT source, unnest(gl) AS gram FROM g),
+         |hb AS (SELECT source, ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b FROM x),
+         |cnt AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY source, b),
+         |spine AS (
+         |  SELECT s.source, CAST(r.range AS BIGINT) AS b
+         |  FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN range(4096) r),
+         |f0 AS (
+         |  SELECT sp.source, sp.b, COALESCE(c.c, 0) AS c
+         |  FROM spine sp LEFT JOIN cnt c ON sp.source = c.source AND sp.b = c.b),
+         |st AS (
+         |  SELECT source, b, c,
+         |         CAST(sum(c) OVER (PARTITION BY b) AS BIGINT) AS c_b,
+         |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         |         CAST(sum(c) OVER () AS BIGINT) AS n_c
+         |  FROM f0),
+         |q AS (
+         |  SELECT source, n_s,
+         |         CAST(round((CAST(c + 1 AS DOUBLE) / CAST(n_s + 4096 AS DOUBLE)
+         |                     * (ln(CAST(c + 1 AS DOUBLE) / CAST(n_s + 4096 AS DOUBLE))
+         |                        - ln(CAST(c_b + 1 AS DOUBLE) / CAST(n_c + 4096 AS DOUBLE)))) * 1e9) AS BIGINT) AS qkl,
+         |         CAST(round(abs(CAST(c + 1 AS DOUBLE) / CAST(n_s + 4096 AS DOUBLE)
+         |                        - CAST(c_b + 1 AS DOUBLE) / CAST(n_c + 4096 AS DOUBLE)) * 1e9) AS BIGINT) AS qtv
+         |  FROM st)
+         |SELECT source,
+         |       CAST(max(n_s) AS BIGINT) AS n_grams,
+         |       CAST(CAST(sum(qkl) AS BIGINT) AS DOUBLE) / 1e9 AS kl_nats,
+         |       CAST(CAST(sum(qtv) AS BIGINT) AS DOUBLE) / 1e9 * 0.5 AS tv_dist
+         |FROM q GROUP BY source
+         |ORDER BY source""".stripMargin,
     // Cross-run DSIR: bucket stats frozen on batch 1 (doc_id%3 != 0),
     // batch 2 scored against them — identical hash/smoothing/
     // quantize/Gumbel trees, only the two doc sets differ

@@ -333,4 +333,85 @@ object BacktestStats {
         overfit.toDouble / nCombos.toDouble, logitSum / nCombos.toDouble)
     ).toDF("n_strategies", "n_blocks", "n_combos", "pbo", "mean_logit")
   }
+
+  /** Strategy risk (AFML ch.15, snippets 15.3/15.4): treats each
+    * symbol's daily close-to-close moves as a binary betting record
+    * with empirical payouts — π₊ = mean up-move, π₋ = mean down-move
+    * (exact cents), p = hit rate — and prices the strategy's risk in
+    * two implied quantities against a target annualized Sharpe θ*:
+    *
+    *   implied precision p*:  the p solving
+    *     θ* = ((π₊−π₋)p + π₋)·√freq / ((π₊−π₋)·√(p(1−p))),
+    *     i.e. the positive root of a·p² + b·p + c = 0 with
+    *     a = (freq+θ*²)(π₊−π₋)², b = (2·freq·π₋ − θ*²(π₊−π₋))(π₊−π₋),
+    *     c = freq·π₋²  — how little the hit rate may degrade before
+    *     the strategy misses its target;
+    *   implied frequency n*: bets/year needed at the REALIZED p,
+    *     n* = (θ*(π₊−π₋))²·p(1−p) / ((π₊−π₋)p + π₋)².
+    *
+    * Zero-move days are excluded from the betting record (a flat day
+    * is no bet under the binary model). Both formulas are homogeneous
+    * of degree 2 in the payout unit, so cents-denominated π are exact
+    * AND scale-correct. Determinism: π₊/π₋/p are ratios of BIGINT
+    * sums/counts; everything after is one fixed double tree mirrored
+    * op-for-op by the oracle (θ*², 2·freq, √freq interpolated as the
+    * same IEEE doubles). One shuffle (the dailyCloses aggregation);
+    * the per-symbol stats row is O(symbols).
+    *
+    * Output per symbol: symbol, n_bets, p (hit rate), pt_cents,
+    * sl_cents (negative), sharpe_ann (realized, annualized at
+    * `freq`), implied_p, implied_freq. Nulls when a side has no
+    * moves or a formula's guard fails (degenerate discriminant /
+    * zero expected payout).
+    */
+  def strategyRisk(
+      df: DataFrame,
+      freq: Double = 252.0,
+      targetSr: Double = 1.0,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    require(freq > 0 && targetSr > 0, "freq and targetSr must be positive")
+    val daily = dailyCloses(df, c)
+    val wD = Window.partitionBy(col("symbol")).orderBy(col("date"))
+    val moves = daily
+      .withColumn("__prev", lag(col("close_pc"), 1).over(wD))
+      .where(col("__prev").isNotNull)
+      .withColumn("__d", col("close_pc") - col("__prev"))
+    val agg = moves
+      .groupBy(col("symbol"))
+      .agg(
+        sum(when(col("__d") > 0, col("__d")).otherwise(0L)).as("__sp"),
+        sum(when(col("__d") < 0, col("__d")).otherwise(0L)).as("__sn"),
+        count(when(col("__d") > 0, lit(1))).as("__np"),
+        count(when(col("__d") < 0, lit(1))).as("__nn"),
+      )
+    val tsr2 = targetSr * targetSr
+    val pt = when(col("__np") > 0, col("__sp").cast("double") / col("__np").cast("double"))
+    val sl = when(col("__nn") > 0, col("__sn").cast("double") / col("__nn").cast("double"))
+    val p = col("__np").cast("double") / (col("__np") + col("__nn")).cast("double")
+    val spread = pt - sl
+    val a = lit(freq + tsr2) * spread * spread
+    val b = (lit(2.0 * freq) * sl - lit(tsr2) * spread) * spread
+    val c0 = lit(freq) * sl * sl
+    val disc = b * b - lit(4.0) * a * c0
+    val impliedP = when(disc >= 0.0 && a > 0.0, (-b + sqrt(disc)) / (lit(2.0) * a))
+    val srAnn = (spread * p + sl) * lit(StrictMath.sqrt(freq)) /
+      (spread * sqrt(p * (lit(1.0) - p)))
+    val denB = spread * p + sl
+    val impliedFreq = when(
+      denB =!= 0.0,
+      (lit(targetSr) * spread) * (lit(targetSr) * spread) * p * (lit(1.0) - p) /
+        (denB * denB),
+    )
+    agg.select(
+      col("symbol"),
+      (col("__np") + col("__nn")).as("n_bets"),
+      when(col("__np") > 0 && col("__nn") > 0, p).as("p"),
+      pt.as("pt_cents"),
+      sl.as("sl_cents"),
+      when(col("__np") > 0 && col("__nn") > 0, srAnn).as("sharpe_ann"),
+      when(col("__np") > 0 && col("__nn") > 0, impliedP).as("implied_p"),
+      when(col("__np") > 0 && col("__nn") > 0, impliedFreq).as("implied_freq"),
+    )
+  }
 }

@@ -308,4 +308,89 @@ object Dsir {
           .otherwise(col("qsum").cast("double") / lit(1e9)) - log(-log(u))).as("sample_score"),
       )
   }
+
+  /** Per-source corpus drift: KL divergence and total-variation
+    * distance of each source's hashed-ngram distribution against the
+    * whole corpus — the monitoring statistic a multi-source ingest
+    * pipeline tracks to catch a feed going off-distribution (and the
+    * aggregate companion of the per-document [[weights]] scorer; same
+    * grams, same add-one smoothing):
+    *
+    *   KL(s) = Σ_b p̂_s(b)·(ln p̂_s(b) − ln p̂_c(b)),
+    *   TV(s) = ½·Σ_b |p̂_s(b) − p̂_c(b)|,
+    *
+    * over the FULL bucket spine (zero-count buckets contribute their
+    * smoothed mass — dropping them understates drift).
+    *
+    * Engine exactness: each bucket's term is one deterministic double
+    * tree over integer counts, quantized to nano-units (the [[llrOf]]
+    * idiom) so the per-source sums accumulate as BIGINTs in any
+    * partition order; ÷1e9 is the only post-sum FP step. |qkl| ≤
+    * ~2e10 ⇒ headroom to ~4e8 buckets per source.
+    *
+    * Scale shape: one map-side-combinable exchange onto ≤ sources ×
+    * `buckets` stat rows; the spine, totals windows, and final
+    * aggregation all run on that bounded table. Nothing downstream
+    * of the gram explode is corpus-sized.
+    *
+    * Output per source: source, n_grams, kl_nats, tv_dist.
+    */
+  def corpusKl(
+      docs: DataFrame,
+      buckets: Int = 4096,
+      textCol: String = "text",
+      sourceCol: String = "source",
+  ): DataFrame = {
+    require(buckets > 0, "buckets > 0")
+    val spark = docs.sparkSession
+    val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val hashes = concat(
+      graft.functions.TextExprs.gramHashes32(tk, 1),
+      graft.functions.TextExprs.gramHashes32(tk, 2),
+    )
+    val cnt = docs
+      .select(col(sourceCol).as("source"), explode(hashes).as("h"))
+      .select(col("source"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val spine = cnt
+      .select(col("source"))
+      .distinct()
+      .crossJoin(broadcast(spark.range(buckets).select(col("id").as("b"))))
+    val full = spine
+      .join(cnt, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wB = Window.partitionBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stats = full
+      .withColumn("c_b", sum(col("c")).over(wB).cast("long"))
+      .withColumn("n_s", sum(col("c")).over(wS).cast("long"))
+      .withColumn("n_c", sum(col("c")).over(wAll).cast("long"))
+    val ps = (col("c") + lit(1L)).cast("double") / (col("n_s") + lit(buckets.toLong)).cast("double")
+    val pc = (col("c_b") + lit(1L)).cast("double") / (col("n_c") + lit(buckets.toLong)).cast("double")
+    stats
+      .select(
+        col("source"),
+        col("n_s"),
+        round((ps * (log(ps) - log(pc))) * lit(1e9)).cast("long").as("qkl"),
+        round(abs(ps - pc) * lit(1e9)).cast("long").as("qtv"),
+      )
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_grams"),
+        sum(col("qkl")).cast("long").as("__qk"),
+        sum(col("qtv")).cast("long").as("__qt"),
+      )
+      .select(
+        col("source"),
+        col("n_grams"),
+        (col("__qk").cast("double") / lit(1e9)).as("kl_nats"),
+        (col("__qt").cast("double") / lit(1e9) * lit(0.5)).as("tv_dist"),
+      )
+  }
 }

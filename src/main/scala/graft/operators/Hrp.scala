@@ -80,7 +80,7 @@ object Hrp {
   def pairwiseCorr(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame =
     pairwiseCorrOfReturns(dailyReturns(df, c))
 
-  private def pairwiseCorrOfReturns(r: DataFrame): DataFrame = {
+  private[operators] def pairwiseCorrOfReturns(r: DataFrame): DataFrame = {
     val a = r.select(col("symbol").as("s1"), col("date"), col("rq").as("x"))
     val b = r.select(col("symbol").as("s2"), col("date"), col("rq").as("y"))
     val dec = "decimal(38,0)"

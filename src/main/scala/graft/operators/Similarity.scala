@@ -21,13 +21,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic ±1 hyperplane weights: plane j, dim k is +1 iff
-    * the first hex nibble of md5("p{j}_{k}") is < 8. Reproducible in
-    * any engine with md5.
+    * the first hex nibble of md5("{prefix}{j}_{k}") is < 8.
+    * Reproducible in any engine with md5; distinct prefixes give
+    * independent plane pools (LSH vs random projection).
     */
-  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  def planeWeights(nPlanes: Int, dim: Int, prefix: String = "p"): Array[Array[Double]] = {
     val mdig = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nPlanes, dim) { (j, k) =>
-      val h = mdig.digest(s"p${j}_${k}".getBytes("UTF-8"))
+      val h = mdig.digest(s"$prefix${j}_${k}".getBytes("UTF-8"))
       if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
     }
   }
@@ -142,6 +143,46 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Rademacher random projection (Achlioptas 2003's database-
+    * friendly Johnson-Lindenstrauss transform): maps each vector to
+    * `rDim` coordinates, coordinate j = ⟨v, w_j⟩ with w_j the
+    * deterministic ±1 plane "rp{j}_{k}" — the md5 construction the
+    * LSH planes already use, under its own prefix so the pools are
+    * independent. The 1/√rDim JL scaling is omitted: cosine is
+    * scale-invariant, and downstream only ranks by cosine.
+    * Map-side only: `rDim` native dot products per row.
+    */
+  def rpProject(v: Column, rDim: Int, dim: Int): Column = {
+    val w = planeWeights(rDim, dim, prefix = "rp")
+    array((0 until rDim).map { j =>
+      dot(v, array(w(j).map(lit): _*))
+    }: _*)
+  }
+
+  /** Random-projection top-k: brute-force cosine ranking in the
+    * `rDim`-dimensional projected space — same contract as
+    * [[bruteForceTopK]] but every distance costs rDim/dim of the
+    * full-space scan (and, at cluster scale, the projected corpus is
+    * rDim/dim the shuffle/broadcast bytes). JL: projected cosines
+    * concentrate around the originals, so projected top-k is a
+    * high-recall candidate generator for exact re-ranking.
+    * Output: query_id, neighbor_id, rank, score (projected-space
+    * cosine).
+    */
+  def rpTopK(
+      emb: DataFrame,
+      rDim: Int = 16,
+      nQueries: Int = 10,
+      k: Int = 10,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    require(rDim >= 1 && rDim <= dim, "1 <= rDim <= dim")
+    val reduced = emb.select(col(idCol), rpProject(col(vecCol), rDim, dim).as("__rv"))
+    bruteForceTopK(reduced, nQueries, k, idCol, "__rv")
   }
 
   /** Multi-table-LSH top-k: identical contract to bruteForceTopK but

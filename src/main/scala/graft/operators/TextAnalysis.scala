@@ -282,4 +282,80 @@ object TextAnalysis {
         least(lit(chunkTokens.toLong), col("__n") - col("chunk_id") * stride).as("n_tokens"),
       )
   }
+
+  /** The Gopher rule-based quality filter (Rae et al. 2021, appendix
+    * A1.1 — the published heuristics most large-corpus pipelines
+    * apply before model-based scoring): word-count bounds, mean word
+    * length bounds, symbol-to-word ratio ("#" and ellipses), bullet-
+    * and ellipsis-line ratios, alphabetic-word fraction, and ≥2
+    * distinct stopwords from the paper's 8-word list. Emits every
+    * rule input plus the combined verdict, so downstream can re-cut
+    * thresholds without recomputing.
+    *
+    * Determinism: every metric is a ratio of integer counts (token
+    * counts, line counts, occurrence counts, an integer length sum) —
+    * small-integer divisions are exact doubles, so thresholds compare
+    * identically across engines. Pure map-side projection (array
+    * HOFs, all codegen'd); no shuffle, no explode.
+    *
+    * Output: idCol, n_words, mean_word_len, alpha_frac, stop_distinct,
+    * bullet_frac, ellipsis_frac, symbol_frac, gopher_pass.
+    */
+  def gopherFilter(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val text = col(textCol)
+    val tk = filter(tokens(text), t => t =!= "")
+    val lines = split(text, "\n")
+    val nWords = size(tk).cast("long")
+    val nLines = size(lines).cast("long")
+    val lenSum = aggregate(tk, lit(0L), (a, x) => a + length(x).cast("long"))
+    val alphaWords = size(filter(tk, w => w.rlike("[a-z]"))).cast("long")
+    val stopArr = array(gopherStops.map(lit): _*)
+    val stopDistinct = size(filter(stopArr, s => array_contains(tk, s))).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val hashCount = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val dots3 = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+      .cast("long")
+    val uelip = (length(text) - length(regexp_replace(text, "…", ""))).cast("long")
+    docs
+      .select(
+        col(idCol),
+        nWords.as("n_words"),
+        lenSum.as("__lensum"),
+        alphaWords.as("__alpha"),
+        stopDistinct.as("stop_distinct"),
+        bulletLines.as("__bl"),
+        ellipsisLines.as("__el"),
+        nLines.as("__nl"),
+        (hashCount + dots3 + uelip).as("__sym"),
+      )
+      .select(
+        col(idCol),
+        col("n_words"),
+        when(col("n_words") > 0, col("__lensum").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        when(col("n_words") > 0, col("__alpha").cast("double") / col("n_words").cast("double"))
+          .as("alpha_frac"),
+        col("stop_distinct"),
+        (col("__bl").cast("double") / col("__nl").cast("double")).as("bullet_frac"),
+        (col("__el").cast("double") / col("__nl").cast("double")).as("ellipsis_frac"),
+        when(col("n_words") > 0, col("__sym").cast("double") / col("n_words").cast("double"))
+          .as("symbol_frac"),
+      )
+      .withColumn(
+        "gopher_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_frac") <= 0.1 &&
+          col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 && col("stop_distinct") >= 2,
+      )
+  }
 }

@@ -1282,6 +1282,102 @@ class CoreOperatorsSpec extends SparkSpec {
       r3.getAs[Double]("mean_logit") == r1.getAs[Double]("mean_logit"))
   }
 
+  test("strategy risk: hand-computed binary record; implied precision sits above break-even") {
+    import graft.operators.BacktestStats
+    // daily closes 100.00 101.00 100.50 101.50 101.50 102.50:
+    // diffs +100 -50 +100 0 +100 cents -> np=3 sp=300, nn=1 sn=-50,
+    // the zero day is no bet
+    val t = trades(
+      ("A", "2021-01-01 10:00:00", 100.00, 1L),
+      ("A", "2021-01-02 10:00:00", 101.00, 1L),
+      ("A", "2021-01-03 10:00:00", 100.50, 1L),
+      ("A", "2021-01-04 10:00:00", 101.50, 1L),
+      ("A", "2021-01-05 10:00:00", 101.50, 1L),
+      ("A", "2021-01-06 10:00:00", 102.50, 1L),
+    )
+    val r = BacktestStats.strategyRisk(t).collect().head
+    assert(r.getAs[Long]("n_bets") == 4L)
+    assert(r.getAs[Double]("p") == 0.75)
+    assert(r.getAs[Double]("pt_cents") == 100.0)
+    assert(r.getAs[Double]("sl_cents") == -50.0)
+    // mirror the double tree exactly
+    val (pt, sl, p) = (100.0, -50.0, 0.75)
+    val spread = pt - sl
+    val a = 253.0 * spread * spread
+    val b = (504.0 * sl - 1.0 * spread) * spread
+    val c0 = 252.0 * sl * sl
+    val disc = b * b - 4.0 * a * c0
+    val impliedP = (-b + StrictMath.sqrt(disc)) / (2.0 * a)
+    assert(r.getAs[Double]("implied_p") == impliedP)
+    // payouts +100/-50: break-even precision is 1/3; a target SR of 1
+    // needs only slightly more, and far less than the realized 0.75
+    assert(impliedP > 1.0 / 3.0 && impliedP < 0.40)
+    val denB = spread * p + sl
+    val impliedFreq = (1.0 * spread) * (1.0 * spread) * p * (1.0 - p) / (denB * denB)
+    assert(r.getAs[Double]("implied_freq") == impliedFreq)
+    val srAnn = (spread * p + sl) * StrictMath.sqrt(252.0) / (spread * StrictMath.sqrt(p * (1.0 - p)))
+    assert(r.getAs[Double]("sharpe_ann") == srAnn)
+    // one-sided record -> null implied stats, non-null payouts
+    val up = trades(
+      ("B", "2021-01-01 10:00:00", 1.0, 1L),
+      ("B", "2021-01-02 10:00:00", 2.0, 1L),
+      ("B", "2021-01-03 10:00:00", 3.0, 1L),
+    )
+    val r2 = BacktestStats.strategyRisk(up).collect().head
+    assert(r2.getAs[Long]("n_bets") == 2L && r2.isNullAt(r2.fieldIndex("p")) &&
+      r2.getAs[Double]("pt_cents") == 100.0 && r2.isNullAt(r2.fieldIndex("sl_cents")))
+  }
+
+  test("roll adjust: gaps cancel at every month boundary; first month unadjusted") {
+    import graft.operators.RollAdjust
+    val t = trades(
+      ("A", "2021-01-01 10:00:00", 100.00, 1L),
+      ("A", "2021-01-20 10:00:00", 102.00, 1L),
+      ("A", "2021-02-01 10:00:00", 105.00, 1L), // roll gap +3.00
+      ("A", "2021-02-10 10:00:00", 104.00, 1L),
+      ("A", "2021-03-01 10:00:00", 103.00, 1L), // roll gap -1.00
+    )
+    val g = RollAdjust.rollGaps(t).orderBy("month").collect()
+    assert(g.map(_.getAs[Long]("gap_cents")).toSeq == Seq(0L, 300L, -100L))
+    assert(g.map(_.getAs[Long]("cum_gap_cents")).toSeq == Seq(0L, 300L, 200L))
+    val a = RollAdjust.adjust(t).orderBy("ts").collect()
+    assert(a.map(_.getAs[Double]("adj_price")).toSeq ==
+      Seq(100.00, 102.00, 102.00, 101.00, 101.00))
+    // continuity: Feb's adjusted open == Jan's adjusted close, and
+    // Mar's adjusted open == Feb's adjusted close
+    assert(a(2).getAs[Double]("adj_price") == a(1).getAs[Double]("adj_price"))
+    assert(a(4).getAs[Double]("adj_price") == a(3).getAs[Double]("adj_price"))
+  }
+
+  test("ONC: recovers planted correlation blocks; deterministic; silhouettes sane") {
+    import graft.operators.Onc
+    // 12 symbols in 3 planted blocks (5/4/3) — in-block corr 0.9,
+    // cross-block 0.0
+    val sizes = Seq(5, 4, 3)
+    val block = sizes.zipWithIndex.flatMap { case (sz, b) => Seq.fill(sz)(b) }.toArray
+    val n = block.length
+    val corr = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 1.0 else if (block(i) == block(j)) 0.9 else 0.0
+    }
+    val (labels, sil) = Onc.cluster(corr, maxK = 6, nInit = 4)
+    assert(labels.max + 1 == 3)
+    // exact block recovery: same planted block <=> same label
+    for (i <- 0 until n; j <- 0 until n)
+      assert((labels(i) == labels(j)) == (block(i) == block(j)), s"pair ($i,$j)")
+    assert(sil.forall(s => s > 0.5 && s <= 1.0)) // tight, well-separated
+    // canonical ids follow first-member order
+    assert(labels(0) == 0 && labels(5) == 1 && labels(9) == 2)
+    // pure function: same input -> identical output
+    val (labels2, sil2) = Onc.cluster(corr, maxK = 6, nInit = 4)
+    assert(labels.sameElements(labels2) && sil.sameElements(sil2))
+    // end-to-end on real ticks: partition of the universe, k >= 1
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val out = Onc.clusters(t).collect()
+    assert(out.nonEmpty)
+    val k = out.head.getAs[Int]("n_clusters")
+    assert(out.map(_.getAs[Int]("cluster_id")).distinct.length == k)
+  }
+
   test("lz entropy: accumulator matches the textbook matchLength brute force; extremes behave") {
     import graft.operators.Microstructure
     val w = 8

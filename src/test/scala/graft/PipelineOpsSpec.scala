@@ -15,6 +15,34 @@ class PipelineOpsSpec extends SparkSpec {
       .map { case (t, i) => (i.toLong, t, "src") }
       .toDF("doc_id", "text", "source")
 
+  test("gopherFilter: rule inputs hand-computed; each rule vetoes independently") {
+    val good = (Seq("the quick brown fox jumps over all of these lazy dogs and cats") ++
+      Seq.fill(5)("every word here has that plain shape we want to keep with and of the"))
+      .mkString(" ") // 13 + 5×15 = 88 words, all alphabetic, stopword-rich
+    val bullets = (1 to 60).map(i => s"- item $i of the list to have and that be with").mkString("\n")
+    val symbols = ("the be to of " * 15) + ("# " * 30) // 90 words, 30 '#'
+    val d = docs(good, bullets, symbols, "to of") // doc 3: too short
+    val out = TextAnalysis.gopherFilter(d).orderBy("doc_id").collect()
+    val g = out(0)
+    assert(g.getAs[Long]("n_words") == 88L)
+    assert(g.getAs[Long]("stop_distinct") >= 2L)
+    assert(g.getAs[Double]("alpha_frac") == 1.0)
+    assert(g.getAs[Double]("bullet_frac") == 0.0)
+    assert(g.getAs[Boolean]("gopher_pass"))
+    val b = out(1) // 60 lines, every one a bullet -> bullet_frac 1.0 > 0.9
+    assert(b.getAs[Double]("bullet_frac") == 1.0 && !b.getAs[Boolean]("gopher_pass"))
+    val s = out(2) // 30 symbols / 90 words = 1/3 > 0.1
+    assert(s.getAs[Long]("n_words") == 90L)
+    assert(s.getAs[Double]("symbol_frac") == 30.0 / 90.0 && !s.getAs[Boolean]("gopher_pass"))
+    val t = out(3) // 2 words < 50
+    assert(t.getAs[Long]("n_words") == 2L && !t.getAs[Boolean]("gopher_pass"))
+    // ellipsis rule: 2 of 4 lines end with '...' -> 0.5 > 0.3
+    val e = TextAnalysis
+      .gopherFilter(docs("so the story goes on...\nand then it ended...\nplain line\nanother"))
+      .collect().head
+    assert(e.getAs[Double]("ellipsis_frac") == 0.5 && !e.getAs[Boolean]("gopher_pass"))
+  }
+
   test("chunkDocs: strided windows, short-doc single chunk, empty docs dropped") {
     // 9 tokens, windows of 4 every 3: offsets 0,3,6 — the last window
     // is the 3-token tail (ceil((9-4)/3) = 2 extra chunks)
@@ -406,6 +434,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") == 1L)
     assert(out.head.getAs[Double]("score") > 0.999)
     assert(out.last.getAs[Long]("neighbor_id") == 3L) // opposite vector last
+  }
+
+  test("rpTopK: projection is the literal ±1 dot; planted near-dup survives the projection") {
+    import graft.operators.Similarity
+    // hand-check one projected coordinate on a unit vector: rv[j] is
+    // exactly the j-th plane's weight in dim 0
+    val e0 = Seq((0L, Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val w = Similarity.planeWeights(16, 64, prefix = "rp")
+    val rv = e0.select(Similarity.rpProject($"embedding", 16, 64)).head.getSeq[Double](0)
+    assert(rv == (0 until 16).map(j => w(j)(0)))
+    // near-duplicate of vec 0 (JL preserves near-1 cosines)
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(200)
+    val base = real.where($"vec_id" === 0L).head.getSeq[Float](1).toArray
+    val dup = base.clone(); dup(0) = dup(0) + 0.01f
+    val withDup = real.union(Seq((9999L, dup)).toDF("vec_id", "embedding"))
+    val top = Similarity.rpTopK(withDup, rDim = 16, nQueries = 1, k = 5)
+      .orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 9999L)
+    assert(top.head.getAs[Double]("score") > 0.999)
   }
 
   test("LSH topk achieves high recall vs brute force on real embeddings") {
