@@ -261,6 +261,12 @@ object SparkEntry {
       // CoreOperatorsSpec, corr matrix oracle-gated via pairwise_corr
       operators.Onc.clusters(TradeData.fromEvents(s, dir))
     },
+    "nco_weights" -> { (s, dir) =>
+      // rows-only: nested min-var over ONC clusters (matrix inverse +
+      // clustering not SQL-expressible); analytic two-block equality
+      // and sum-to-one pinned in CoreOperatorsSpec
+      operators.Nco.weights(TradeData.fromEvents(s, dir))
+    },
     "becker_parkinson" -> { (s, dir) =>
       operators.Microstructure
         .beckerParkinson(TradeData.fromEvents(s, dir))

@@ -106,6 +106,14 @@ object Onc {
     (relabeled, silhouettes(x, relabeled))
   }
 
+  /** Silhouette quality q = mean/std. A zero std means every member
+    * scores identically — for positive mean that is the PERFECT
+    * outcome (the book's q → ∞), not a mediocre one, so it must beat
+    * every finite q.
+    */
+  private def qOf(m: Double, sd: Double): Double =
+    if (sd > 0.0) m / sd else if (m > 0.0) Double.MaxValue else m
+
   /** ½-correlation distance rows (the observation matrix). */
   private def distMatrix(corr: Array[Array[Double]]): Array[Array[Double]] =
     Array.tabulate(corr.length, corr.length) { (i, j) =>
@@ -155,7 +163,7 @@ object Onc {
       val v = pool.map(s)
       val m = v.sum / v.length
       val sd = math.sqrt(v.map(z => (z - m) * (z - m)).sum / v.length)
-      if (sd > 0.0) m / sd else m
+      qOf(m, sd)
     }
     if (poolQ(silNew) > poolQ(silOld)) stitched else base
   }
@@ -179,7 +187,7 @@ object Onc {
         val sil = silhouettes(x, labels)
         val m = sil.sum / n.toDouble
         val sd = math.sqrt(sil.map(z => (z - m) * (z - m)).sum / n.toDouble)
-        val q = if (sd > 0.0) m / sd else m
+        val q = qOf(m, sd)
         if (q > bestQ + 1e-12) { bestQ = q; best = labels }
       }
     }
@@ -324,7 +332,7 @@ object Onc {
     else {
       val m = v.sum / v.length
       val sd = math.sqrt(v.map(z => (z - m) * (z - m)).sum / v.length)
-      if (sd > 0.0) m / sd else m
+      qOf(m, sd)
     }
   }
 

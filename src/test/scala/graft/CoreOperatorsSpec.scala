@@ -1378,6 +1378,39 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("cluster_id")).distinct.length == k)
   }
 
+  test("NCO: inverse/min-var analytic; nested == global min-var on block-diagonal cov") {
+    import graft.operators.Nco
+    // 2x2 inverse, analytic
+    val inv = Nco.invert(Array(Array(4.0, 7.0), Array(2.0, 6.0))).get
+    assert(math.abs(inv(0)(0) - 0.6) < 1e-12 && math.abs(inv(0)(1) + 0.7) < 1e-12)
+    assert(math.abs(inv(1)(0) + 0.2) < 1e-12 && math.abs(inv(1)(1) - 0.4) < 1e-12)
+    // min-var on diagonal cov: w_i ∝ 1/v_i
+    val mv = Nco.minVar(Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 2.0, 0.0), Array(0.0, 0.0, 4.0)))
+    assert(mv.zip(Seq(4.0 / 7, 2.0 / 7, 1.0 / 7)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // two zero-cross-corr blocks: nested == analytic global min-var
+    // intra: equal within blocks; inter on diag(0.75, 1.5) -> (2/3, 1/3)
+    val corr = Array(
+      Array(1.0, 0.5, 0.0, 0.0),
+      Array(0.5, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.5),
+      Array(0.0, 0.0, 0.5, 1.0))
+    val vars = Array(1.0, 1.0, 2.0, 2.0)
+    val cov = Array.tabulate(4, 4)((i, j) => corr(i)(j) * math.sqrt(vars(i) * vars(j)))
+    val (labels, w) = Nco.allocate(corr, cov, maxK = 3, nInit = 4)
+    assert(labels(0) == labels(1) && labels(2) == labels(3) && labels(0) != labels(2))
+    val expect = Seq(1.0 / 3, 1.0 / 3, 1.0 / 6, 1.0 / 6)
+    assert(w.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-9 }, w.toSeq.toString)
+    assert(math.abs(w.sum - 1.0) < 1e-12)
+    // end-to-end: active weights sum to 1, deterministic
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val out = Nco.weights(t).collect()
+    val active = out.filter(_.getAs[Int]("cluster_id") >= 0)
+    assert(math.abs(active.map(_.getAs[Double]("nco_weight")).sum - 1.0) < 1e-9)
+    val out2 = Nco.weights(t).collect()
+    assert(out.map(_.toString).sameElements(out2.map(_.toString)))
+  }
+
   test("lz entropy: accumulator matches the textbook matchLength brute force; extremes behave") {
     import graft.operators.Microstructure
     val w = 8
