@@ -1129,6 +1129,17 @@ object SparkEntry {
         .scoreAgainst(s, store, docs.where(col("doc_id") % 3 === 0))
         .orderBy(col("doc_id"))
     },
+    "drift_monitor" -> { (s, dir) =>
+      // ingest-time drift: per-source KL/TV of batch 2 against the
+      // frozen raw distribution of the batch-1 store
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val store = java.nio.file.Files.createTempDirectory("graft-drift").toString
+      operators.Dsir
+        .buildStore(docs.where(col("doc_id") % 3 =!= 0), col("lang") === "en", store)
+      operators.Dsir
+        .driftAgainst(s, store, docs.where(col("doc_id") % 3 === 0))
+        .orderBy(col("source"))
+    },
     "decontaminate" -> { (s, dir) =>
       // benchmark = every 97th doc (broadcast side); 3-gram overlap
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -4299,6 +4310,51 @@ object SparkEntry {
          |                        - ln(CAST(c_b + 1 AS DOUBLE) / CAST(n_c + 4096 AS DOUBLE)))) * 1e9) AS BIGINT) AS qkl,
          |         CAST(round(abs(CAST(c + 1 AS DOUBLE) / CAST(n_s + 4096 AS DOUBLE)
          |                        - CAST(c_b + 1 AS DOUBLE) / CAST(n_c + 4096 AS DOUBLE)) * 1e9) AS BIGINT) AS qtv
+         |  FROM st)
+         |SELECT source,
+         |       CAST(max(n_s) AS BIGINT) AS n_grams,
+         |       CAST(CAST(sum(qkl) AS BIGINT) AS DOUBLE) / 1e9 AS kl_nats,
+         |       CAST(CAST(sum(qtv) AS BIGINT) AS DOUBLE) / 1e9 * 0.5 AS tv_dist
+         |FROM q GROUP BY source
+         |ORDER BY source""".stripMargin,
+    // Drift monitor: batch-1 raw counts are the frozen reference,
+    // batch-2 per-source distributions compared over the spine with
+    // the corpus_kl quantized trees
+    "drift_monitor" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, source, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
+         |x1 AS (SELECT unnest(gl) AS gram FROM g WHERE doc_id % 3 <> 0),
+         |rf0 AS (
+         |  SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b,
+         |         CAST(count(*) AS BIGINT) AS rc
+         |  FROM x1 GROUP BY b),
+         |rf AS (
+         |  SELECT CAST(r.range AS BIGINT) AS b, COALESCE(rf0.rc, 0) AS rc
+         |  FROM range(4096) r LEFT JOIN rf0 ON CAST(r.range AS BIGINT) = rf0.b),
+         |rft AS (SELECT b, rc, CAST(sum(rc) OVER () AS BIGINT) AS n_r FROM rf),
+         |x2 AS (SELECT source, unnest(gl) AS gram FROM g WHERE doc_id % 3 = 0),
+         |cnt AS (
+         |  SELECT source, ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM x2 GROUP BY source, b),
+         |spine AS (
+         |  SELECT s.source, CAST(r.range AS BIGINT) AS b
+         |  FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN range(4096) r),
+         |f0 AS (
+         |  SELECT sp.source, sp.b, COALESCE(c.c, 0) AS c
+         |  FROM spine sp LEFT JOIN cnt c ON sp.source = c.source AND sp.b = c.b),
+         |st AS (
+         |  SELECT f0.source, f0.b, f0.c,
+         |         CAST(sum(f0.c) OVER (PARTITION BY f0.source) AS BIGINT) AS n_s,
+         |         rft.rc, rft.n_r
+         |  FROM f0 JOIN rft ON f0.b = rft.b),
+         |q AS (
+         |  SELECT source, n_s,
+         |         CAST(round((CAST(c + 1 AS DOUBLE) / CAST(n_s + 4096 AS DOUBLE)
+         |                     * (ln(CAST(c + 1 AS DOUBLE) / CAST(n_s + 4096 AS DOUBLE))
+         |                        - ln(CAST(rc + 1 AS DOUBLE) / CAST(n_r + 4096 AS DOUBLE)))) * 1e9) AS BIGINT) AS qkl,
+         |         CAST(round(abs(CAST(c + 1 AS DOUBLE) / CAST(n_s + 4096 AS DOUBLE)
+         |                        - CAST(rc + 1 AS DOUBLE) / CAST(n_r + 4096 AS DOUBLE)) * 1e9) AS BIGINT) AS qtv
          |  FROM st)
          |SELECT source,
          |       CAST(max(n_s) AS BIGINT) AS n_grams,

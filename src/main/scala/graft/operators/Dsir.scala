@@ -309,6 +309,77 @@ object Dsir {
       )
   }
 
+  /** Cross-run drift monitor: [[corpusKl]]'s KL/TV statistics for a
+    * NEW batch, but against the FROZEN raw distribution of a
+    * persisted store ([[buildStore]]) instead of the batch's own
+    * corpus — the ingest-time alarm a production pipeline runs per
+    * feed without rescanning history. Same gram/spine/smoothing/
+    * quantization trees as [[corpusKl]]; the reference totals come
+    * from the ≤`buckets`-row store.
+    *
+    * Output per source in the new batch: source, n_grams, kl_nats,
+    * tv_dist.
+    */
+  def driftAgainst(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+  ): DataFrame = {
+    val (stats, buckets) = storeBuckets(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val spine = spark.range(buckets).select(col("id").as("b"))
+    val ref = spine
+      .join(stats, Seq("b"), "left")
+      .select(col("b"), coalesce(col("rcnt"), lit(0L)).as("rc"))
+      .withColumn("n_r", sum(col("rc")).over(wAll).cast("long"))
+    val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val hashes = concat(
+      graft.functions.TextExprs.gramHashes32(tk, 1),
+      graft.functions.TextExprs.gramHashes32(tk, 2),
+    )
+    val cnt = newDocs
+      .select(col(sourceCol).as("source"), explode(hashes).as("h"))
+      .select(col("source"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val srcSpine = cnt
+      .select(col("source"))
+      .distinct()
+      .crossJoin(broadcast(spark.range(buckets).select(col("id").as("b"))))
+    val wS = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val full = srcSpine
+      .join(cnt, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("n_s", sum(col("c")).over(wS).cast("long"))
+      .join(broadcast(ref), Seq("b"))
+    val ps = (col("c") + lit(1L)).cast("double") / (col("n_s") + lit(buckets.toLong)).cast("double")
+    val pc = (col("rc") + lit(1L)).cast("double") / (col("n_r") + lit(buckets.toLong)).cast("double")
+    full
+      .select(
+        col("source"),
+        col("n_s"),
+        round((ps * (log(ps) - log(pc))) * lit(1e9)).cast("long").as("qkl"),
+        round(abs(ps - pc) * lit(1e9)).cast("long").as("qtv"),
+      )
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_grams"),
+        sum(col("qkl")).cast("long").as("__qk"),
+        sum(col("qtv")).cast("long").as("__qt"),
+      )
+      .select(
+        col("source"),
+        col("n_grams"),
+        (col("__qk").cast("double") / lit(1e9)).as("kl_nats"),
+        (col("__qt").cast("double") / lit(1e9) * lit(0.5)).as("tv_dist"),
+      )
+  }
+
   /** Per-source corpus drift: KL divergence and total-variation
     * distance of each source's hashed-ngram distribution against the
     * whole corpus — the monitoring statistic a multi-source ingest

@@ -15,6 +15,24 @@ class PipelineOpsSpec extends SparkSpec {
       .map { case (t, i) => (i.toLong, t, "src") }
       .toDF("doc_id", "text", "source")
 
+  test("driftAgainst: identical distribution scores exactly zero; disjoint vocab is positive") {
+    import graft.operators.Dsir
+    val d = docs("alpha beta gamma delta", "beta gamma delta epsilon", "gamma delta epsilon zeta")
+    val store = java.nio.file.Files.createTempDirectory("drift-spec").toString
+    Dsir.buildStore(d, lit(false), store)
+    // same docs vs their own store: ps == pc bucket-for-bucket, so
+    // every quantized term is exactly 0
+    val same = Dsir.driftAgainst(spark, store, d).collect().head
+    assert(same.getAs[Double]("kl_nats") == 0.0 && same.getAs[Double]("tv_dist") == 0.0)
+    // disjoint vocabulary: strictly positive drift on both measures
+    val other = docs("zzz qqq rrr sss", "qqq rrr sss ttt vvv www")
+    val drift = Dsir.driftAgainst(spark, store, other).collect().head
+    assert(drift.getAs[Double]("kl_nats") > 0.0 && drift.getAs[Double]("tv_dist") > 0.0)
+    // corpusKl on a single-source corpus is zero drift by definition
+    val ck = Dsir.corpusKl(d).collect().head
+    assert(ck.getAs[Double]("kl_nats") == 0.0 && ck.getAs[Double]("tv_dist") == 0.0)
+  }
+
   test("gopherFilter: rule inputs hand-computed; each rule vetoes independently") {
     val good = (Seq("the quick brown fox jumps over all of these lazy dogs and cats") ++
       Seq.fill(5)("every word here has that plain shape we want to keep with and of the"))
