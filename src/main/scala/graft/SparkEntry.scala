@@ -1140,6 +1140,17 @@ object SparkEntry {
         .driftAgainst(s, store, docs.where(col("doc_id") % 3 === 0))
         .orderBy(col("source"))
     },
+    "doc_surprisal" -> { (s, dir) =>
+      // per-doc outlier score: mean surprisal of batch-2 docs under
+      // the frozen batch-1 distribution (stateless LUT scorer)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val store = java.nio.file.Files.createTempDirectory("graft-surp").toString
+      operators.Dsir
+        .buildStore(docs.where(col("doc_id") % 3 =!= 0), col("lang") === "en", store)
+      operators.Dsir
+        .surprisalAgainst(s, store, docs.where(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
+    },
     "decontaminate" -> { (s, dir) =>
       // benchmark = every 97th doc (broadcast side); 3-gram overlap
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -4362,6 +4373,37 @@ object SparkEntry {
          |       CAST(CAST(sum(qtv) AS BIGINT) AS DOUBLE) / 1e9 * 0.5 AS tv_dist
          |FROM q GROUP BY source
          |ORDER BY source""".stripMargin,
+    // Doc surprisal: the frozen batch-1 ln-probability LUT replayed
+    // as an explode+join (sums of the same nano-unit BIGINTs in any
+    // order), zero-gram docs null via the left join
+    "doc_surprisal" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
+         |x1 AS (SELECT unnest(gl) AS gram FROM g WHERE doc_id % 3 <> 0),
+         |rf0 AS (
+         |  SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b,
+         |         CAST(count(*) AS BIGINT) AS rc
+         |  FROM x1 GROUP BY b),
+         |rf AS (
+         |  SELECT CAST(r.range AS BIGINT) AS b, COALESCE(rf0.rc, 0) AS rc
+         |  FROM range(4096) r LEFT JOIN rf0 ON CAST(r.range AS BIGINT) = rf0.b),
+         |rft AS (SELECT b, rc, CAST(sum(rc) OVER () AS BIGINT) AS n_r FROM rf),
+         |qln AS (
+         |  SELECT b,
+         |         CAST(round(ln(CAST(rc + 1 AS DOUBLE) / CAST(n_r + 4096 AS DOUBLE)) * 1e9) AS BIGINT) AS q
+         |  FROM rft),
+         |x2 AS (SELECT doc_id, unnest(gl) AS gram FROM g WHERE doc_id % 3 = 0),
+         |hb2 AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b FROM x2),
+         |a AS (
+         |  SELECT hb2.doc_id, CAST(sum(q.q) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM hb2 JOIN qln q ON hb2.b = q.b GROUP BY hb2.doc_id)
+         |SELECT d2.doc_id,
+         |       COALESCE(a.n_grams, 0) AS n_grams,
+         |       CASE WHEN COALESCE(a.n_grams, 0) > 0
+         |            THEN -(CAST(a.qsum AS DOUBLE) / 1e9) / CAST(a.n_grams AS DOUBLE) END AS surprisal
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d2
+         |LEFT JOIN a ON d2.doc_id = a.doc_id
+         |ORDER BY d2.doc_id""".stripMargin,
     // Cross-run DSIR: bucket stats frozen on batch 1 (doc_id%3 != 0),
     // batch 2 scored against them — identical hash/smoothing/
     // quantize/Gumbel trees, only the two doc sets differ

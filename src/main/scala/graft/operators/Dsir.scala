@@ -309,6 +309,75 @@ object Dsir {
       )
   }
 
+  /** Per-document surprisal against the frozen store: mean negative
+    * log-likelihood of the doc's grams under the store's smoothed
+    * RAW distribution,
+    *
+    *   surprisal(doc) = −(Σ_g ln p̂_ref(b(g))) / n_grams,
+    *
+    * the document-granularity outlier alarm next to the per-source
+    * [[driftAgainst]] — an off-distribution document scores high
+    * even inside an on-distribution feed. Same construction as
+    * [[scoreMapSide]]: the ≤`buckets` ln-probabilities are quantized
+    * to nano-units once driver-side and carried as a literal LUT, so
+    * scoring is a map-side aggregate over the gram array — no
+    * explode, no shuffle, no watermark; runs unchanged (bit-equal,
+    * pinned) on a streaming DataFrame. Zero-gram docs score null.
+    *
+    * Output: idCol, n_grams, surprisal (nats/gram).
+    */
+  def surprisalAgainst(
+      spark: SparkSession,
+      dir: String,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val (stats, buckets) = storeBuckets(spark, dir)
+    val spine = spark.range(buckets).select(col("id").as("b"))
+    val complete = spine
+      .join(stats, Seq("b"), "left")
+      .select(col("b"), coalesce(col("rcnt"), lit(0L)).as("rc"))
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val qln = complete
+      .withColumn("n_r", sum(col("rc")).over(wAll).cast("long"))
+      .select(
+        col("b"),
+        round(
+          log((col("rc") + lit(1L)).cast("double") / (col("n_r") + lit(buckets.toLong)).cast("double")) * lit(1e9)
+        ).cast("long").as("q"),
+      )
+    // bounded by construction: exactly `buckets` rows
+    val lut = new Array[Long](buckets)
+    qln.collect().foreach(r => lut(r.getLong(0).toInt) = r.getLong(1))
+    val tk = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
+    val hashes = concat(
+      graft.functions.TextExprs.gramHashes32(tk, 1),
+      graft.functions.TextExprs.gramHashes32(tk, 2),
+    )
+    val qsum = aggregate(
+      hashes,
+      lit(0L),
+      (acc, h) => acc + element_at(typedLit(lut.toSeq), (pmod(h, lit(buckets.toLong)) + 1).cast("int")),
+    )
+    newDocs
+      .select(
+        col(idCol).as("doc_id"),
+        coalesce(size(hashes).cast("long"), lit(0L)).as("n_grams"),
+        coalesce(qsum, lit(0L)).as("__qsum"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        when(
+          col("n_grams") > 0L,
+          -(col("__qsum").cast("double") / lit(1e9)) / col("n_grams").cast("double"),
+        ).as("surprisal"),
+      )
+  }
+
   /** Cross-run drift monitor: [[corpusKl]]'s KL/TV statistics for a
     * NEW batch, but against the FROZEN raw distribution of a
     * persisted store ([[buildStore]]) instead of the batch's own

@@ -597,4 +597,45 @@ class ExplainSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!pDedup.contains("CartesianProduct") && !pDedup.contains("BroadcastNestedLoopJoin"), pDedup)
   }
+
+  test("gopher filter is a pure map-side projection: no exchange, no agg, one scan") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.TextAnalysis.gopherFilter(d)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"), p)
+    assert("FileScan".r.findAllIn(p).length == 1, p) // metrics share one pass
+  }
+
+  test("roll adjust: gap table joins back without shuffling ticks into a sort-merge") {
+    val t = TradeData.fromEvents(spark, dir)
+    val p = graft.operators.RollAdjust.adjust(t).queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"month-gap join must broadcast at this size:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // windows run over the months table only — after its aggregation,
+    // never directly over the tick scan
+    assert(p.contains("ordered_first") && p.contains("ordered_last"), p)
+  }
+
+  test("strategy risk stays on the codegen hash-agg path with a map-side partial") {
+    val p = plan("strategy_risk")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"), p)
+    assert(p.contains("partial_"), "daily-close agg must combine map-side:\n" + p)
+  }
+
+  test("corpus drift queries: bounded stat tables broadcast; no corpus-sized sort-merge") {
+    for (q <- Seq("corpus_kl", "drift_monitor")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), s"$q:\n$p")
+      assert(p.contains("partial_count"), s"$q gram counts must combine map-side:\n$p")
+    }
+  }
+
+  test("rp topk: projected corpus joins the broadcast query side; top-k group-limited") {
+    val p = plan("rp_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), "rank<=k must push down as a group limit:\n" + p)
+  }
 }

@@ -1214,6 +1214,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(streamed == viaMap)
   }
 
+  test("gopherFilter is stateless on a stream: bit-equal to batch") {
+    import java.nio.file.Files
+    val d = docs(
+      (Seq.fill(6)("every word here has that plain shape we want to keep with and of the")).mkString(" "),
+      (1 to 40).map(i => s"- bullet $i").mkString("\n"),
+      "tiny",
+    )
+    val batch = TextAnalysis.gopherFilter(d).orderBy("doc_id").collect().map(_.toString).toSeq
+    val dir = Files.createTempDirectory("graft-gopher-stream").toString
+    d.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(d.schema).parquet(dir)
+    val q = TextAnalysis
+      .gopherFilter(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_gopher")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_gopher").orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
+  test("surprisalAgainst: exact hand value, out-of-vocab scores higher, stateless on a stream") {
+    import java.nio.file.Files
+    val ref = (0 until 10).map(i => (i.toLong, "alpha", "src")).toDF("doc_id", "text", "source")
+    val store = Files.createTempDirectory("graft-surp-spec").toString
+    operators.Dsir.buildStore(ref, lit(false), store)
+    val batch = docs("alpha", "zzz", "")
+    val out = operators.Dsir.surprisalAgainst(spark, store, batch).orderBy("doc_id").collect()
+    // store: 10 "alpha" unigrams -> p(alpha-bucket) = 11/4106; the
+    // quantized LUT value replayed exactly
+    val expect = -(math.round(StrictMath.log(11.0 / 4106.0) * 1e9).toDouble / 1e9) / 1.0
+    assert(out(0).getAs[Double]("surprisal") == expect)
+    assert(out(1).getAs[Double]("surprisal") > out(0).getAs[Double]("surprisal"))
+    assert(out(2).getAs[Long]("n_grams") == 0L && out(2).isNullAt(out(2).fieldIndex("surprisal")))
+    // stateless streaming pass, bit-equal
+    val dir = Files.createTempDirectory("graft-surp-stream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = operators.Dsir
+      .surprisalAgainst(spark, store, stream)
+      .writeStream.outputMode("append").format("memory").queryName("stream_surp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_surp").orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(streamed == out.map(_.toString).toSeq)
+  }
+
   test("dsirResample: Gumbel top-k is k rows, deterministic, and weight-biased toward the target") {
     val d = (
       (0 until 30).map(i => (i.toLong, "alpha beta alpha beta", "t")) ++
