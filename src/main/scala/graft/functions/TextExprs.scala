@@ -420,6 +420,118 @@ case class NgramHashExpr(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass Gopher rule counts over the RAW text (one eval per
+  * document replaces ~6 interpreted array-HOF passes that each
+  * re-derive the token array — the LangIdExpr precedent). Pinned
+  * bit-equal to the declarative form (TextAnalysis.gopherFilterHof)
+  * it replaces:
+  *  - tokens: maximal non-\s runs of lower(text), Java \s set
+  *    ([ \t\n\f\r] — regexp_replace('\s+')'s exact class);
+  *    lengths in code points (Catalyst length() semantics);
+  *  - lines: '\n'-separated with trailing empties kept (split limit
+  *    -1), bullet = raw startsWith "- "/"* "/"•", ellipsis = ends
+  *    with "..."/"…" after trailing-SPACE rtrim (Catalyst rtrim);
+  *  - symbols: '#' chars + leftmost non-overlapping "..." triples +
+  *    '…' chars.
+  * Only the integer counts live here; the ratio/verdict FP trees
+  * stay declarative so the oracle contract is untouched.
+  */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(
+    Seq("n_words", "lensum", "alpha", "stop_distinct", "bl", "el", "nl", "sym")
+      .map(StructField(_, LongType, nullable = false))
+  )
+
+  private val stops =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // token pass over the lowered text (lowercasing first, exactly
+    // like lower(trim(text)) — trim only strips spaces, which cannot
+    // change the run decomposition)
+    val low = raw.toLowerCase
+    val n = low.length
+    var nWords = 0L
+    var lensum = 0L
+    var alpha = 0L
+    val stopSeen = new Array[Boolean](stops.length)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(low.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        var hasAlpha = false
+        while (i < n && !isWs(low.charAt(i))) {
+          val c = low.charAt(i)
+          if (c >= 'a' && c <= 'z') hasAlpha = true
+          i += 1
+        }
+        nWords += 1
+        lensum += low.codePointCount(start, i)
+        if (hasAlpha) alpha += 1
+        val len = i - start
+        var s = 0
+        while (s < stops.length) {
+          if (!stopSeen(s) && stops(s).length == len &&
+            low.regionMatches(start, stops(s), 0, len)) stopSeen(s) = true
+          s += 1
+        }
+      }
+    }
+    var stopDistinct = 0L
+    var sIdx = 0
+    while (sIdx < stops.length) { if (stopSeen(sIdx)) stopDistinct += 1; sIdx += 1 }
+    // line pass over the raw text
+    val rn = raw.length
+    var nl = 1L
+    var bl = 0L
+    var el = 0L
+    var lineStart = 0
+    def closeLine(endExcl: Int): Unit = {
+      val len = endExcl - lineStart
+      if ((len >= 2 && raw.charAt(lineStart) == '-' && raw.charAt(lineStart + 1) == ' ') ||
+        (len >= 2 && raw.charAt(lineStart) == '*' && raw.charAt(lineStart + 1) == ' ') ||
+        (len >= 1 && raw.charAt(lineStart) == '•')) bl += 1
+      var e = endExcl
+      while (e > lineStart && raw.charAt(e - 1) == ' ') e -= 1
+      val tl = e - lineStart
+      if ((tl >= 3 && raw.charAt(e - 1) == '.' && raw.charAt(e - 2) == '.' && raw.charAt(e - 3) == '.') ||
+        (tl >= 1 && raw.charAt(e - 1) == '…')) el += 1
+    }
+    var j = 0
+    while (j < rn) {
+      if (raw.charAt(j) == '\n') { closeLine(j); nl += 1; lineStart = j + 1 }
+      j += 1
+    }
+    closeLine(rn)
+    // symbol pass over the raw text
+    var hash = 0L
+    var uel = 0L
+    var dots = 0L
+    var p = 0
+    while (p < rn) {
+      val c = raw.charAt(p)
+      if (c == '#') { hash += 1; p += 1 }
+      else if (c == '…') { uel += 1; p += 1 }
+      else if (c == '.' && p <= rn - 3 && raw.charAt(p + 1) == '.' && raw.charAt(p + 2) == '.') {
+        dots += 1; p += 3
+      } else p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, lensum, alpha, stopDistinct, bl, el, nl, hash + dots + uel)
+    )
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
@@ -455,4 +567,8 @@ object TextExprs {
   /** Position-ordered 32-bit n-gram hashes (non-distinct, no fallback). */
   def gramHashes32(tokens: Column, n: Int): Column =
     toColumn(NgramHashExpr(toExpression(tokens), n, 8, distinct = false, shortJoinAll = false))
+
+  /** Single-pass Gopher rule integer counts (struct of 8 longs). */
+  def gopherStats(text: Column): Column =
+    toColumn(GopherStatsExpr(toExpression(text)))
 }

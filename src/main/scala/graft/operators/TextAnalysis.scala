@@ -306,6 +306,32 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
+    val g = graft.functions.TextExprs.gopherStats(col(textCol))
+    gopherVerdict(
+      docs.select(
+        col(idCol),
+        g.getField("n_words").as("n_words"),
+        g.getField("lensum").as("__lensum"),
+        g.getField("alpha").as("__alpha"),
+        g.getField("stop_distinct").as("stop_distinct"),
+        g.getField("bl").as("__bl"),
+        g.getField("el").as("__el"),
+        g.getField("nl").as("__nl"),
+        g.getField("sym").as("__sym"),
+      ),
+      idCol,
+    )
+  }
+
+  /** The original array-HOF formulation of the eight counts — kept as
+    * the semantic reference [[GopherStatsExpr]] is spec-pinned
+    * against (bit-equal on real corpora and adversarial fixtures).
+    */
+  private[graft] def gopherFilterHof(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val text = col(textCol)
     val tk = filter(tokens(text), t => t =!= "")
@@ -324,8 +350,8 @@ object TextAnalysis {
     val dots3 = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
       .cast("long")
     val uelip = (length(text) - length(regexp_replace(text, "…", ""))).cast("long")
-    docs
-      .select(
+    gopherVerdict(
+      docs.select(
         col(idCol),
         nWords.as("n_words"),
         lenSum.as("__lensum"),
@@ -335,7 +361,17 @@ object TextAnalysis {
         ellipsisLines.as("__el"),
         nLines.as("__nl"),
         (hashCount + dots3 + uelip).as("__sym"),
-      )
+      ),
+      idCol,
+    )
+  }
+
+  /** Shared ratio/verdict stage over the eight integer counts — the
+    * ONLY FP expressions, identical for both count paths (and the
+    * oracle).
+    */
+  private def gopherVerdict(counts: DataFrame, idCol: String): DataFrame =
+    counts
       .select(
         col(idCol),
         col("n_words"),
@@ -357,5 +393,4 @@ object TextAnalysis {
           col("bullet_frac") <= 0.9 && col("ellipsis_frac") <= 0.3 &&
           col("alpha_frac") >= 0.8 && col("stop_distinct") >= 2,
       )
-  }
 }

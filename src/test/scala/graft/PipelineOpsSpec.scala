@@ -33,6 +33,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ck.getAs[Double]("kl_nats") == 0.0 && ck.getAs[Double]("tv_dist") == 0.0)
   }
 
+  test("GopherStatsExpr: native single-pass counts bit-equal to the HOF form") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val a = TextAnalysis.gopherFilter(real).orderBy("doc_id").collect().map(_.toString)
+    val b = TextAnalysis.gopherFilterHof(real).orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+    val tricky = docs(
+      "",
+      "   \t\n  ",
+      "Tab\tsepvt\fff\rcr lines\nhere",
+      "- bullet\n* star\n• dot\nplain\n-nospace\n*nospace",
+      "dots....\nfour .... and ...... six\nend…  \ntrail...   \n...",
+      "İstanbul STRASSE ß emoji 😀😀 #tag #",
+      "the be to of and that have with the the",
+    )
+    val ta = TextAnalysis.gopherFilter(tricky).orderBy("doc_id").collect().map(_.toString)
+    val tb = TextAnalysis.gopherFilterHof(tricky).orderBy("doc_id").collect().map(_.toString)
+    assert(ta.toSeq == tb.toSeq)
+  }
+
   test("gopherFilter: rule inputs hand-computed; each rule vetoes independently") {
     val good = (Seq("the quick brown fox jumps over all of these lazy dogs and cats") ++
       Seq.fill(5)("every word here has that plain shape we want to keep with and of the"))
