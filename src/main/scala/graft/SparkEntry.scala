@@ -339,6 +339,12 @@ object SparkEntry {
         .withColumn("n_days", col("n_days").cast("long"))
         .orderBy(col("symbol"))
     },
+    "tick_qc" -> { (s, dir) =>
+      // per-symbol feed-quality report (defect counts + clean verdict)
+      operators.TickQc
+        .report(TradeData.fromEvents(s, dir))
+        .orderBy(col("symbol"))
+    },
     "strategy_risk" -> { (s, dir) =>
       // AFML ch.15: implied precision / implied betting frequency
       // from the empirical binary betting record (defaults:
@@ -2931,6 +2937,31 @@ object SparkEntry {
     // PSR: daily closes in exact cents, moment folds in date order
     // (left fold == engine's sorted-array aggregate), then the AFML
     // 14.4 statistic + the shared A&S erf chain, all op-for-op
+    // Tick QC: lag features in arrival (trade_id) order, integer
+    // defect counts, exact-cents range — no FP accumulation anywhere
+    "tick_qc" ->
+      s"""WITH $T,
+         |l AS (
+         |  SELECT symbol, ts, CAST(round(price * 100) AS BIGINT) AS pc, trade_id,
+         |         lag(ts) OVER (PARTITION BY symbol ORDER BY trade_id) AS prev_ts,
+         |         lag(CAST(round(price * 100) AS BIGINT)) OVER (PARTITION BY symbol ORDER BY trade_id) AS prev_pc
+         |  FROM trades),
+         |a AS (
+         |  SELECT symbol,
+         |         CAST(count(*) AS BIGINT) AS n_ticks,
+         |         CAST(sum(CASE WHEN pc <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos,
+         |         CAST(count(*) - count(DISTINCT trade_id) AS BIGINT) AS n_dup_ids,
+         |         CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_backwards,
+         |         CAST(sum(CASE WHEN prev_pc IS NOT NULL AND prev_pc > 0 AND abs(pc - prev_pc) * 100 > 5 * prev_pc THEN 1 ELSE 0 END) AS BIGINT) AS n_jumps,
+         |         CAST(min(pc) AS DOUBLE) / 100.0 AS min_price,
+         |         CAST(max(pc) AS DOUBLE) / 100.0 AS max_price,
+         |         CAST(min(trade_id) AS BIGINT) AS first_id,
+         |         CAST(max(trade_id) AS BIGINT) AS last_id
+         |  FROM l GROUP BY symbol)
+         |SELECT *,
+         |       CAST(n_nonpos = 0 AND n_dup_ids = 0 AND n_ts_backwards = 0 AND n_jumps = 0 AS INTEGER) AS clean
+         |FROM a
+         |ORDER BY symbol""".stripMargin,
     // Strategy risk: same exact-cents daily-close spine as
     // backtest_psr, conditional BIGINT up/down sums, then the
     // quadratic implied-precision / implied-frequency double tree

@@ -1411,6 +1411,33 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(out2.map(_.toString)))
   }
 
+  test("tick QC: planted defects counted exactly; clean feed verdicts clean") {
+    import graft.operators.TickQc
+    val rows = Seq(
+      ("A", ts("2021-01-01 10:00:00"), 100.00, 1L),
+      ("A", ts("2021-01-01 10:00:01"), 100.50, 2L),
+      ("A", ts("2021-01-01 10:00:02"), 107.00, 3L), // +6.5% jump (>5%)
+      ("A", ts("2021-01-01 10:00:01"), 107.10, 4L), // ts goes backwards
+      ("A", ts("2021-01-01 10:00:03"), -1.00, 5L), // bad print
+      ("A", ts("2021-01-01 10:00:04"), 107.20, 5L), // duplicate id
+      ("B", ts("2021-01-01 10:00:00"), 50.00, 10L),
+      ("B", ts("2021-01-01 10:00:01"), 50.10, 11L),
+    ).toDF("symbol", "ts", "price", "trade_id")
+    val out = TickQc.report(rows).orderBy("symbol").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_ticks") == 6L)
+    assert(a.getAs[Long]("n_nonpos") == 1L)
+    assert(a.getAs[Long]("n_dup_ids") == 1L)
+    assert(a.getAs[Long]("n_ts_backwards") == 1L)
+    // jumps: 100.50->107.00 (+6.5%) and -1.00->107.20 skipped (prev<=0)
+    // but 107.10 -> -1.00 is a jump too
+    assert(a.getAs[Long]("n_jumps") == 2L)
+    assert(a.getAs[Int]("clean") == 0)
+    val b = out(1)
+    assert(b.getAs[Long]("n_ticks") == 2L && b.getAs[Int]("clean") == 1)
+    assert(b.getAs[Double]("min_price") == 50.00 && b.getAs[Double]("max_price") == 50.10)
+  }
+
   test("lz entropy: accumulator matches the textbook matchLength brute force; extremes behave") {
     import graft.operators.Microstructure
     val w = 8
