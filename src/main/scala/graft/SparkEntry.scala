@@ -2943,8 +2943,8 @@ object SparkEntry {
       s"""WITH $T,
          |l AS (
          |  SELECT symbol, ts, CAST(round(price * 100) AS BIGINT) AS pc, trade_id,
-         |         lag(ts) OVER (PARTITION BY symbol ORDER BY trade_id) AS prev_ts,
-         |         lag(CAST(round(price * 100) AS BIGINT)) OVER (PARTITION BY symbol ORDER BY trade_id) AS prev_pc
+         |         lag(ts) OVER (PARTITION BY symbol ORDER BY trade_id, ts, CAST(round(price * 100) AS BIGINT)) AS prev_ts,
+         |         lag(CAST(round(price * 100) AS BIGINT)) OVER (PARTITION BY symbol ORDER BY trade_id, ts, CAST(round(price * 100) AS BIGINT)) AS prev_pc
          |  FROM trades),
          |a AS (
          |  SELECT symbol,

@@ -1436,6 +1436,16 @@ class CoreOperatorsSpec extends SparkSpec {
     val b = out(1)
     assert(b.getAs[Long]("n_ticks") == 2L && b.getAs[Int]("clean") == 1)
     assert(b.getAs[Double]("min_price") == 50.00 && b.getAs[Double]("max_price") == 50.10)
+    // chunked form == global-window reference, with chunk boundaries
+    // forced between almost every tick (chunkSize 2), on the defect
+    // fixture AND real ticks
+    val chunked = TickQc.report(rows, chunkSize = 2L).orderBy("symbol").collect().map(_.toString)
+    val global = TickQc.reportGlobal(rows).orderBy("symbol").collect().map(_.toString)
+    assert(chunked.toSeq == global.toSeq)
+    val t = graft.sources.TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val cr = TickQc.report(t, chunkSize = 64L).orderBy("symbol").collect().map(_.toString)
+    val gr = TickQc.reportGlobal(t).orderBy("symbol").collect().map(_.toString)
+    assert(cr.toSeq == gr.toSeq)
   }
 
   test("lz entropy: accumulator matches the textbook matchLength brute force; extremes behave") {
