@@ -345,6 +345,34 @@ object SparkEntry {
         .report(TradeData.fromEvents(s, dir))
         .orderBy(col("symbol"))
     },
+    "range_join" -> { (s, dir) =>
+      // bucketed interval join (the tripleBarrier machinery exposed
+      // directly): 30-minute windows after every 199th tick,
+      // summarized per interval to bound the output
+      val t = TradeData.fromEvents(s, dir)
+      val left = t
+        .where(col("trade_id") % 199 === 0)
+        .select(
+          col("symbol"), col("trade_id").as("l_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+      val right = t.select(col("symbol"), col("ts").as("point_ts"), col("trade_id").as("r_id"))
+      operators.RangeJoin
+        .intervalJoin(left, right, Seq("symbol"), "start_ts", "end_ts", "point_ts",
+          bucketMicros = 30L * 60 * 1000000)
+        .groupBy(col("symbol"), col("l_id"))
+        .agg(
+          count(lit(1)).as("n_matches"),
+          min(col("r_id")).as("first_id"),
+          max(col("r_id")).as("last_id"))
+        .orderBy(col("symbol"), col("l_id"))
+    },
+    "bernoulli_sample" -> { (s, dir) =>
+      // deterministic Bernoulli hash sample at 30% on doc_id
+      operators.Sampling
+        .hashSample(s.read.parquet(s"$dir/documents.parquet"), "doc_id", 0.3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     "strategy_risk" -> { (s, dir) =>
       // AFML ch.15: implied precision / implied betting frequency
       // from the empirical binary betting record (defaults:
@@ -2937,6 +2965,27 @@ object SparkEntry {
     // PSR: daily closes in exact cents, moment folds in date order
     // (left fold == engine's sorted-array aggregate), then the AFML
     // 14.4 statistic + the shared A&S erf chain, all op-for-op
+    // Range join: the oracle uses the naive BETWEEN join — the
+    // bucketed decomposition must produce exactly the same pairs
+    "range_join" ->
+      s"""WITH $T,
+         |l AS (
+         |  SELECT symbol, trade_id AS l_id, ts AS start_ts,
+         |         ts + INTERVAL 30 MINUTE AS end_ts
+         |  FROM trades WHERE trade_id % 199 = 0),
+         |r AS (SELECT symbol, ts AS point_ts, trade_id AS r_id FROM trades)
+         |SELECT l.symbol, l.l_id,
+         |       CAST(count(*) AS BIGINT) AS n_matches,
+         |       CAST(min(r.r_id) AS BIGINT) AS first_id,
+         |       CAST(max(r.r_id) AS BIGINT) AS last_id
+         |FROM l JOIN r ON l.symbol = r.symbol
+         |               AND r.point_ts > l.start_ts AND r.point_ts <= l.end_ts
+         |GROUP BY l.symbol, l.l_id
+         |ORDER BY l.symbol, l.l_id""".stripMargin,
+    "bernoulli_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8))::BIGINT % 10000 < 3000
+         |ORDER BY doc_id""".stripMargin,
     // Tick QC: lag features in arrival (trade_id) order, integer
     // defect counts, exact-cents range — no FP accumulation anywhere
     "tick_qc" ->
