@@ -345,6 +345,13 @@ object SparkEntry {
         .report(TradeData.fromEvents(s, dir))
         .orderBy(col("symbol"))
     },
+    "order_flow" -> { (s, dir) =>
+      // daily tick-rule order-flow imbalance
+      operators.Microstructure
+        .orderFlow(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "range_join" -> { (s, dir) =>
       // bucketed interval join (the tripleBarrier machinery exposed
       // directly): 30-minute windows after every 199th tick,
@@ -3389,6 +3396,35 @@ object SparkEntry {
     // VPIN: volume-bucket split arithmetic (volume_bars oracle) +
     // tick-rule signs + trailing integer window sums; the final
     // division is the only FP step
+    // Order flow: the vpin sign chain, aggregated to daily signed
+    // volume; the OFI ratio is the only FP step
+    "order_flow" ->
+      s"""WITH $T,
+         |b AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id, size,
+         |         CAST(round(price * 100) AS BIGINT) AS pc,
+         |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts, trade_id) AS rn
+         |  FROM trades),
+         |d1 AS (
+         |  SELECT *, pc - lag(pc) OVER (PARTITION BY symbol, date ORDER BY rn) AS d
+         |  FROM b),
+         |d2 AS (
+         |  SELECT *,
+         |         coalesce(last_value(CASE WHEN d != 0 THEN CAST(sign(d) AS BIGINT) END IGNORE NULLS)
+         |                  OVER (PARTITION BY symbol, date ORDER BY rn ROWS UNBOUNDED PRECEDING),
+         |                  CAST(1 AS BIGINT)) AS sgn
+         |  FROM d1),
+         |a AS (
+         |  SELECT symbol, CAST(date AS VARCHAR) AS date,
+         |         CAST(count(*) AS BIGINT) AS n_ticks,
+         |         CAST(sum(CASE WHEN sgn = 1 THEN size ELSE 0 END) AS BIGINT) AS buy_vol,
+         |         CAST(sum(CASE WHEN sgn = -1 THEN size ELSE 0 END) AS BIGINT) AS sell_vol
+         |  FROM d2 GROUP BY symbol, date)
+         |SELECT symbol, date, n_ticks, buy_vol, sell_vol,
+         |       CASE WHEN buy_vol + sell_vol > 0
+         |            THEN CAST(buy_vol - sell_vol AS DOUBLE) / CAST(buy_vol + sell_vol AS DOUBLE) END AS ofi
+         |FROM a
+         |ORDER BY symbol, date""".stripMargin,
     "vpin" ->
       s"""WITH $T,
          |b AS (

@@ -97,6 +97,52 @@ object Microstructure {
     when(n > 1 && den =!= 0.0, num / den)
   }
 
+  /** Daily order-flow imbalance: tick-rule-signed volume per
+    * (symbol, day) — buy volume, sell volume, and
+    * OFI = (V_buy − V_sell)/(V_buy + V_sell), the direction-of-flow
+    * companion to [[vpin]]'s |imbalance| toxicity (same sign chain:
+    * seed +1, carry last non-flat sign). Integer sums; the single
+    * final division is the only FP step. One shuffle on
+    * (symbol, date) shared by the sign window and the aggregation.
+    */
+  def orderFlow(df: DataFrame, c: TradingCols = TradingCols.default): DataFrame = {
+    val wOrd = Window.partitionBy(col("symbol"), col("date")).orderBy(col("ts"), col("trade_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.na
+      .drop(Seq(c.price))
+      .select(
+        col(c.symbol).cast("string").as("symbol"),
+        to_date(col(c.ts)).as("date"),
+        col(c.ts).as("ts"),
+        round(col(c.price) * 100).cast("long").as("pc"),
+        col(c.size).cast("long").as("size"),
+        col(c.tradeId).cast("long").as("trade_id"),
+      )
+      .withColumn("d", col("pc") - lag(col("pc"), 1).over(wOrd))
+      .withColumn(
+        "sgn",
+        coalesce(
+          last(when(col("d") =!= 0, signum(col("d")).cast("long")), ignoreNulls = true).over(wCum),
+          lit(1L),
+        ),
+      )
+    base
+      .groupBy(col("symbol"), col("date"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        sum(when(col("sgn") === 1L, col("size")).otherwise(0L)).as("buy_vol"),
+        sum(when(col("sgn") === -1L, col("size")).otherwise(0L)).as("sell_vol"),
+      )
+      .withColumn(
+        "ofi",
+        when(
+          col("buy_vol") + col("sell_vol") > 0L,
+          (col("buy_vol") - col("sell_vol")).cast("double") /
+            (col("buy_vol") + col("sell_vol")).cast("double"),
+        ),
+      )
+  }
+
   /** VPIN (AFML ch.19.5): volume-synchronized probability of informed
     * trading. Trades are tick-rule-signed and split into exact
     * volume buckets of `bucketVolume` shares (the volume-bar split

@@ -1411,6 +1411,22 @@ class CoreOperatorsSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(out2.map(_.toString)))
   }
 
+  test("order flow: tick-rule signed volume hand-computed (seed +1, carry on flat)") {
+    import graft.operators.Microstructure
+    val t = Seq(
+      ("A", ts("2021-01-01 10:00:00"), 100.0, 10L, 1L), // seed +1 -> buy
+      ("A", ts("2021-01-01 10:00:01"), 101.0, 20L, 2L), // up -> buy
+      ("A", ts("2021-01-01 10:00:02"), 100.5, 30L, 3L), // down -> sell
+      ("A", ts("2021-01-01 10:00:03"), 100.5, 40L, 4L), // flat -> carry sell
+      ("A", ts("2021-01-01 10:00:04"), 102.0, 50L, 5L), // up -> buy
+    ).toDF("symbol", "ts", "price", "size", "trade_id")
+    val r = Microstructure.orderFlow(t).collect().head
+    assert(r.getAs[Long]("n_ticks") == 5L)
+    assert(r.getAs[Long]("buy_vol") == 80L)
+    assert(r.getAs[Long]("sell_vol") == 70L)
+    assert(r.getAs[Double]("ofi") == 10.0 / 150.0)
+  }
+
   test("tick QC: planted defects counted exactly; clean feed verdicts clean") {
     import graft.operators.TickQc
     val rows = Seq(
