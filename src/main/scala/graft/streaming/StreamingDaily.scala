@@ -705,4 +705,76 @@ object StreamingDaily {
       BpRow(r.symbol, r.date, r.beta, r.gamma, math.max(sigma, 0.0))
     }
   }
+
+  // ---- daily order-flow imbalance ----
+
+  final case class OfState(
+      day: String,
+      prevPc: Long,
+      lastSign: Int,
+      nTicks: Long,
+      buy: Long,
+      sell: Long,
+  )
+
+  final case class OfRow(
+      symbol: String,
+      date: String,
+      n_ticks: Long,
+      buy_vol: Long,
+      sell_vol: Long,
+      ofi: Option[Double],
+  )
+
+  /** Streaming twin of `operators.Microstructure.orderFlow`: the
+    * tick-rule sign chain (seed +1, carry on flat, day-reset) plus
+    * three counters — day-rollover finality, bit-equal to batch on
+    * completed days (the same integer sums and single division).
+    */
+  def orderFlow(trades: DataFrame): Dataset[OfRow] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .select(
+        col("symbol").cast("string"),
+        col("ts").cast("timestamp"),
+        col("price").cast("double"),
+        col("size").cast("long"),
+        col("trade_id").cast("long"),
+      )
+      .as[StatefulBars.Tick]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(processOf)
+  }
+
+  private def ofRow(symbol: String, st: OfState): OfRow = {
+    val total = st.buy + st.sell
+    val ofi = if (total > 0) Some((st.buy - st.sell).toDouble / total.toDouble) else None
+    OfRow(symbol, st.day, st.nTicks, st.buy, st.sell, ofi)
+  }
+
+  private def processOf(
+      symbol: String,
+      rows: Iterator[StatefulBars.Tick],
+      state: GroupState[OfState],
+  ): Iterator[OfRow] = {
+    val sorted = rows.toSeq.sortBy(t => (StatefulBars.tsMicros(t.ts), t.trade_id))
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[OfRow]
+    sorted.foreach { t =>
+      val d0 = dayOf(t.ts)
+      val pc = StatefulBars.cents(t.price)
+      if (st == null) st = OfState(d0, pc, 1, 1L, t.size, 0L)
+      else if (st.day != d0) { out += ofRow(symbol, st); st = OfState(d0, pc, 1, 1L, t.size, 0L) }
+      else {
+        val d = pc - st.prevPc
+        val sign = if (d != 0) (if (d > 0) 1 else -1) else st.lastSign
+        st = OfState(d0, pc, sign, st.nTicks + 1,
+          if (sign > 0) st.buy + t.size else st.buy,
+          if (sign < 0) st.sell + t.size else st.sell)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
 }

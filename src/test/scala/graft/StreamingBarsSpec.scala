@@ -509,6 +509,39 @@ class StreamingBarsSpec extends SparkSpec {
     )
   }
 
+  test("streaming order flow equals batch on completed days") {
+    val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("graft-sof").toString
+    trades.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(trades.schema).parquet(dir)
+    val q = graft.streaming.StreamingDaily
+      .orderFlow(stream)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_of")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_of")
+    val batch = graft.operators.Microstructure
+      .orderFlow(trades)
+      .withColumn("date", col("date").cast("string"))
+    val lastDay = batch.groupBy("symbol").agg(max("date").as("date"))
+    val batchDone = batch.join(lastDay, Seq("symbol", "date"), "left_anti")
+    assert(streamed.count() == batchDone.count() && streamed.count() > 0)
+    val joined = streamed.as("s").join(batchDone.as("b"), Seq("symbol", "date"))
+    assert(joined.count() == batchDone.count())
+    assert(
+      joined.where(
+        col("s.n_ticks") =!= col("b.n_ticks") || col("s.buy_vol") =!= col("b.buy_vol") ||
+          col("s.sell_vol") =!= col("b.sell_vol") || col("s.ofi") =!= col("b.ofi")
+      ).count() == 0
+    )
+  }
+
   test("streaming microstructure features equal batch on completed days") {
     val trades = TradeData.fromEvents(spark, "/root/testdata/sf0.001")
     val dir = Files.createTempDirectory("graft-smf").toString
