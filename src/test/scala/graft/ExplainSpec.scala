@@ -632,6 +632,18 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("tick qc: lag windows partition by (symbol, id-chunk), not symbol alone") {
+    val p = plan("tick_qc")
+    assert(p.contains("__chunk"), "chunked window column missing:\n" + p)
+    assert(p.contains("hashpartitioning(symbol#") || p.contains("hashpartitioning(symbol,"),
+      "final per-symbol aggregation exchange expected:\n" + p)
+    // the tick-scale sort must carry the chunk key (hot-symbol
+    // parallelism); only the bounded head/tail table may sort by
+    // symbol alone
+    val sortBySymbolOnly = "Sort \\[symbol[^,]*, trade_id".r.findAllIn(p).length
+    assert(sortBySymbolOnly == 0, "tick-scale sort lost the chunk key:\n" + p)
+  }
+
   test("rp topk: projected corpus joins the broadcast query side; top-k group-limited") {
     val p = plan("rp_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
