@@ -16,6 +16,23 @@ import graft.sources.TradeData
   */
 object SparkEntry {
 
+  /** Per-query scratch dir for the incremental-store queries, deleted
+    * recursively at JVM exit — repeated Verify/Bench runs must not
+    * accumulate store directories in the system tmp dir.
+    */
+  private def scratchDir(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(name)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("time_bars")(spark, "/root/testdata/sf0.001")
@@ -233,7 +250,8 @@ object SparkEntry {
     },
     "pbo" -> { (s, dir) =>
       // rows-only: the C(16,8) CSCV sweep is not SQL-expressible;
-      // construction pinned in CoreOperatorsSpec
+      // construction pinned in CoreOperatorsSpec; the distributed
+      // block-moment table it consumes is oracle-gated (pbo_blocks)
       operators.BacktestStats.pbo(TradeData.fromEvents(s, dir))
     },
     "hrp_weights_denoised" -> { (s, dir) =>
@@ -252,20 +270,64 @@ object SparkEntry {
     "hrp_weights" -> { (s, dir) =>
       // rows-only: the recursive bisection is not SQL-expressible;
       // construction pinned in CoreOperatorsSpec, corr matrix
-      // oracle-gated via pairwise_corr
+      // oracle-gated via pairwise_corr, coverage + sum-to-one +
+      // no-shorting oracle-gated via hrp_invariants
       operators.Hrp.weights(TradeData.fromEvents(s, dir))
     },
     "onc_clusters" -> { (s, dir) =>
       // rows-only: ONC's k-means/silhouette recursion is not
       // SQL-expressible; block-recovery + determinism pinned in
-      // CoreOperatorsSpec, corr matrix oracle-gated via pairwise_corr
+      // CoreOperatorsSpec, corr matrix oracle-gated via pairwise_corr,
+      // universe partition oracle-gated via onc_coverage
       operators.Onc.clusters(TradeData.fromEvents(s, dir))
     },
     "nco_weights" -> { (s, dir) =>
       // rows-only: nested min-var over ONC clusters (matrix inverse +
       // clustering not SQL-expressible); analytic two-block equality
-      // and sum-to-one pinned in CoreOperatorsSpec
+      // pinned in CoreOperatorsSpec, coverage + sum-to-one
+      // oracle-gated via nco_invariants
       operators.Nco.weights(TradeData.fromEvents(s, dir))
+    },
+    "pbo_blocks" -> { (s, dir) =>
+      // the distributed half of PBO, oracle-gated exactly: the
+      // per-(strategy, block) moment table the CSCV sweep consumes
+      // (ss via the exact DECIMAL->DOUBLE single-round conversion)
+      operators.BacktestStats
+        .pboBlockMoments(TradeData.fromEvents(s, dir))
+        .select(col("symbol"), col("block"), col("n"), col("s"),
+          col("ss").cast("double").as("ss"))
+        .orderBy(col("symbol"), col("block"))
+    },
+    "onc_coverage" -> { (s, dir) =>
+      // partition-of-universe invariant of onc_clusters, oracle-gated:
+      // every input symbol appears exactly once, clustered iff it has
+      // >= 2 return days (the correlate-able set)
+      operators.Onc
+        .clusters(TradeData.fromEvents(s, dir))
+        .select(col("symbol"), (col("cluster_id") >= 0).as("clustered"))
+        .orderBy(col("symbol"))
+    },
+    "hrp_invariants" -> { (s, dir) =>
+      // oracle-gated invariants of hrp_weights: total output covers
+      // the universe, weights sum to 1 (9 dp) when any symbol is
+      // active, and HRP never shorts
+      operators.Hrp
+        .weights(TradeData.fromEvents(s, dir))
+        .agg(
+          count(lit(1)).as("n_symbols"),
+          round(sum(col("hrp_weight")), 9).as("total_weight"),
+          sum(when(col("hrp_weight") < 0, 1L).otherwise(0L)).as("n_negative"),
+        )
+    },
+    "nco_invariants" -> { (s, dir) =>
+      // oracle-gated invariants of nco_weights: universe coverage +
+      // sum-to-one (NCO min-var may short, so no sign invariant)
+      operators.Nco
+        .weights(TradeData.fromEvents(s, dir))
+        .agg(
+          count(lit(1)).as("n_symbols"),
+          round(sum(col("nco_weight")), 9).as("total_weight"),
+        )
     },
     "becker_parkinson" -> { (s, dir) =>
       operators.Microstructure
@@ -487,8 +549,9 @@ object SparkEntry {
         .orderBy(col("symbol"), col("date"))
     },
     "lz_entropy" -> { (s, dir) =>
-      // rows-only: the longest-match recursion is not SQL-expressible;
-      // pinned in CoreOperatorsSpec against the textbook definition
+      // oracle-gated since r12: positions pack as 32-bit ints, match
+      // length = trailing zeros of XOR — see the lz_entropy oracle;
+      // also pinned in CoreOperatorsSpec against the textbook form
       operators.Microstructure
         .lzEntropyScan(TradeData.fromEvents(s, dir))
         .withColumn("date", col("date").cast("string"))
@@ -879,7 +942,7 @@ object SparkEntry {
       // text reprocessing; equals one-shot minhashLsh restricted to
       // pairs with a batch-2 side (the oracle runs the one-shot SQL)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val store = java.nio.file.Files.createTempDirectory("graft-incr-store").toString
+      val store = scratchDir("graft-incr-store")
       operators.IncrementalDedup.buildStore(docs.where(col("doc_id") % 4 =!= 3), store)
       operators.IncrementalDedup
         .incrementalPairs(s, store, docs.where(col("doc_id") % 4 === 3), threshold = 0.5)
@@ -890,7 +953,7 @@ object SparkEntry {
       // fingerprints, only new text fingerprinted; equals one-shot
       // simhashPairs restricted to batch-2-side pairs
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val store = java.nio.file.Files.createTempDirectory("graft-incr-store-sh").toString
+      val store = scratchDir("graft-incr-store-sh")
       operators.IncrementalDedup.buildStore(docs.where(col("doc_id") % 4 =!= 3), store)
       operators.IncrementalDedup
         .incrementalSimhashPairs(s, store, docs.where(col("doc_id") % 4 === 3), maxHamming = 6)
@@ -1016,7 +1079,7 @@ object SparkEntry {
       // no batch-1 re-assignment; the oracle replays the
       // frozen-centroid flow (seeds = 16 smallest batch-1 ids)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val store = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+      val store = scratchDir("graft-vidx")
       operators.VectorIndex
         .buildIndex(emb.where(col("vec_id") % 4 =!= 3), store, nCells = 16, kmeansIters = 0)
       operators.VectorIndex
@@ -1027,7 +1090,7 @@ object SparkEntry {
       // cross-run IVF serving: batch-2 queries against the frozen
       // batch-1 index plus the batch itself, probes partition-pruned
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val store = java.nio.file.Files.createTempDirectory("graft-vidx-topk").toString
+      val store = scratchDir("graft-vidx-topk")
       operators.VectorIndex
         .buildIndex(emb.where(col("vec_id") % 4 =!= 3), store, nCells = 16, kmeansIters = 0)
       operators.VectorIndex
@@ -1163,7 +1226,7 @@ object SparkEntry {
       // (doc_id % 3 != 0), score batch 2 against the store — the
       // oracle replays the frozen-stats flow
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val store = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+      val store = scratchDir("graft-dsir")
       operators.Dsir
         .buildStore(docs.where(col("doc_id") % 3 =!= 0), col("lang") === "en", store)
       operators.Dsir
@@ -1174,7 +1237,7 @@ object SparkEntry {
       // ingest-time drift: per-source KL/TV of batch 2 against the
       // frozen raw distribution of the batch-1 store
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val store = java.nio.file.Files.createTempDirectory("graft-drift").toString
+      val store = scratchDir("graft-drift")
       operators.Dsir
         .buildStore(docs.where(col("doc_id") % 3 =!= 0), col("lang") === "en", store)
       operators.Dsir
@@ -1185,7 +1248,7 @@ object SparkEntry {
       // per-doc outlier score: mean surprisal of batch-2 docs under
       // the frozen batch-1 distribution (stateless LUT scorer)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val store = java.nio.file.Files.createTempDirectory("graft-surp").toString
+      val store = scratchDir("graft-surp")
       operators.Dsir
         .buildStore(docs.where(col("doc_id") % 3 =!= 0), col("lang") === "en", store)
       operators.Dsir
@@ -1243,6 +1306,27 @@ object SparkEntry {
     )
 
   private val T = TradeData.oracleTradesCte
+
+  /** Daily micro-quantized return CTEs (Hrp.dailyReturns twin):
+    * exact-cents closes by (ts, trade_id) order -> lagged close ->
+    * BIGINT returns in 1e-6 units. Shared by the portfolio-family
+    * oracles (pairwise_corr inlines the same text).
+    */
+  private val dailyRetCtes =
+    """b AS (
+      |  SELECT symbol, CAST(ts AS DATE) AS date,
+      |         CAST(round(price * 100) AS BIGINT) AS pc,
+      |         row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY ts DESC, trade_id DESC) AS rnd
+      |  FROM trades),
+      |d AS (
+      |  SELECT symbol, date, CAST(max(CASE WHEN rnd = 1 THEN pc END) AS BIGINT) AS close_pc
+      |  FROM b GROUP BY symbol, date),
+      |p AS (SELECT *, lag(close_pc) OVER (PARTITION BY symbol ORDER BY date) AS prev_pc FROM d),
+      |r AS (
+      |  SELECT symbol, date,
+      |         CAST(round(CAST(close_pc - prev_pc AS DOUBLE) / CAST(prev_pc AS DOUBLE) * 1000000.0) AS BIGINT) AS rq
+      |  FROM p WHERE prev_pc IS NOT NULL AND prev_pc > 0)""".stripMargin
+
 
   // ---- DuckDB fragments mirroring the text/dedup/similarity ops ----
 
@@ -2889,6 +2973,104 @@ object SparkEntry {
          |       END AS corr
          |FROM f
          |ORDER BY s1, s2""".stripMargin,
+    // PBO block moments: same return/blocking arithmetic as the Spark
+    // side; ss via HUGEINT -> DOUBLE (single round, engine-exact)
+    "pbo_blocks" ->
+      s"""WITH $T,
+         |$dailyRetCtes,
+         |dts AS (
+         |  SELECT date, row_number() OVER (ORDER BY date) AS rn,
+         |         count(*) OVER () AS cnt
+         |  FROM (SELECT DISTINCT date FROM r)),
+         |blk AS (SELECT date, CAST(((rn - 1) * 16) // cnt AS INT) AS block FROM dts)
+         |SELECT r.symbol, blk.block,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(rq) AS BIGINT) AS s,
+         |       CAST(sum(CAST(rq AS HUGEINT) * rq) AS DOUBLE) AS ss
+         |FROM r JOIN blk ON r.date = blk.date
+         |GROUP BY r.symbol, blk.block
+         |ORDER BY r.symbol, blk.block""".stripMargin,
+    "onc_coverage" ->
+      s"""WITH $T,
+         |$dailyRetCtes
+         |SELECT symbol, count(*) > 1 AS clustered
+         |FROM r GROUP BY symbol
+         |ORDER BY symbol""".stripMargin,
+    "hrp_invariants" ->
+      s"""WITH $T,
+         |$dailyRetCtes,
+         |m AS (
+         |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(rq) AS BIGINT) AS s1,
+         |         sum(CAST(rq AS HUGEINT) * rq) AS ss
+         |  FROM r GROUP BY symbol)
+         |SELECT CAST(count(*) AS BIGINT) AS n_symbols,
+         |       CASE WHEN sum(CASE WHEN n > 1 AND CAST(n AS HUGEINT) * ss - CAST(s1 AS HUGEINT) * s1 > 0
+         |                          THEN 1 ELSE 0 END) > 0
+         |            THEN 1.0 ELSE 0.0 END AS total_weight,
+         |       CAST(0 AS BIGINT) AS n_negative
+         |FROM m""".stripMargin,
+    "nco_invariants" ->
+      s"""WITH $T,
+         |$dailyRetCtes,
+         |m AS (
+         |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(rq) AS BIGINT) AS s1,
+         |         sum(CAST(rq AS HUGEINT) * rq) AS ss
+         |  FROM r GROUP BY symbol)
+         |SELECT CAST(count(*) AS BIGINT) AS n_symbols,
+         |       CASE WHEN sum(CASE WHEN n > 1 AND CAST(n AS HUGEINT) * ss - CAST(s1 AS HUGEINT) * s1 > 0
+         |                          THEN 1 ELSE 0 END) > 0
+         |            THEN 1.0 ELSE 0.0 END AS total_weight
+         |FROM m""".stripMargin,
+    // Kontoyiannis window LZ entropy (w = 32): positions packed as
+    // 32-bit integers (bit o of window p = code at p + o), match
+    // length = trailing zeros of XOR (exact integer bit_count), the
+    // log2(w+1) constant inlined as the StrictMath double the scan
+    // uses. The per-day contribution SUM is the one FP reorder vs
+    // the sequential scan (well-conditioned positive terms).
+    "lz_entropy" ->
+      s"""WITH $T,
+         |t0 AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts, trade_id,
+         |         CAST(round(price * 100) AS BIGINT) AS pc
+         |  FROM trades),
+         |t1 AS (
+         |  SELECT *, pc - lag(pc) OVER (PARTITION BY symbol, date ORDER BY ts, trade_id) AS d
+         |  FROM t0),
+         |t2 AS (
+         |  SELECT symbol, date, ts, trade_id,
+         |         coalesce(last_value(CASE WHEN d != 0 THEN (CASE WHEN d > 0 THEN 1 ELSE 0 END) END IGNORE NULLS)
+         |           OVER (PARTITION BY symbol, date ORDER BY ts, trade_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS code
+         |  FROM t1),
+         |cs AS (
+         |  SELECT symbol, date, CAST(count(*) AS BIGINT) AS n_ticks,
+         |         list(code ORDER BY ts, trade_id) AS codes
+         |  FROM t2 GROUP BY symbol, date),
+         |wv AS (
+         |  SELECT symbol, date, n_ticks, ps.p AS p,
+         |         list_sum(list_transform(range(0, 32),
+         |           o -> CAST(codes[CAST(ps.p + 1 + o AS INT)] AS BIGINT) << o)) AS w
+         |  FROM cs, LATERAL (SELECT unnest(range(0, greatest(n_ticks - 31, 0))) AS p) ps),
+         |pr AS (
+         |  SELECT a.symbol, a.date, a.p AS i,
+         |         CASE WHEN xor(a.w, b.w) = 0 THEN 32
+         |              ELSE bit_count((xor(a.w, b.w) & -xor(a.w, b.w)) - 1) END AS ml
+         |  FROM wv a JOIN wv b
+         |    ON a.symbol = b.symbol AND a.date = b.date
+         |   AND b.p >= a.p - 32 AND b.p < a.p
+         |  WHERE a.p >= 32),
+         |ml AS (SELECT symbol, date, i, max(ml) AS best FROM pr GROUP BY symbol, date, i),
+         |pt AS (
+         |  SELECT symbol, date, CAST(count(*) AS BIGINT) AS n_points,
+         |         sum(${StrictMath.log(33.0) / StrictMath.log(2.0)} / CAST(best + 1 AS DOUBLE)) AS sm
+         |  FROM ml GROUP BY symbol, date)
+         |SELECT cs.symbol, CAST(cs.date AS VARCHAR) AS date, cs.n_ticks,
+         |       coalesce(pt.n_points, 0) AS n_points,
+         |       CASE WHEN pt.n_points > 0 THEN pt.sm / CAST(pt.n_points AS DOUBLE) END AS lz_entropy
+         |FROM cs LEFT JOIN pt ON cs.symbol = pt.symbol AND cs.date = pt.date
+         |ORDER BY cs.symbol, cs.date""".stripMargin,
     // Becker-Parkinson sigma: the corwin_schultz beta/gamma CTEs plus
     // the op-for-op sigma tree (constants interpolated as the same
     // IEEE doubles the Spark plan embeds)
@@ -2960,7 +3142,7 @@ object SparkEntry {
          |mm AS (SELECT *, x / sqrt(w + x * x) AS bet_m FROM d),
          |tp AS (SELECT *, CAST(trunc(bet_m * 100.0) AS BIGINT) AS t_pos FROM mm)
          |SELECT symbol, event_id, price, forecast, bet_m, t_pos,
-         |       CASE WHEN abs(t_pos) > 0 THEN
+         |       CASE WHEN abs(t_pos) > 0 AND abs(t_pos) < 100 THEN
          |         list_reduce(
          |           list_transform(range(1, abs(t_pos) + 1),
          |             j -> forecast - CAST(sign(t_pos) AS DOUBLE) * (CAST(j AS DOUBLE) / 100.0)

@@ -259,6 +259,36 @@ object BacktestStats {
     * Output (one row): n_strategies, n_blocks, n_combos, pbo,
     * mean_logit.
     */
+  /** The exact per-(strategy, block) moment table PBO's CSCV sweep
+    * consumes: micro-quantized daily returns (Hrp.dailyReturns) cut
+    * into `nBlocks` contiguous equal-ish date blocks shared across
+    * strategies, with BIGINT/DECIMAL(38,0) count/sum/sum-of-squares.
+    * This is the distributed part of PBO — the C(16,8) combination
+    * sweep over it is driver-side by design — and the part the
+    * DuckDB oracle can check exactly (pbo_blocks).
+    */
+  def pboBlockMoments(
+      df: DataFrame,
+      c: TradingCols = TradingCols.default,
+      nBlocks: Int = 16,
+  ): DataFrame = {
+    val r = Hrp.dailyReturns(df, c)
+    // contiguous equal-ish date blocks, shared across strategies
+    val dates = r
+      .select(col("date")).distinct()
+      .withColumn("__rn", row_number().over(Window.orderBy(col("date"))))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy()))
+      .select(col("date"), (((col("__rn") - 1) * nBlocks) / col("__cnt")).cast("int").as("block"))
+    val dec = "decimal(38,0)"
+    r.join(broadcast(dates), Seq("date"))
+      .groupBy(col("symbol"), col("block"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rq")).as("s"),
+        sum(col("rq").cast(dec) * col("rq").cast(dec)).cast(dec).as("ss"),
+      )
+  }
+
   def pbo(
       df: DataFrame,
       c: TradingCols = TradingCols.default,
@@ -268,22 +298,7 @@ object BacktestStats {
     require(nBlocks >= 2 && nBlocks % 2 == 0 && nBlocks <= 20, "nBlocks: even, in [2, 20]")
     val spark = df.sparkSession
     import spark.implicits._
-    val r = Hrp.dailyReturns(df, c)
-    // contiguous equal-ish date blocks, shared across strategies
-    val dates = r
-      .select(col("date")).distinct()
-      .withColumn("__rn", row_number().over(Window.orderBy(col("date"))))
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy()))
-      .select(col("date"), (((col("__rn") - 1) * nBlocks) / col("__cnt")).cast("int").as("block"))
-    val dec = "decimal(38,0)"
-    val rows = r
-      .join(broadcast(dates), Seq("date"))
-      .groupBy(col("symbol"), col("block"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("rq")).as("s"),
-        sum(col("rq").cast(dec) * col("rq").cast(dec)).cast(dec).as("ss"),
-      )
+    val rows = pboBlockMoments(df, c, nBlocks)
       .collect()
       .map(x =>
         (x.getString(0), x.getInt(1), x.getLong(2), x.getLong(3),

@@ -151,9 +151,13 @@ object BetSizing {
     val absT = abs(tpos)
     val absP = abs(pos)
     // order direction must extend the position: same sign, larger size
+    // |t_pos| == maxPos only when m rounds to exactly ±1.0 in FP
+    // (enormous divergence): the final fold step would evaluate
+    // sqrt(w/(1-1)) = +Inf — emit null, an unquotable limit, instead
     val extends_ =
-      if (posCol.isEmpty) absT > lit(0L)
-      else absT > absP && (pos === 0L || signum(tpos) === signum(pos))
+      if (posCol.isEmpty) absT > lit(0L) && absT < lit(maxPos.toLong)
+      else absT > absP && absT < lit(maxPos.toLong) &&
+        (pos === 0L || signum(tpos) === signum(pos))
     val steps = sequence(absP + 1, absT)
     val inv = (acc: Column, j: Column) => {
       val mj = j.cast("double") / lit(maxPos.toDouble)

@@ -189,12 +189,13 @@ object Dedup {
     // large-corpus path keeps the shuffle join unconditionally (the
     // only shape that survives web scale; a count of a 100 TB explode
     // would be a job of its own).
-    // bytes fast path: at >= 32 B of corpus text per paragraph (true
-    // for any natural-language corpus even after ~2-3x parquet
-    // compression of the plan-stats estimate), a corpus under
-    // cap * 32 B cannot exceed the fingerprint cap — broadcast with
-    // NO count job at all (2 jobs total: broadcast build + join)
-    val certainlyFew = corpusBytes <= BigInt(maxBroadcastFingerprints) * 32
+    // bytes fast path: >= 32 B of TEXT per paragraph is safe for any
+    // natural-language corpus, but corpusBytes is the plan-stats
+    // (parquet-compressed) estimate — budget a 4x compression ratio,
+    // so the no-count window is cap * 32/4 = cap * 8 stats-bytes; a
+    // short-paragraph corpus past it falls through to the counted
+    // gate instead of blowing the broadcast (r11 ADVICE)
+    val certainlyFew = corpusBytes <= BigInt(maxBroadcastFingerprints) * 8
     val firsts =
       if (maxBroadcastFingerprints > 0L && small &&
         (certainlyFew || exploded.count() <= maxBroadcastFingerprints))
@@ -318,11 +319,11 @@ object Dedup {
     // fits. Without the gate the r9 shape shuffled the gram stream
     // twice (count + probe) and tripled small-scale wall time.
     // bytes fast path (see dedupParagraphs): duplicated-gram hashes
-    // are bounded by total grams ≈ corpus bytes / ~5 B-per-token, so
-    // under cap·5 bytes the set cannot exceed the broadcast cap —
-    // broadcast with no count job; the build folds into the
-    // broadcast exchange itself
-    val certainlyFew = corpusBytes <= BigInt(maxBroadcastDupHashes) * 5
+    // are bounded by total grams ≈ TEXT bytes / ~5 B-per-token; with
+    // the same 4x compression budget on the plan-stats estimate the
+    // no-count window is cap * 5/4 ≈ cap stats-bytes — past it, the
+    // counted gate decides (r11 ADVICE)
+    val certainlyFew = corpusBytes <= BigInt(maxBroadcastDupHashes)
     val dupHashes =
       if (maxBroadcastDupHashes <= 0L) dupHashesRaw
       else if (certainlyFew) broadcast(dupHashesRaw)

@@ -59,10 +59,16 @@ object Onc {
         "raise maxSymbols explicitly or pre-partition the universe",
     )
     val syms = perSym.filter(_._2 > 1).map(_._1)
+    // total-output contract, like Hrp.weights / Nco.weights: symbols
+    // with too little history to correlate still appear, as explicit
+    // cluster_id = -1 / null-silhouette rows — the partition-of-
+    // universe invariant the onc_coverage oracle checks
+    val inactive = perSym.filter(_._2 <= 1).map(_._1)
     val n = syms.length
     if (n < 2) {
-      return syms.toSeq
-        .map(s => (s, 0, 0.0, 1))
+      val k0 = if (n > 0) 1 else 0
+      return (syms.toSeq.map(s => (s, 0, Option(0.0), k0)) ++
+        inactive.toSeq.map(s => (s, -1, Option.empty[Double], k0)))
         .toDF("symbol", "cluster_id", "silhouette", "n_clusters")
         .orderBy(col("symbol"))
     }
@@ -82,8 +88,8 @@ object Onc {
       }
     val (labels, sil) = cluster(corr, maxK, nInit)
     val k = if (labels.isEmpty) 0 else labels.max + 1
-    syms.indices
-      .map(i => (syms(i), labels(i), sil(i), k))
+    (syms.indices.map(i => (syms(i), labels(i), Option(sil(i)), k)) ++
+      inactive.map(s => (s, -1, Option.empty[Double], k)))
       .toDF("symbol", "cluster_id", "silhouette", "n_clusters")
       .orderBy(col("symbol"))
   }

@@ -225,6 +225,140 @@ object VectorIndex {
       )
   }
 
+  /** Index maintenance: re-split oversized cells (r11 verdict task —
+    * frozen centroids + append-only ingest degrade recall as the
+    * ingest distribution drifts, because drifted vectors pile into
+    * the few cells nearest the drift direction and a fixed nProbe
+    * sees an ever-smaller fraction of them).
+    *
+    * Every cell whose population exceeds `splitFactor` × the mean
+    * cell size is split into ceil(count / mean) children by local
+    * spherical k-means over ITS OWN members (seeds = the cell's
+    * smallest member ids; child 0 keeps the parent cent_id so the
+    * parent's partition directory is overwritten rather than
+    * orphaned; the rest take fresh ids above the current max).
+    * Only split cells' members are reassigned and only their
+    * partitions rewritten (dynamic partition overwrite); untouched
+    * cells keep their files and assignments — the incremental
+    * contract (appendIndex / incrementalTopK against the updated
+    * centroid table) is preserved, just over a finer cell set.
+    *
+    * The member↔child assignment joins on the parent cell and argmaxes
+    * with max_by(struct) — the ObjectHashAggregate path, acceptable
+    * here because maintenance touches only the oversized tail, not
+    * the corpus (the hot-path assignments stay on the inline-argmax
+    * form).
+    *
+    * Returns a report: cell, n (before), n_children — empty when no
+    * cell exceeds the threshold (store untouched).
+    */
+  def maintainIndex(
+      spark: SparkSession,
+      dir: String,
+      splitFactor: Double = 4.0,
+      kmeansIters: Int = 2,
+  ): DataFrame = {
+    import spark.implicits._
+    require(splitFactor > 1.0, "splitFactor > 1")
+    val vecs = storedVectors(spark, dir)
+    val sizes = vecs.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // cells ≤ 65536 by construction: a driver-side plan over the
+    // CELL list (not the vectors) is metadata-sized
+    val sizeRows = sizes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mean = math.max(1.0, sizeRows.map(_._2).sum.toDouble / math.max(1, sizeRows.length))
+    val toSplit = sizeRows.filter(_._2 > splitFactor * mean).sortBy(_._1)
+    if (toSplit.isEmpty)
+      return Seq.empty[(Long, Long, Int)].toDF("cell", "n", "n_children")
+
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val maxCent = cents.agg(max(col("cent_id"))).head().getLong(0)
+    // children per split cell; child 0 reuses the parent id
+    var nextId = maxCent + 1L
+    val plan = toSplit.map { case (cell, n) =>
+      val k = math.max(2, math.ceil(n / mean).toInt)
+      val ids = cell +: (0 until (k - 1)).map { _ =>
+        val id = nextId; nextId += 1L; id
+      }
+      (cell, n, ids)
+    }
+    val childOf = plan.flatMap { case (cell, _, ids) => ids.map(cell -> _) }
+    val members = graft.sources.Checkpoint.tableGated(
+      vecs.where(col("cell").isin(toSplit.map(_._1): _*)),
+      "vidx-maint-members",
+    )
+    // seeds: the k smallest member ids of each cell, mapped onto the
+    // planned child ids in id order (deterministic)
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val kOf = plan.map { case (cell, _, ids) => (cell, ids.length) }.toMap
+    val kOfCol = typedLit(kOf)
+    val childLists = typedLit(plan.map { case (cell, _, ids) => (cell, ids) }.toMap)
+    val seed = members
+      .withColumn("r", row_number().over(wCell))
+      .where(col("r") <= kOfCol(col("cell")))
+      .select(
+        col("cell"),
+        element_at(childLists(col("cell")), col("r")).as("cent_id"),
+        col("nv").as("cv"),
+      )
+    // local spherical k-means inside each parent cell
+    def assign(c: DataFrame): DataFrame = members
+      .join(broadcast(c), Seq("cell"))
+      .withColumn("cs", dotNorm(col("nv"), col("cv")))
+      .groupBy(col("cell"), col("id"))
+      .agg(
+        first(col("nv")).as("nv"),
+        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("child"),
+      )
+    val finalCents = (0 until kmeansIters).foldLeft(seed) { (c, _) =>
+      assign(c)
+        .select(col("cell"), col("child"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("child"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("child"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(
+          col("cell"),
+          col("child").as("cent_id"),
+          transform(col("ps"), p => p.getField("m")).as("cv"),
+        )
+        .withColumn("nrm", sqrt(dotNorm(col("cv"), col("cv"))))
+        .select(
+          col("cell"),
+          col("cent_id"),
+          transform(col("cv"), x => x / col("nrm")).as("cv"),
+        )
+    }
+    val centsCkpt = graft.sources.Checkpoint.tableGated(finalCents, "vidx-maint-cents")
+    val reassigned = assign(centsCkpt)
+      .select(col("id"), col("nv"), col("child").as("cell"))
+
+    // rewrite ONLY the split partitions (child 0 = parent id
+    // overwrites the parent dir; fresh ids append new dirs)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      reassigned
+        .repartition(col("cell"))
+        .write
+        .mode("overwrite")
+        .partitionBy("cell")
+        .parquet(s"$dir/vectors")
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // centroid table: parents replaced by their children
+    val parentSet = toSplit.map(_._1).toSet
+    val kept = cents.where(!col("cent_id").isin(parentSet.toSeq: _*))
+    val newCents = kept
+      .unionByName(centsCkpt.select(col("cent_id"), col("cv")))
+      .localCheckpoint()
+    newCents.write.mode("overwrite").parquet(s"$dir/centroids")
+    plan.toSeq
+      .map { case (cell, n, ids) => (cell, n, ids.length) }
+      .toDF("cell", "n", "n_children")
+  }
+
   /** IVF top-k for the new batch's `nQueries` smallest ids against
     * stored ∪ new vectors: queries probe their `nProbe` nearest
     * stored centroids (partition-pruned store scan), rank in-cell

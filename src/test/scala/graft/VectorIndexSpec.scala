@@ -91,4 +91,66 @@ class VectorIndexSpec extends SparkSpec {
       .orderBy(col("query_id"), col("rnk"))
     assert(r1 == rows(run2))
   }
+
+  test("maintainIndex: splits only oversized cells, preserves every vector, argmax children") {
+    val store = tempStore()
+    VectorIndex.buildIndex(emb, store, nCells = 4, kmeansIters = 0)
+    val before = rows(
+      spark.read.parquet(s"$store/vectors")
+        .select(col("id"), col("cell").cast("long"), col("nv")).orderBy("id"))
+    val centsBefore = rows(spark.read.parquet(s"$store/centroids").orderBy("cent_id"))
+
+    // a huge threshold is a no-op: empty report, store untouched
+    val noop = VectorIndex.maintainIndex(spark, store, splitFactor = 1e9)
+    assert(noop.count() == 0)
+    assert(before == rows(
+      spark.read.parquet(s"$store/vectors")
+        .select(col("id"), col("cell").cast("long"), col("nv")).orderBy("id")))
+    assert(centsBefore == rows(spark.read.parquet(s"$store/centroids").orderBy("cent_id")))
+
+    // split anything above 1.01x the mean (real data is never flat)
+    val report = VectorIndex.maintainIndex(spark, store, splitFactor = 1.01, kmeansIters = 1)
+    val rep = report.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rep.nonEmpty, "expected at least one oversized cell on the test corpus")
+    val splitCells = rep.map(_._1).toSet
+
+    val after = spark.read.parquet(s"$store/vectors")
+      .select(col("id"), col("cell").cast("long").as("cell"), col("nv"))
+    // every vector survives, exactly once, nv untouched
+    assert(rows(after.select(col("id"), col("nv")).orderBy("id")) ==
+      before.map(r => Seq(r(0), r(2))))
+    // untouched cells keep their assignment
+    val beforeCell = before.map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    val afterCell = rows(after.select(col("id"), col("cell")))
+      .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    beforeCell.foreach { case (id, c) =>
+      if (!splitCells.contains(c)) assert(afterCell(id) == c, s"vector $id moved from intact cell $c")
+    }
+    // split members land on the argmax child (smallest-id tiebreak)
+    val cents = spark.read.parquet(s"$store/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // children of a parent = its new cells (parent id reused + fresh ids)
+    val childrenOf = splitCells.map { pc =>
+      pc -> afterCell.collect { case (id, c) if beforeCell(id) == pc => c }.toSet
+    }.toMap
+    val nvOf = before.map(r => r(0).asInstanceOf[Long] -> r(2).asInstanceOf[scala.collection.Seq[Double]]).toMap
+    rep.foreach { case (pc, n, k) =>
+      assert(childrenOf(pc).size <= k && childrenOf(pc).nonEmpty)
+      assert(n == beforeCell.values.count(_ == pc))
+    }
+    beforeCell.foreach { case (id, pc) =>
+      if (splitCells.contains(pc)) {
+        val kids = childrenOf(pc).toSeq.sorted
+        val v = nvOf(id)
+        def cos(c: Long): Double = cents(c).zip(v).map { case (a, b) => a * b }.sum
+        val best = kids.maxBy(c => (cos(c), -c))
+        assert(afterCell(id) == best, s"vector $id: expected child $best, got ${afterCell(id)}")
+      }
+    }
+    // the index still serves probes against the refined centroid set
+    val tk = VectorIndex.incrementalTopK(
+      spark, store, emb.limit(0).unionByName(emb.where(col("vec_id") >= 95)),
+      nQueries = 3, k = 5, nProbe = 3)
+    assert(tk.count() > 0)
+  }
 }
