@@ -592,10 +592,14 @@ object SparkEntry {
     "seq_bootstrap" -> { (s, dir) =>
       // rows-only: the draw loop is sequential by definition;
       // construction + determinism pinned in CoreOperatorsSpec.
-      // Same event set as uniqueness_weights.
+      // Same event set as uniqueness_weights at sf <= 1; beyond 5M
+      // ticks the thinning modulus scales so the event count stays
+      // inside SeqBootstrap's documented 100k driver gate (sf10
+      // bench: 10M ticks / 50 = 200k events tripped the require)
       val t = TradeData.fromEvents(s, dir)
+      val mod = math.max(50L, (t.count() + 4999999L) / 5000000L * 50L)
       val ev = t
-        .where(col("trade_id") % 50 === 0)
+        .where(col("trade_id") % mod === 0)
         .select(
           col("symbol"),
           col("ts").as("t0"),

@@ -436,6 +436,82 @@ case class NgramHashExpr(
   * Only the integer counts live here; the ratio/verdict FP trees
   * stay declarative so the oracle contract is untouched.
   */
+
+/** Single-pass quality-score counts: one traversal of the raw text
+  * replacing qualityScore's three interpreted passes (two
+  * tokenize+filter HOF chains + a regexp_extract_all match-array
+  * build — measured 50.8 s for 100k docs at the sf10 bench, ~9x the
+  * single-pass form). Integer-count semantics are EXACTLY the
+  * column-tree twin's:
+  *  - n_chars  = length(text)                      (code points)
+  *  - n_tok    = size(filter(split(normText, " "), _ != "")) — the
+  *               number of non-whitespace runs (Java regex ASCII \s)
+  *  - punct    = size(regexp_extract_all(text, "[^a-zA-Z0-9\\s]")) —
+  *               code points neither ASCII-alnum nor ASCII-ws
+  *  - stop_hits = count of lowered tokens in the English stop list
+  * Pinned bit-equal to the HOF twin in PipelineOpsSpec.
+  */
+case class QualityStatsExpr(child: Expression, stops: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(
+    Seq("n_chars", "n_tok", "punct", "stop_hits")
+      .map(StructField(_, LongType, nullable = false))
+  )
+
+  private val stopArr = stops.toArray
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    // raw text for the char/punct counts (length()/regexp twins run
+    // on the raw column); ASCII-case-insensitive compare for the
+    // lowercase stop list (the twin lowers the whole text first —
+    // equivalent for the ASCII stops, and token BOUNDARIES are
+    // ws-runs, which lowercasing never changes)
+    val raw = input.asInstanceOf[UTF8String].toString
+    val n = raw.length
+    var nChars = 0L
+    var nTok = 0L
+    var punct = 0L
+    var stopHits = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(raw.charAt(i))) { nChars += 1; i += 1 }
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(raw.charAt(i))) {
+          val cp = raw.codePointAt(i)
+          nChars += 1
+          val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+            (cp >= '0' && cp <= '9')
+          if (!alnum) punct += 1
+          i += Character.charCount(cp)
+        }
+        nTok += 1
+        val len = i - start
+        var sIdx = 0
+        var hit = false
+        while (!hit && sIdx < stopArr.length) {
+          if (stopArr(sIdx).length == len &&
+            raw.regionMatches(true, start, stopArr(sIdx), 0, len)) hit = true
+          sIdx += 1
+        }
+        if (hit) stopHits += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nTok, punct, stopHits)
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityStatsExpr =
+    copy(child = newChild)
+}
+
 case class GopherStatsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
 
   import org.apache.spark.sql.types.{StructField, StructType}
@@ -571,4 +647,8 @@ object TextExprs {
   /** Single-pass Gopher rule integer counts (struct of 8 longs). */
   def gopherStats(text: Column): Column =
     toColumn(GopherStatsExpr(toExpression(text)))
+
+  /** Single-pass quality-score counts (struct of 4 longs). */
+  def qualityStats(text: Column, stops: Seq[String]): Column =
+    toColumn(QualityStatsExpr(toExpression(text), stops))
 }

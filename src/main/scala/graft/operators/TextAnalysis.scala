@@ -71,6 +71,30 @@ object TextAnalysis {
     * Deterministic linear features -> clamp.
     */
   def qualityScore(text: Column): Column = {
+    // one native pass for all four integer counts (QualityStatsExpr;
+    // the interpreted tokenize/filter/regexp_extract_all column twin
+    // ran 9x slower at the sf10 bench — same GopherStatsExpr story);
+    // counts are integers, so the double tree below is unchanged
+    val st = graft.functions.TextExprs.qualityStats(text, langProfiles.head._2)
+    val nChars = st.getField("n_chars").cast("double")
+    val nTok = st.getField("n_tok").cast("double")
+    val punct = st.getField("punct").cast("double")
+    val stopRatio = st.getField("stop_hits").cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val avgTokLen = nChars / greatest(nTok, lit(1.0))
+    val raw = lit(0.3) +
+      lit(2.0) * stopRatio -
+      lit(3.0) * punctRatio +
+      lit(0.002) * least(nTok, lit(200.0)) -
+      lit(0.02) * abs(avgTokLen - lit(5.0))
+    least(lit(1.0), greatest(lit(0.0), raw))
+  }
+
+  /** Column-tree twin of [[qualityScore]] (two tokenize+filter HOF
+    * chains + a regexp match-array), kept for the bit-equality pin of
+    * the native single-pass QualityStatsExpr (PipelineOpsSpec).
+    */
+  private[graft] def qualityScoreHof(text: Column): Column = {
     val nChars = length(text).cast("double")
     val nTok = tokenCountWs(text).cast("double")
     val punct =

@@ -52,6 +52,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ta.toSeq == tb.toSeq)
   }
 
+  test("QualityStatsExpr: native single-pass score bit-equal to the HOF form") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = real.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .orderBy("doc_id").collect().map(_.toString)
+    val b = real.select(col("doc_id"), TextAnalysis.qualityScoreHof(col("text")).as("q"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+    val tricky = docs(
+      "",
+      "   \t\n  ",
+      "The AND Of tHaT the, for! it?",
+      "punct... !!! ### $$$ %%%",
+      "İstanbul STRASSE ß emoji 😀😀 #tag #",
+      "the and of to in is that for it on",
+    )
+    val ta = tricky.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .orderBy("doc_id").collect().map(_.toString)
+    val tb = tricky.select(col("doc_id"), TextAnalysis.qualityScoreHof(col("text")).as("q"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(ta.toSeq == tb.toSeq)
+  }
+
   test("gopherFilter: rule inputs hand-computed; each rule vetoes independently") {
     val good = (Seq("the quick brown fox jumps over all of these lazy dogs and cats") ++
       Seq.fill(5)("every word here has that plain shape we want to keep with and of the"))

@@ -27,7 +27,10 @@ def main(sfdir, oracle_path, limit=180.0):
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         import os
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a directory of part files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(oracle_path))
     out = {}
