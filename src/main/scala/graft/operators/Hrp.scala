@@ -154,6 +154,14 @@ object Hrp {
           when(col("n") > 1, (nD * col("ss").cast("double") - sD * sD) / (nD * nD))
             .otherwise(lit(0.0)).as("variance")
         },
+        // activeness from the EXACT decimal moments (n*ss - s*s > 0),
+        // mirroring the oracle's HUGEINT predicate: the double-rounded
+        // variance can cancel to 0.0 (or round positive) on
+        // near-zero-variance symbols where the exact integer disagrees
+        // (r12 advice) — the exact form is the one both engines share
+        (col("n") > 1 &&
+          col("n").cast(dec) * col("ss") - col("s").cast(dec) * col("s").cast(dec) >
+          lit(BigDecimal(0))).as("act"),
       )
       .collect()
       .sortBy(_.getString(0))
@@ -162,7 +170,7 @@ object Hrp {
       s"HRP driver-side matrix gated at $maxSymbols symbols (got ${perSym.length}); " +
         "raise maxSymbols explicitly or pre-cluster the universe",
     )
-    val active = perSym.filter(row => row.getLong(1) > 1 && row.getDouble(2) > 0.0)
+    val active = perSym.filter(_.getBoolean(3))
     val syms = active.map(_.getString(0))
     val n = syms.length
     val out: Seq[(String, Double)] =
@@ -170,7 +178,10 @@ object Hrp {
       else if (n == 1) Seq(syms(0) -> 1.0)
       else {
         val idx = syms.zipWithIndex.toMap
-        val variance = active.map(_.getDouble(2))
+        // activeness is decided by the exact moments; a symbol can be
+        // active with a double-rounded variance of 0.0 — clamp so the
+        // inverse-variance allocation stays finite (weight -> 1 limit)
+        val variance = active.map(r => math.max(r.getDouble(2), 1e-300))
         val corr = Array.fill(n, n)(0.0)
         for (i <- 0 until n) corr(i)(i) = 1.0
         pairwiseCorrOfReturns(r)

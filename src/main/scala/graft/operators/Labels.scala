@@ -135,16 +135,37 @@ object Labels {
     // history outgrows one core. Past the byte gate, switch to the
     // (symbol, day)-chunked fused scan, which trades two extra
     // metadata folds for a symbol x day parallelism axis.
-    val leafBytes = withSym.queryExecution.optimizedPlan
-      .collectLeaves()
-      .map(_.stats.sizeInBytes)
-      .sum
-    val gate = df.sparkSession.conf
-      .getOption("spark.graft.dailyVolChunkBytes")
-      .map(BigInt(_))
-      .getOrElse(BigInt(1L << 30))
+    //
+    // Reproducibility note (r12 advice): the auto gate reads plan-stats
+    // leaf sizeInBytes, which tracks FILE bytes — the same logical
+    // dataset can cross the boundary under a different parquet
+    // compression, and the two paths differ by ~1e-15 relative (the
+    // chunk folds use pow(decay, n) carries). Pipelines that need a
+    // bit-reproducible path choice should pin it explicitly with
+    // spark.graft.dailyVolPath=flat|chunked; the oracle sweep SFs all
+    // sit far below the default 1 GiB gate (flat path).
+    val pathConf = df.sparkSession.conf
+      .getOption("spark.graft.dailyVolPath")
+      .getOrElse("auto")
+    val useFlat = pathConf match {
+      case "flat" => true
+      case "chunked" => false
+      case "auto" =>
+        val leafBytes = withSym.queryExecution.optimizedPlan
+          .collectLeaves()
+          .map(_.stats.sizeInBytes)
+          .sum
+        val gate = df.sparkSession.conf
+          .getOption("spark.graft.dailyVolChunkBytes")
+          .map(BigInt(_))
+          .getOrElse(BigInt(1L << 30))
+        leafBytes <= gate
+      case other =>
+        throw new IllegalArgumentException(
+          s"spark.graft.dailyVolPath must be auto|flat|chunked, got '$other'")
+    }
     val vol =
-      if (leafBytes <= gate) dailyVolScan(withSym, span, c)
+      if (useFlat) dailyVolScan(withSym, span, c)
       else dailyVolFused(withSym, span, c)
     if (hasSymbol) vol else vol.drop(c.symbol)
   }
@@ -172,9 +193,15 @@ object Labels {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
     val pruned = df.select(col(c.symbol), col(c.ts), col(c.price))
+    // price as the equal-ts tiebreak (nulls first) — the SAME total
+    // order the fused path's sort and lastByOrd carry use, so the
+    // closing tick at a tied timestamp is identical across the flat
+    // scan, the fused halo, and the fused >=2-day carry (r12 advice).
+    // Rows with equal (ts, price) are interchangeable for both the
+    // lookback and the EWM fold, so this order is value-deterministic.
     val sorted = pruned
       .repartition(col(c.symbol))
-      .sortWithinPartitions(col(c.symbol), col(c.ts))
+      .sortWithinPartitions(col(c.symbol), col(c.ts), col(c.price))
     val symIdx = sorted.schema.fieldIndex(c.symbol)
     val tsIdx = sorted.schema.fieldIndex(c.ts)
     val pxIdx = sorted.schema.fieldIndex(c.price)
@@ -300,10 +327,22 @@ object Labels {
       )
       .select(col(c.symbol), col("__r.__chunk"), col("__r.__adj"), col("__r.__tag"), col("__r.__px"))
 
-    // one metadata row per (symbol, day): the day's closing price
+    // one metadata row per (symbol, day): the day's closing price.
+    // ord2 = coalesce(price, -inf) keeps null-price rows IN the
+    // ordering (OrderedHead ignores null-ord rows) exactly where the
+    // nulls-first ascending sorts of the halo/flat paths place them,
+    // so all three closing-tick resolutions agree at equal-ts ties
+    // (r12 advice: one tiebreak everywhere).
     val lastPx = ckpt
       .groupBy(col(c.symbol), col("__chunk"))
-      .agg(graft.functions.OrderedAgg.lastByOrd(col(c.price), col(c.ts), col(c.price)).as("__px"))
+      .agg(
+        graft.functions.OrderedAgg
+          .lastByOrd(
+            col(c.price),
+            col(c.ts),
+            coalesce(col(c.price), lit(Double.NegativeInfinity)),
+          )
+          .as("__px"))
 
     // price carry: for chunk d, the last price over days <= d-2 (day
     // d-1 arrives as halo rows; gap days fall through to the carry)
@@ -348,7 +387,10 @@ object Labels {
     def merged(extra: DataFrame): DataFrame = rows
       .join(bc(extra), Seq(c.symbol, "__chunk"), "left")
       .repartition(col(c.symbol), col("__chunk"))
-      .sortWithinPartitions(col(c.symbol), col("__chunk"), col("__adj"), col("__tag"))
+      // __px last: equal-(adj, tag) ties resolve by price (nulls
+      // first), matching the flat scan's (ts, price) sort
+      .sortWithinPartitions(
+        col(c.symbol), col("__chunk"), col("__adj"), col("__tag"), col("__px"))
 
     val m1 = merged(priceCarry)
     val m1Key = Seq(c.symbol, "__chunk").map(m1.schema.fieldIndex)

@@ -61,6 +61,11 @@ object Nco {
           when(col("n") > 1, (nD * col("ss").cast("double") - sD * sD) / (nD * nD))
             .otherwise(lit(0.0)).as("variance")
         },
+        // exact-decimal activeness, same predicate as the oracle's
+        // HUGEINT n*ss - s*s > 0 (see Hrp.weights, r12 advice)
+        (col("n") > 1 &&
+          col("n").cast(dec) * col("ss") - col("s").cast(dec) * col("s").cast(dec) >
+          lit(BigDecimal(0))).as("act"),
       )
       .collect()
       .sortBy(_.getString(0))
@@ -69,7 +74,7 @@ object Nco {
       s"NCO driver-side matrix gated at $maxSymbols symbols (got ${perSym.length}); " +
         "raise maxSymbols explicitly or pre-partition the universe",
     )
-    val active = perSym.filter(row => row.getLong(1) > 1 && row.getDouble(2) > 0.0)
+    val active = perSym.filter(_.getBoolean(3))
     val syms = active.map(_.getString(0))
     val n = syms.length
     val out: Seq[(String, Int, Double)] =
@@ -77,7 +82,10 @@ object Nco {
       else if (n == 1) Seq((syms(0), 0, 1.0))
       else {
         val idx = syms.zipWithIndex.toMap
-        val variance = active.map(_.getDouble(2))
+        // activeness is decided by the exact moments; a symbol can be
+        // active with a double-rounded variance of 0.0 — clamp so the
+        // inverse-variance allocation stays finite (weight -> 1 limit)
+        val variance = active.map(r => math.max(r.getDouble(2), 1e-300))
         val corr = Array.fill(n, n)(0.0)
         for (i <- 0 until n) corr(i)(i) = 1.0
         Hrp

@@ -329,11 +329,43 @@ object VectorIndex {
         )
     }
     val centsCkpt = graft.sources.Checkpoint.tableGated(finalCents, "vidx-maint-cents")
-    val reassigned = assign(centsCkpt)
-      .select(col("id"), col("nv"), col("child").as("cell"))
+    val reassigned = graft.sources.Checkpoint.tableGated(
+      assign(centsCkpt).select(col("id"), col("nv"), col("child").as("cell")),
+      "vidx-maint-reassigned",
+    )
+    rewriteSplitPartitions(spark, dir, reassigned, toSplit.map(_._1).toSet)
+    // centroid table: parents replaced by their children
+    val parentSet = toSplit.map(_._1).toSet
+    val kept = cents.where(!col("cent_id").isin(parentSet.toSeq: _*))
+    val newCents = kept
+      .unionByName(centsCkpt.select(col("cent_id"), col("cv")))
+      .localCheckpoint()
+    newCents.write.mode("overwrite").parquet(s"$dir/centroids")
+    plan.toSeq
+      .map { case (cell, n, ids) => (cell, n, ids.length) }
+      .toDF("cell", "n", "n_children")
+  }
 
-    // rewrite ONLY the split partitions (child 0 = parent id
-    // overwrites the parent dir; fresh ids append new dirs)
+  /** Dynamic-partition-overwrite the split cells' vector partitions,
+    * then drop any PARENT partition that won zero members in the
+    * final assignment (the k-means empty-cluster case): dynamic
+    * overwrite only touches directories it receives rows for, so an
+    * empty parent id would otherwise keep its old vectors on disk
+    * while its centroid is removed — stale unreachable-but-scanned
+    * rows duplicating their reassigned copies (r12 advice). Fresh
+    * child ids with zero members need no cleanup (nothing on disk);
+    * their empty centroid is harmless to probes.
+    */
+  private[graft] def rewriteSplitPartitions(
+      spark: SparkSession,
+      dir: String,
+      reassigned: DataFrame,
+      parentIds: Set[Long],
+  ): Unit = {
+    // cells that actually receive rows: one job over the checkpointed
+    // split-members table, collapsing to <= #children distinct values
+    val written =
+      reassigned.select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -347,16 +379,12 @@ object VectorIndex {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // centroid table: parents replaced by their children
-    val parentSet = toSplit.map(_._1).toSet
-    val kept = cents.where(!col("cent_id").isin(parentSet.toSeq: _*))
-    val newCents = kept
-      .unionByName(centsCkpt.select(col("cent_id"), col("cv")))
-      .localCheckpoint()
-    newCents.write.mode("overwrite").parquet(s"$dir/centroids")
-    plan.toSeq
-      .map { case (cell, n, ids) => (cell, n, ids.length) }
-      .toDF("cell", "n", "n_children")
+    val stale = parentIds -- written
+    if (stale.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stale.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$id"), true))
+    }
   }
 
   /** IVF top-k for the new batch's `nQueries` smallest ids against

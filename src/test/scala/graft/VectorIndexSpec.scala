@@ -153,4 +153,37 @@ class VectorIndexSpec extends SparkSpec {
       nQueries = 3, k = 5, nProbe = 3)
     assert(tk.count() > 0)
   }
+
+  test("rewriteSplitPartitions: a parent cell winning zero members is dropped from disk") {
+    // the k-means empty-cluster case (r12 advice): dynamic partition
+    // overwrite never touches a partition it gets no rows for, so a
+    // parent id with zero final members would keep its OLD vectors on
+    // disk (stale duplicates of the reassigned copies) unless the
+    // rewrite explicitly drops it
+    val store = tempStore()
+    VectorIndex.buildIndex(emb, store, nCells = 4, kmeansIters = 0)
+    val vecs = spark.read.parquet(s"$store/vectors")
+      .select(col("id"), col("nv"), col("cell").cast("long").as("cell"))
+      .localCheckpoint()
+    val total = vecs.count()
+    val cells = vecs.select("cell").distinct().collect().map(_.getLong(0)).sorted
+    val parent = cells.head
+    val fresh = cells.max + 1L
+    // simulate the empty-parent outcome: every member of `parent`
+    // reassigns to a FRESH child id; the parent id receives none
+    val reassigned = vecs
+      .where(col("cell") === parent)
+      .select(col("id"), col("nv"), lit(fresh).as("cell"))
+      .localCheckpoint()
+    VectorIndex.rewriteSplitPartitions(spark, store, reassigned, Set(parent))
+    val after = spark.read.parquet(s"$store/vectors")
+      .select(col("id"), col("cell").cast("long").as("cell"))
+    assert(after.where(col("cell") === parent).count() == 0, "stale parent rows survived")
+    assert(after.groupBy("id").count().where(col("count") > 1).count() == 0, "duplicate ids")
+    assert(after.count() == total)
+    assert(
+      !new java.io.File(s"$store/vectors/cell=$parent").exists(),
+      "stale parent partition directory survived",
+    )
+  }
 }
