@@ -468,10 +468,10 @@ case class QualityStatsExpr(child: Expression, stops: Seq[String])
 
   override def nullSafeEval(input: Any): Any = {
     // raw text for the char/punct counts (length()/regexp twins run
-    // on the raw column); ASCII-case-insensitive compare for the
-    // lowercase stop list (the twin lowers the whole text first —
-    // equivalent for the ASCII stops, and token BOUNDARIES are
-    // ws-runs, which lowercasing never changes)
+    // on the raw column); stop matching lowers per token (strict-ASCII
+    // fold fast path, real toLowerCase for tokens with any non-ASCII
+    // char) — token BOUNDARIES are ws-runs, which lowercasing never
+    // changes, so lowering per token equals the twin's whole-text lower
     val raw = input.asInstanceOf[UTF8String].toString
     val n = raw.length
     var nChars = 0L
@@ -493,12 +493,41 @@ case class QualityStatsExpr(child: Expression, stops: Seq[String])
         }
         nTok += 1
         val len = i - start
+        // stop match = lower(token) == stop, exactly as the twin's
+        // lower()-then-compare. regionMatches(ignoreCase) is WRONG
+        // here: its per-char Character.toUpperCase folds U+0131
+        // dotless-i and U+017F long-s onto ASCII ('ı'→'I', 'ſ'→'S'),
+        // which String.toLowerCase does not (r12 advice). Fast path:
+        // pure-ASCII tokens fold per char (ASCII lowering IS per-char);
+        // any non-ASCII char falls back to the real toLowerCase, so
+        // Kelvin-sign-class mappings stay bit-equal to the twin too.
+        var asciiTok = true
+        var q = start
+        while (asciiTok && q < i) { if (raw.charAt(q) >= 0x80) asciiTok = false; q += 1 }
         var sIdx = 0
         var hit = false
-        while (!hit && sIdx < stopArr.length) {
-          if (stopArr(sIdx).length == len &&
-            raw.regionMatches(true, start, stopArr(sIdx), 0, len)) hit = true
-          sIdx += 1
+        if (asciiTok) {
+          while (!hit && sIdx < stopArr.length) {
+            val sw = stopArr(sIdx)
+            if (sw.length == len) {
+              var j = 0
+              var ok = true
+              while (ok && j < len) {
+                var a = raw.charAt(start + j)
+                if (a >= 'A' && a <= 'Z') a = (a + 32).toChar
+                if (a != sw.charAt(j)) ok = false
+                j += 1
+              }
+              if (ok) hit = true
+            }
+            sIdx += 1
+          }
+        } else {
+          val lowered = raw.substring(start, i).toLowerCase
+          while (!hit && sIdx < stopArr.length) {
+            if (stopArr(sIdx) == lowered) hit = true
+            sIdx += 1
+          }
         }
         if (hit) stopHits += 1
       }
@@ -608,6 +637,78 @@ case class GopherStatsExpr(child: Expression) extends UnaryExpression with Codeg
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass token counts: ws_tokens + bpe_tokens in one traversal
+  * each, replacing token_count's two interpreted passes — a
+  * regexp_replace + split + filter-HOF chain for the whitespace
+  * count and a regexp_extract_all MATCH-ARRAY build (allocating every
+  * match string just to take the array's size) for the BPE-ish count.
+  * Integer semantics are exactly the column-tree twins':
+  *  - ws_tokens  = size(filter(split(normText, " "), _ != "")) —
+  *    the number of maximal non-\s runs of the raw text (Java regex
+  *    ASCII \s = [ \t\n\x0B\f\r]; trim/lower cannot change run
+  *    boundaries);
+  *  - bpe_tokens = size(regexp_extract_all(lower(text),
+  *    '[a-z]+|[0-9]+|[^a-z0-9\s]')) — over the LOWERED text
+  *    (String.toLowerCase, the same call Catalyst's Lower makes for
+  *    non-ASCII input), maximal [a-z] runs + maximal [0-9] runs +
+  *    one per remaining non-\s CODE POINT (Java regex matches whole
+  *    code points, so an astral char is one token, not two
+  *    surrogate tokens).
+  * Pinned bit-equal to the HOF twins in PipelineOpsSpec.
+  */
+case class TokenCountsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(
+    Seq("ws_tokens", "bpe_tokens").map(StructField(_, LongType, nullable = false))
+  )
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // ws pass: count maximal non-\s runs of the raw text
+    val n = raw.length
+    var ws = 0L
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      if (isWs(raw.charAt(i))) inRun = false
+      else if (!inRun) { ws += 1; inRun = true }
+      i += 1
+    }
+    // bpe pass: lowered text (lowering can change length — İ → i +
+    // U+0307 — so this is NOT derivable from the raw-text pass)
+    val low = raw.toLowerCase
+    val m = low.length
+    var bpe = 0L
+    var state = 0 // 0 = none/ws, 1 = in [a-z] run, 2 = in [0-9] run
+    var j = 0
+    while (j < m) {
+      val c = low.charAt(j)
+      if (c >= 'a' && c <= 'z') {
+        if (state != 1) { bpe += 1; state = 1 }
+        j += 1
+      } else if (c >= '0' && c <= '9') {
+        if (state != 2) { bpe += 1; state = 2 }
+        j += 1
+      } else if (isWs(c)) { state = 0; j += 1 }
+      else {
+        // one token per code point: skip the low surrogate of a pair
+        bpe += 1; state = 0
+        j += (if (Character.isHighSurrogate(c) && j + 1 < m &&
+            Character.isLowSurrogate(low.charAt(j + 1))) 2
+          else 1)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](ws, bpe))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
@@ -651,4 +752,8 @@ object TextExprs {
   /** Single-pass quality-score counts (struct of 4 longs). */
   def qualityStats(text: Column, stops: Seq[String]): Column =
     toColumn(QualityStatsExpr(toExpression(text), stops))
+
+  /** Single-pass ws + BPE-ish token counts (struct of 2 longs). */
+  def tokenCounts(text: Column): Column =
+    toColumn(TokenCountsExpr(toExpression(text)))
 }

@@ -43,6 +43,18 @@ object TextAnalysis {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Both token counts in ONE native traversal — struct(ws_tokens,
+    * bpe_tokens) as longs, bit-equal to [[tokenCountWs]] /
+    * [[tokenCountBpe]] (pinned in PipelineOpsSpec). The column twins
+    * build a collapsed-whitespace copy + token array + filtered array
+    * and a full regexp match array per row just to take sizes — the
+    * r12 DuckDB sweep measured that at 12x the engine-floor cost at
+    * sf10 (10.3 s for a map-side count); the fused expression removes
+    * every per-row allocation except the lowercase copy.
+    */
+  def tokenCounts(text: Column): Column =
+    graft.functions.TextExprs.tokenCounts(text)
+
   /** Stable document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text))
 

@@ -67,11 +67,48 @@ class PipelineOpsSpec extends SparkSpec {
       "punct... !!! ### $$$ %%%",
       "İstanbul STRASSE ß emoji 😀😀 #tag #",
       "the and of to in is that for it on",
+      // r12 advice: dotless-i / long-s tokens must NOT count as stop
+      // hits ('ıt'/'ıs'/'ſo' lower to themselves, unlike the
+      // Character.toUpperCase fold); Kelvin sign K lowers to 'k'
+      "ıt ıs ſo bandſo Kelvin ın the",
+      "ıN Iſ THEı of",
     )
     val ta = tricky.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
       .orderBy("doc_id").collect().map(_.toString)
     val tb = tricky.select(col("doc_id"), TextAnalysis.qualityScoreHof(col("text")).as("q"))
       .orderBy("doc_id").collect().map(_.toString)
+    assert(ta.toSeq == tb.toSeq)
+  }
+
+  test("TokenCountsExpr: fused native counts bit-equal to the ws/bpe column twins") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def twin(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).cast("long").as("bpe"),
+    )
+    def fused(d: org.apache.spark.sql.DataFrame) = {
+      val tc = TextAnalysis.tokenCounts(col("text"))
+      d.select(col("doc_id"), tc.getField("ws_tokens").as("ws"), tc.getField("bpe_tokens").as("bpe"))
+    }
+    val a = fused(real).orderBy("doc_id").collect().map(_.toString)
+    val b = twin(real).orderBy("doc_id").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+    val tricky = docs(
+      "",
+      "   \t\n  \f\r ",
+      "abc123def 42 x!y?z 7seven...",
+      // lowering grows the string (İ → i + U+0307: the combining dot
+      // is a 1-token 'other'); astral chars are ONE token each (regex
+      // matches code points, not UTF-16 units); ß stays ß (other)
+      "İstanbul STRASSE ß emoji 😀😀 #tag #",
+      "ıt ıs ſo Kelvin K ın",
+      "a1a1a1 ....", // alternation run splits + leftmost-greedy dots
+      "ΑΒΓ ΔΕ 12µ", // non-ASCII letters lower to non-[a-z] singles
+    )
+    val ta = fused(tricky).orderBy("doc_id").collect().map(_.toString)
+    val tb = twin(tricky).orderBy("doc_id").collect().map(_.toString)
     assert(ta.toSeq == tb.toSeq)
   }
 
