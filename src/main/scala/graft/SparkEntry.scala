@@ -807,12 +807,17 @@ object SparkEntry {
       ).orderBy(col("symbol"), col("ts"))
     },
     "token_count" -> { (s, dir) =>
+      // fused native counts (TokenCountsExpr) — same longs as the
+      // tokenCountWs/tokenCountBpe column twins (pinned bit-equal in
+      // PipelineOpsSpec), one text traversal instead of two
+      // match-array builds
+      val tc = TextAnalysis.tokenCounts(col("text"))
       s.read
         .parquet(s"$dir/documents.parquet")
         .select(
           col("doc_id"),
-          TextAnalysis.tokenCountWs(col("text")).cast("long").as("ws_tokens"),
-          TextAnalysis.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"),
+          tc.getField("ws_tokens").as("ws_tokens"),
+          tc.getField("bpe_tokens").as("bpe_tokens"),
         )
         .orderBy(col("doc_id"))
     },
@@ -1046,24 +1051,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     },
     "embed_dedup" -> { (s, dir) =>
-      // explicit (4,4,0) to match the oracle's inlined planes; see
-      // ann_lsh_topk
+      // PRODUCTION parameters (r12 verdict task #1): nTables/nPlanes/
+      // probeBits derived from the corpus size via autoLshParams —
+      // the oracle re-derives the identical plane count from count(*)
+      // and generates the md5 plane weights in SQL (lshAdaptiveSql),
+      // so the bench measures the scale path, not a pinned toy form
       Similarity
-        .cosinePairs(
-          s.read.parquet(s"$dir/embeddings.parquet"),
-          threshold = 0.3, nTables = 4, nPlanes = 4, probeBits = 0,
-        )
+        .cosinePairs(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))
     },
     "semantic_dedup" -> { (s, dir) =>
-      // explicit seed centroids + no k-means, like ann_ivf_topk: the
-      // oracle replays exactly this; production callers omit the
-      // params and get N/256 target-size cells with spherical k-means
-      // rounds (two-level coarse/fine assignment past 4096 cells)
+      // PRODUCTION cell count (r12 verdict task #1): nCells omitted →
+      // max(16, N/256) fixed-target-size cells; the oracle re-derives
+      // the count from count(*) and seeds the same smallest-id
+      // centroids by rank. kmeansIters stays 0 — each refinement
+      // round's centroid is an unordered f64 mean (groupBy avg), not
+      // oracle-replayable bit-exact; assignment + in-cell pairs (the
+      // terms that carry the scale cost) are the production shape.
       Similarity
         .semanticDedup(
           s.read.parquet(s"$dir/embeddings.parquet"),
-          threshold = 0.3, nCells = 16, kmeansIters = 0,
+          threshold = 0.3, kmeansIters = 0,
         )
         .orderBy(col("vec_id"))
     },
@@ -4147,13 +4155,39 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, score FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
     "embed_dedup" ->
-      s"""WITH tb AS (
-         |  SELECT vec_id, embedding,
-         |         unnest(${bucketsSql("embedding")}) AS bucket,
-         |         unnest($tblListSql) AS tbl
-         |  FROM embeddings),
+      // scale-adaptive replay of cosinePairs' PRODUCTION parameters:
+      // p = clamp(4, 24, ceil_log2(max(n,16)) + 2) planes per table
+      // (integer shift comparison — bit-identical to autoLshParams'
+      // numberOfLeadingZeros form), 4 tables, 1-bit multiprobe on
+      // side a; plane weights generated from the same md5 nibble rule
+      // as Similarity.planeWeights instead of inlined literals
+      s"""WITH prm AS (
+         |  SELECT greatest(4, least(24, k + 2)) AS p FROM (
+         |    SELECT min(k) AS k
+         |    FROM generate_series(0, 40) t(k),
+         |         (SELECT greatest(count(*), 16) AS m FROM embeddings) c
+         |    WHERE (CAST(1 AS BIGINT) << CAST(k AS INT)) >= c.m)),
+         |pl AS (
+         |  SELECT j, list(CASE WHEN substr(md5('p' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1)
+         |                      BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END ORDER BY k) AS wv
+         |  FROM (SELECT tj.j, tk.k
+         |        FROM generate_series(0, 95) tj(j), generate_series(0, 63) tk(k), prm
+         |        WHERE tj.j < 4 * prm.p)
+         |  GROUP BY j),
+         |bk AS (
+         |  SELECT e.vec_id, CAST(pl.j // prm.p AS INT) AS tbl,
+         |         CAST(sum(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |                        i -> CAST(e.embedding[i] AS DOUBLE) * pl.wv[i]), (x, y) -> x + y) > 0
+         |                  THEN (CAST(1 AS BIGINT) << CAST(pl.j % prm.p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, pl, prm
+         |  GROUP BY e.vec_id, pl.j // prm.p),
+         |pr AS (
+         |  SELECT vec_id, tbl,
+         |         unnest(list_prepend(bucket, list_transform(range(prm.p),
+         |           jj -> xor(bucket, CAST(1 AS BIGINT) << CAST(jj AS INT))))) AS pb
+         |  FROM bk, prm),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |         FROM pr a JOIN bk b ON a.tbl = b.tbl AND a.pb = b.bucket AND a.vec_id < b.vec_id),
          |nrm AS (SELECT vec_id, ${nvSql("embedding")} AS nv FROM embeddings),
          |scored AS (
          |  SELECT id_a, id_b, ${dotNormSql("ea.nv", "eb.nv")} AS score
@@ -4163,11 +4197,17 @@ object SparkEntry {
          |SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
     "semantic_dedup" ->
-      // SemDeDup replay: seed centroids (id < 16), nearest-centroid
-      // assignment with the smallest-cent_id tiebreak, in-cell pairs,
-      // keep-first (min lower-id match) + max cosine
+      // SemDeDup replay at the PRODUCTION cell count max(16, n/256):
+      // seed centroids = the `cells` smallest ids BY RANK (matching
+      // cellPartition's orderBy(id).limit(cells) — sparse-id-safe),
+      // nearest-centroid assignment with the smallest-cent_id
+      // tiebreak, in-cell pairs, keep-first + max cosine
       s"""WITH nv AS (SELECT vec_id AS id, ${nvSql("embedding")} AS nv FROM embeddings),
-         |cents AS (SELECT id AS cent_id, nv AS cv FROM nv WHERE id < 16),
+         |prm AS (SELECT greatest(16, count(*) // 256) AS cells FROM embeddings),
+         |cents AS (
+         |  SELECT id AS cent_id, nv AS cv FROM (
+         |    SELECT id, nv, row_number() OVER (ORDER BY id) AS rn FROM nv), prm
+         |  WHERE rn <= prm.cells),
          |assign AS (
          |  SELECT id, nv, cent_id AS cell FROM (
          |    SELECT nv.id, nv.nv, c.cent_id,

@@ -78,8 +78,14 @@ object Similarity {
     // ceil(log2 n) + 2 planes: expected bucket size ~1/4, so the
     // 1-bit-probe candidate fraction (1+planes)·tables/2^planes stays
     // below 1% for n >= ~1500 and FALLS as n grows (at the 24-plane
-    // cap, buckets regrow linearly but only past n ≈ 6·10^7)
-    val planes = math.max(4, math.min(24, math.ceil(math.log(math.max(n, 16).toDouble) / math.log(2.0)).toInt + 2))
+    // cap, buckets regrow linearly but only past n ≈ 6·10^7).
+    // ceil-log2 via bit length, NOT math.ceil(log(n)/log(2)) — the FP
+    // quotient is off by an ulp at some exact powers of two, and the
+    // scale-adaptive oracle (SparkEntry lshPrmSql) must derive the
+    // IDENTICAL plane count from count(*) in SQL.
+    val m = math.max(n, 16L)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    val planes = math.max(4, math.min(24, ceilLog2 + 2))
     val probes = if (planes > 4) 1 else 0
     (4, planes, probes)
   }
