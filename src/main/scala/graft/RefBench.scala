@@ -100,8 +100,12 @@ object RefBench {
       .format("noop")
       .mode("overwrite")
       .save()
+    // SPARK_GRAFT_REFBENCH_ONLY=a,b: solo re-measure protocol (the
+    // full-sweep per-scenario noise is ±20-30%; gate-adjacent numbers
+    // get a quiet-box solo 3x before being believed)
+    val only = sys.env.get("SPARK_GRAFT_REFBENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]()
-    for ((name, mk) <- scenarios(spark, dir, sizes.head)) {
+    for ((name, mk) <- scenarios(spark, dir, sizes.head) if only.forall(_.contains(name))) {
       val bySize = scala.collection.mutable.LinkedHashMap[String, Double]()
       for (n <- sizes) {
         val mkN = scenarios(spark, dir, n).toMap.apply(name)
