@@ -407,7 +407,28 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5,
       maxBucket: Int = 4096,
-  ): DataFrame = {
+  ): DataFrame = lshStages(shingled, nHashes, bands, threshold, maxBucket).pairs
+
+  /** The [[lshJaccardPairs]] pipeline with its intermediate stages
+    * exposed — the measured pair-growth account ([[graft.MinhashAccount]])
+    * counts each stage so scale claims about this operator come from
+    * the operator, not estimates. `pairs` is the public output.
+    */
+  private[graft] case class LshStages(
+      members: DataFrame,
+      reps: DataFrame,
+      cand: DataFrame,
+      repPairs: DataFrame,
+      pairs: DataFrame,
+  )
+
+  private[graft] def lshStages(
+      shingled: DataFrame,
+      nHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int,
+  ): LshStages = {
     // Checkpoint barriers are load-bearing twice over: (a) hsl/sig are
     // reused by several consumers and must be stored columns
     // (interpreted HOFs get no CSE; CollapseProject would re-inline
@@ -520,7 +541,7 @@ object Dedup {
         greatest(col("ma"), col("mb")).as("id_b"),
         col("jaccard"),
       )
-    intra.unionByName(inter)
+    LshStages(members, reps, cand, repPairs, intra.unionByName(inter))
   }
 
   /** MinHash+LSH near-dup pairs on character 5-shingles. */
