@@ -1215,8 +1215,14 @@ object SparkEntry {
       operators.TextCleaning.domainStats(aug).orderBy(col("domain"))
     },
     "quality_classifier" -> { (s, dir) =>
+      // REAL trained export (graft.TrainClassifier; committed
+      // resource), not the md5 stand-in — the oracle inlines the same
+      // 4096 integer weights as a literal list
       TextAnalysis
-        .classifierScore(s.read.parquet(s"$dir/documents.parquet"))
+        .classifierScore(
+          s.read.parquet(s"$dir/documents.parquet"),
+          weights = Some(TextAnalysis.trainedQualityWeights),
+        )
         .orderBy(col("doc_id"))
     },
     "dsir_weights" -> { (s, dir) =>
@@ -1389,6 +1395,13 @@ object SparkEntry {
   }
 
   private val tblListSql = "[0, 1, 2, 3]"
+
+  /** The committed trained classifier export as a DuckDB list literal
+    * (bucket b at 1-based index b+1) — the oracle replays the REAL
+    * model, not a formula stand-in.
+    */
+  private lazy val trainedWeightsListSql: String =
+    operators.TextAnalysis.trainedQualityWeights.mkString("[", ", ", "]")
 
   /** Rademacher projection list (mirrors Similarity.rpProject: ±1
     * "rp"-prefixed planes inlined as literals, left-to-right f64
@@ -4582,14 +4595,15 @@ object SparkEntry {
          |FROM x GROUP BY domain
          |ORDER BY domain""".stripMargin,
     "quality_classifier" ->
-      // hashed-ngram linear scorer: integer weight sums (associative,
-      // engine-exact), one affine+sigmoid double step at the end
+      // hashed-ngram linear scorer with the TRAINED weight export
+      // inlined as a literal list (integer weight sums — associative,
+      // engine-exact; one affine+sigmoid double step at the end)
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
          |x AS (SELECT doc_id, unnest(gl) AS gram FROM g),
          |wv AS (
          |  SELECT doc_id,
-         |         ('0x' || substr(md5('w:' || CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS VARCHAR)), 1, 8))::BIGINT AS w
+         |         list_extract($trainedWeightsListSql, CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS INT) + 1) AS w
          |  FROM x),
          |a AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS n
          |      FROM wv GROUP BY doc_id)

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Trains the hashed-ngram linear quality classifier end-to-end on the
+  * repo's own data and exports real weights in the integer format
+  * [[graft.operators.TextAnalysis.classifierScore]] consumes — closing
+  * the "md5 stand-in weights" caveat with an exercised import path.
+  *
+  * Task: distill the heuristic quality score into a fastText-style
+  * hashed-gram model — label = qualityScore(text) > 0.5 over the
+  * sf0.1 documents corpus (~32% positive; the synthetic corpus's
+  * `lang` column is uncorrelated with its text, so the language label
+  * has no learnable signal — AUC ceiling 0.58, measured). Features
+  * are EXACTLY the scoring plan's: unigram+bigram 32-bit gram hashes
+  * (NgramHashExpr) bucketed pmod 4096, per-doc normalized counts
+  * x_b = count_b / n_grams (so Σ_b x_b = 1 and the model's logit is
+  * the per-gram mean weight — the same quantity classifierScore's
+  * integer-sum/affine/sigmoid pipeline computes).
+  *
+  * Training is full-batch gradient descent on the driver (5k docs,
+  * ~1.5M sparse entries): deterministic — fixed epochs/lr/L2, features
+  * sorted by (doc_id, bucket), no randomness — so the committed
+  * weights file is reproducible bit-for-bit by rerunning this main.
+  *
+  * Export: the intercept is absorbed into every bucket weight (valid
+  * because Σ x_b = 1), weights are scaled by s = 0.98 / max|w| into
+  * (−1, 1) (a positive scale on the logit preserves the decision
+  * boundary and ranking; σ sharpness changes, which the scoring
+  * contract does not pin), then quantized to w_int =
+  * round((w + 1) · 2³¹) ∈ [0, 2³²) — the associative-BIGINT weight
+  * space classifierScore sums map-side.
+  *
+  * Usage: runMain graft.TrainClassifier [sfDir] [outCsv]
+  * Default out: src/main/resources/graft-quality-weights.csv
+  */
+object TrainClassifier {
+
+  val Buckets = 4096
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outCsv = args.lift(1).getOrElse("src/main/resources/graft-quality-weights.csv")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tk = filter(operators.TextAnalysis.tokens(col("text")), t => t =!= "")
+    val hashes = concat(
+      graft.functions.TextExprs.gramHashes32(tk, 1),
+      graft.functions.TextExprs.gramHashes32(tk, 2),
+    )
+    val feats = docs
+      .select(
+        col("doc_id"),
+        (operators.TextAnalysis.qualityScore(col("text")) > 0.5).cast("int").as("y"),
+        explode(hashes).as("h"),
+      )
+      .select(col("doc_id"), col("y"), pmod(col("h"), lit(Buckets.toLong)).cast("int").as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("b"))
+      .collect()
+
+    // group into per-doc sparse rows (already sorted)
+    case class Doc(y: Int, bs: Array[Int], xs: Array[Double])
+    val docsBuf = scala.collection.mutable.ArrayBuffer[Doc]()
+    var i = 0
+    while (i < feats.length) {
+      val id = feats(i).getLong(0)
+      var j = i
+      var n = 0L
+      while (j < feats.length && feats(j).getLong(0) == id) { n += feats(j).getLong(3); j += 1 }
+      val bs = new Array[Int](j - i)
+      val xs = new Array[Double](j - i)
+      var k = i
+      while (k < j) { bs(k - i) = feats(k).getInt(2); xs(k - i) = feats(k).getLong(3).toDouble / n; k += 1 }
+      docsBuf += Doc(feats(i).getInt(1), bs, xs)
+      i = j
+    }
+    val data = docsBuf.toArray
+    val nDocs = data.length
+    val posRate = data.count(_.y == 1).toDouble / nDocs
+    System.err.println(s"[train] $nDocs docs, positive rate $posRate")
+
+    // full-batch GD on logit = w·x + c, L2 on w
+    val w = new Array[Double](Buckets)
+    var c = 0.0
+    // x_b ~ 1/n_grams (a few 1e-3), so per-weight gradients are ~1e-3
+    // scaled — a unit-ish lr freezes the model at the majority class;
+    // a fixed large lr oscillates. 1/t-decayed lr converges cleanly.
+    val lr0 = 100.0
+    val l2 = 1e-5
+    val epochs = 3000
+    var e = 0
+    while (e < epochs) {
+      val lr = lr0 / (1.0 + e / 300.0)
+      val gw = new Array[Double](Buckets)
+      var gc = 0.0
+      var loss = 0.0
+      var d = 0
+      while (d < nDocs) {
+        val doc = data(d)
+        var z = c
+        var t = 0
+        while (t < doc.bs.length) { z += w(doc.bs(t)) * doc.xs(t); t += 1 }
+        val p = 1.0 / (1.0 + StrictMath.exp(-z))
+        val g = p - doc.y
+        gc += g
+        t = 0
+        while (t < doc.bs.length) { gw(doc.bs(t)) += g * doc.xs(t); t += 1 }
+        loss += (if (doc.y == 1) -StrictMath.log(math.max(p, 1e-15))
+                 else -StrictMath.log(math.max(1.0 - p, 1e-15)))
+        d += 1
+      }
+      var b = 0
+      while (b < Buckets) { w(b) -= lr * (gw(b) / nDocs + l2 * w(b)); b += 1 }
+      c -= lr * gc / nDocs
+      if (e % 100 == 99) System.err.println(s"[train] epoch ${e + 1} loss ${loss / nDocs}")
+      e += 1
+    }
+
+    // train accuracy + AUC for the record
+    val scored = data.map { doc =>
+      var z = c
+      var t = 0
+      while (t < doc.bs.length) { z += w(doc.bs(t)) * doc.xs(t); t += 1 }
+      (z, doc.y)
+    }
+    val acc = scored.count { case (z, y) => (if (z > 0) 1 else 0) == y }.toDouble / nDocs
+    val ranked = scored.sortBy(_._1)
+    val nPos = scored.count(_._2 == 1).toDouble
+    val nNeg = nDocs - nPos
+    var rankSum = 0.0
+    ranked.zipWithIndex.foreach { case ((_, y), r) => if (y == 1) rankSum += r + 1 }
+    val auc = (rankSum - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+    System.err.println(s"[train] accuracy $acc AUC $auc")
+
+    // absorb intercept, scale into (-1, 1), quantize
+    val absorbed = w.map(_ + c)
+    val maxAbs = absorbed.map(math.abs).max
+    val s = if (maxAbs > 0.98) 0.98 / maxAbs else 1.0
+    val wInt = absorbed.map(v => math.round((v * s + 1.0) * 2147483648.0))
+    require(wInt.forall(v => v >= 0L && v < (1L << 32)), "quantized weight out of range")
+
+    val sb = new StringBuilder
+    sb.append(s"# trained by graft.TrainClassifier on $sfDir documents (label: qualityScore>0.5)\n")
+    sb.append(f"# docs=$nDocs posRate=$posRate%.4f trainAcc=$acc%.4f trainAUC=$auc%.4f scale=$s%.6f\n")
+    wInt.zipWithIndex.foreach { case (v, b) => sb.append(s"$b,$v\n") }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outCsv),
+      sb.toString.getBytes("UTF-8"),
+    )
+    System.err.println(s"[train] wrote $outCsv")
+    spark.stop()
+  }
+}

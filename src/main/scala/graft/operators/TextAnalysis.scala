@@ -207,14 +207,44 @@ object TextAnalysis {
     *
     * raw = (Σ w_int − n·2³¹) / (n·2³¹) ∈ (−1, 1);  score = σ(raw).
     */
-  def classifierScore(docs: DataFrame, buckets: Int = 4096, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The committed trained export (graft.TrainClassifier: quality
+    * distillation over the sf0.1 corpus, train AUC 0.853) in the
+    * integer weight space [[classifierScore]] sums — bucket b's line
+    * is "b,w_int". Loaded once per JVM; 4096 longs.
+    */
+  lazy val trainedQualityWeights: Array[Long] = {
+    val in = getClass.getResourceAsStream("/graft-quality-weights.csv")
+    require(in != null, "graft-quality-weights.csv missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val w = new Array[Long](4096)
+      src.getLines().filterNot(_.startsWith("#")).foreach { line =>
+        val Array(b, v) = line.split(",")
+        w(b.toInt) = v.toLong
+      }
+      w
+    } finally src.close()
+  }
+
+  def classifierScore(
+      docs: DataFrame,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      /** Trained per-bucket integer weights in [0, 2³²) — e.g.
+        * [[trainedQualityWeights]]. None = the deterministic
+        * md5-derived stand-in (useful when no model is supplied; the
+        * plan is identical either way).
+        */
+      weights: Option[Array[Long]] = None,
+  ): DataFrame = {
     val tk = filter(tokens(col(textCol)), t => t =!= "")
     // per-bucket weights have only `buckets` distinct values — computed
-    // once on the driver with the same md5 formula the oracle uses and
-    // embedded as a literal lookup array, instead of re-hashing
-    // "w:"+bucket once per GRAM (2M interpreter-side md5s at sf0.1;
-    // values bit-identical, oracle unchanged)
-    val wLut = {
+    // once on the driver (trained export, or the md5 stand-in formula
+    // the fallback oracle uses) and embedded as a literal lookup
+    // array, instead of re-hashing "w:"+bucket once per GRAM (2M
+    // interpreter-side md5s at sf0.1; values bit-identical)
+    val wLut = weights.getOrElse {
       val digest = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(buckets) { b =>
         val hex = digest.digest(s"w:$b".getBytes("UTF-8"))
@@ -222,6 +252,7 @@ object TextAnalysis {
         java.lang.Long.parseLong(hex, 16)
       }
     }
+    require(wLut.length == buckets, s"weights length ${wLut.length} != buckets $buckets")
     // gram build + 32-bit hash in one native pass (NgramHashExpr:
     // unigrams are n=1 grams); bucket + weight lookup stay codegen'd
     val hashes = concat(

@@ -615,6 +615,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("classifier score: trained export loads, discriminates, partition-invariant") {
+    val w = operators.TextAnalysis.trainedQualityWeights
+    assert(w.length == 4096)
+    assert(w.forall(v => v >= 0L && v < (1L << 32)), "quantized weight range")
+    assert(w.distinct.length > 500, "a trained model, not a constant")
+    // the distillation target: trained scores should rank
+    // qualityScore>0.5 docs above the rest (train AUC 0.853; assert a
+    // conservative floor on real sf0.01 docs)
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val scored = operators.TextAnalysis
+      .classifierScore(real, weights = Some(w))
+      .join(
+        real.select(
+          col("doc_id"),
+          (operators.TextAnalysis.qualityScore(col("text")) > 0.5).cast("int").as("y"),
+        ),
+        Seq("doc_id"),
+      )
+      .select(col("score"), col("y"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val nPos = scored.count(_._2 == 1).toDouble
+    val nNeg = scored.length - nPos
+    val rankSum = scored.sortBy(_._1).zipWithIndex.collect { case ((_, 1), r) => r + 1.0 }.sum
+    val auc = (rankSum - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+    assert(auc > 0.75, s"trained AUC on sf0.01 = $auc")
+    // partition-order invariance holds for any weight table (the sum
+    // is an associative BIGINT)
+    val d = real.limit(50)
+    val a = operators.TextAnalysis.classifierScore(d, weights = Some(w)).orderBy("doc_id").collect()
+    val b = operators.TextAnalysis
+      .classifierScore(d.repartition(7), weights = Some(w)).orderBy("doc_id").collect()
+    a.zip(b).foreach { case (x, yy) =>
+      assert(
+        java.lang.Double.doubleToLongBits(x.getDouble(3)) ==
+          java.lang.Double.doubleToLongBits(yy.getDouble(3))
+      )
+    }
+  }
+
   test("semantic dedup: in-cluster near-dups marked keep-first, cross-cluster kept") {
     // two tight clusters + one isotropic outlier; near-dups only
     // within a cluster
