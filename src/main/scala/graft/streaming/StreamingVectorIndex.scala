@@ -97,4 +97,51 @@ object StreamingVectorIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         VectorIndex.appendIndex(spark, dir, batch, idCol, vecCol)
       }
+
+  /** [[ingest]] with the maintenance policy wired in (r12 verdict
+    * task #6): after every `checkEvery`-th micro-batch, run
+    * [[VectorIndex.maintainIndex]] — its own census decides; when no
+    * cell exceeds `splitFactor` × the mean cell size it is a no-op
+    * whose only cost is one scan of the store's `cell` partition
+    * column (the size signal that directly predicts probe-cost
+    * degradation: §6l measured a drifted append stream degrading the
+    * fixed-nProbe probe to a 69%-of-corpus scan before splitting).
+    * Raise `checkEvery` when micro-batches are small relative to the
+    * store; the policy is deliberately NOT edge-triggered on the
+    * batch alone — drift accumulates across batches.
+    *
+    * Mid-stream maintenance preserves the ingest contract: appends
+    * between maintenance events assign against the CURRENT centroid
+    * table (finer after each split), every stored id stays unique
+    * (the empty-parent partition drop is exercised under streaming in
+    * StreamingVectorIndexSpec), and an exhaustive probe
+    * (nProbe ≥ cells) remains exactly brute force at any cell layout.
+    *
+    * `onMaintain` observes each non-empty maintenance report
+    * (cell, n, n_children) — metrics hook, not control flow.
+    */
+  def ingestWithMaintenance(
+      spark: SparkSession,
+      dir: String,
+      stream: DataFrame,
+      checkpointDir: String,
+      splitFactor: Double = 4.0,
+      checkEvery: Int = 1,
+      kmeansIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      onMaintain: DataFrame => Unit = _ => (),
+  ): DataStreamWriter[Row] = {
+    require(checkEvery >= 1, "checkEvery >= 1")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VectorIndex.appendIndex(spark, dir, batch, idCol, vecCol)
+        if (batchId % checkEvery == 0) {
+          val report = VectorIndex.maintainIndex(spark, dir, splitFactor, kmeansIters)
+          if (!report.isEmpty) onMaintain(report)
+        }
+      }
+  }
 }

@@ -42,6 +42,83 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(a == b) // ids, cells AND normalized vectors bit-equal
   }
 
+  test("ingestWithMaintenance: drifted stream trips the split mid-stream; store stays exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val store = temp("m")
+    VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
+    val nCells0 = spark.read.parquet(s"$store/centroids").count()
+    // drifted ingest: 200 vectors jittered around ONE direction — they
+    // pile into a single cell (≈200 ≫ 4 × mean ≈ 17), the §6l failure
+    // mode the maintenance policy exists to catch
+    val dim = 64
+    val base = Array.tabulate(dim)(i => if (i < 8) 1.0f else 0.05f)
+    def jit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      base.map(x => x + 0.02f * r.nextGaussian().toFloat)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val drift = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          (0 until 200).map(i => Row(1000L + i, jit(i).toSeq))).asJava),
+      schema,
+    )
+    val src = temp("msrc")
+    // several source files so AvailableNow forms multiple micro-batches
+    drift.repartition(4).write.mode("overwrite").parquet(src)
+    var maintained = 0
+    val q = StreamingVectorIndex
+      .ingestWithMaintenance(
+        spark, store,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        temp("mckpt"),
+        splitFactor = 4.0,
+        onMaintain = r => maintained += r.count().toInt,
+      )
+      .start()
+    q.awaitTermination()
+    assert(maintained > 0, "maintenance never fired on a drifted stream")
+    val cents = spark.read.parquet(s"$store/centroids")
+    assert(cents.count() > nCells0, "split should add centroids")
+    // store exactness across mid-stream maintenance: every id exactly
+    // once (exercises the empty-parent partition drop under
+    // streaming), totals right, every stored cell present in the
+    // centroid table
+    val stored = spark.read.parquet(s"$store/vectors")
+      .select(col("id"), col("cell").cast("long").as("cell"), col("nv"))
+    assert(stored.count() == split + 200)
+    assert(stored.groupBy("id").count().where(col("count") > 1).count() == 0, "duplicate ids")
+    assert(
+      stored.join(cents, stored("cell") === cents("cent_id"), "left_anti").count() == 0,
+      "stored cell missing from centroid table",
+    )
+    // probe exactness at any cell layout: an exhaustive probe
+    // (nProbe >= cells) over the maintained store IS brute force
+    val nCells = cents.count().toInt
+    val queries = emb.where(col("vec_id") >= split && col("vec_id") < split + 5)
+    val ivf = VectorIndex
+      .incrementalTopK(spark, store, queries, nQueries = 5, k = 5, nProbe = nCells)
+      .orderBy(col("query_id"), col("rnk"))
+      .collect().toSeq.map(_.toSeq)
+    val qnv = VectorIndex.normalized(queries, "vec_id", "embedding")
+      .select(col("id").as("query_id"), col("nv").as("qv"))
+    val corpus = stored.select(col("id"), col("nv"))
+      .unionByName(VectorIndex.normalized(queries, "vec_id", "embedding").select(col("id"), col("nv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    val brute = corpus.join(qnv, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        graft.functions.VectorExprs.dotNative(col("qv"), col("nv")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+      .orderBy(col("query_id"), col("rnk"))
+      .collect().toSeq.map(_.toSeq)
+    assert(ivf.nonEmpty && ivf == brute, "exhaustive probe != brute force after maintenance")
+  }
+
   test("stateless assigned transform: streamed cells == the store's batch assignment") {
     val store = temp("a")
     VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
