@@ -409,6 +409,42 @@ object Dedup {
       maxBucket: Int = 4096,
   ): DataFrame = lshStages(shingled, nHashes, bands, threshold, maxBucket).pairs
 
+  /** shuffle_hash ONLY when the build side is small enough to hold as
+    * per-partition hash relations. The hint exists because sort-merge
+    * sorts array-fat shingle rows twice; but a ShuffledHashJoin BUILD
+    * side cannot spill — at the sf100 probe the forced hint died with
+    * "Can't acquire ... bytes memory to build hash relation" once the
+    * 5M-doc shingle table (~several GiB) exceeded execution memory
+    * (all partitions' relations are resident at once, so the budget
+    * is the TABLE size, not a partition's). Above the gate Catalyst
+    * falls back to sort-merge, which spills gracefully — the correct
+    * trade at 100 TB. Plan-stats bytes of a checkpointed parquet scan
+    * are real file sizes; the gate errs low because long-array
+    * parquet compresses poorly (on-disk ≈ in-memory).
+    */
+  private[graft] def hashIfSmall(df: DataFrame): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val gate = df.sparkSession.conf
+      .getOption("spark.graft.shuffleHashMaxBytes")
+      .map(BigInt(_))
+      .getOrElse(BigInt(512L << 20))
+    if (bytes <= gate) df.hint("shuffle_hash") else df
+  }
+
+  /** Leaf-byte gate for SHINGLE-table barriers. The generic 2 GiB
+    * tableGated gate assumes derived size is a small multiple of the
+    * leaf scan bytes; the hsl column is ~8 BYTES PER INPUT CHARACTER
+    * vs ~0.3 bytes/char for compressed text parquet — a 10-30x
+    * multiple. At the sf100 probe (documents.parquet 758 MB, under
+    * the generic gate) the in-memory barrier pinned a multi-10-GiB
+    * shingle table into executor storage and starved the verify
+    * join's memory ("Can't acquire ... to build hash relation").
+    * 128 MiB of leaf bytes bounds the in-memory shingle barrier to
+    * single-digit GiB derived; above it the table goes to parquet,
+    * whose REAL file stats then drive [[hashIfSmall]] correctly.
+    */
+  private[graft] val shingleBarrierLeafBytes: Long = 128L << 20
+
   /** The [[lshJaccardPairs]] pipeline with its intermediate stages
     * exposed — the measured pair-growth account ([[graft.MinhashAccount]])
     * counts each stage so scale claims about this operator come from
@@ -436,7 +472,8 @@ object Dedup {
     // than the corpus, so they live in a columnar parquet table each
     // consumer scans (pruned to its columns), not an executor cache —
     // see graft.sources.Checkpoint.
-    val base = graft.sources.Checkpoint.tableGated(shingled, "lsh-shingles")
+    val base =
+      graft.sources.Checkpoint.tableGated(shingled, "lsh-shingles", shingleBarrierLeafBytes)
     // id → representative (minimum id sharing this exact hsl array).
     // The collapse groups and joins on __hk, a 64-bit fingerprint of
     // the whole set DERIVED FROM THE CHECKPOINT (a codegen'd xxhash64
@@ -510,8 +547,8 @@ object Dedup {
     // shingle arrays — hashing the (small) rep table avoids sorting
     // array-fat rows twice.
     val repPairs = cand
-      .join(base.select(col("id").as("id_a"), col("hsl").as("sh_a")).hint("shuffle_hash"), "id_a")
-      .join(base.select(col("id").as("id_b"), col("hsl").as("sh_b")).hint("shuffle_hash"), "id_b")
+      .join(hashIfSmall(base.select(col("id").as("id_a"), col("hsl").as("sh_a"))), "id_a")
+      .join(hashIfSmall(base.select(col("id").as("id_b"), col("hsl").as("sh_b"))), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -534,8 +571,8 @@ object Dedup {
     // cross-cluster expansion: every member pair inherits its rep
     // pair's Jaccard (identical sets ⇒ identical intersections)
     val inter = repPairs
-      .join(members.select(col("rid").as("id_a"), col("id").as("ma")).hint("shuffle_hash"), "id_a")
-      .join(members.select(col("rid").as("id_b"), col("id").as("mb")).hint("shuffle_hash"), "id_b")
+      .join(hashIfSmall(members.select(col("rid").as("id_a"), col("id").as("ma"))), "id_a")
+      .join(hashIfSmall(members.select(col("rid").as("id_b"), col("id").as("mb"))), "id_b")
       .select(
         least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"),

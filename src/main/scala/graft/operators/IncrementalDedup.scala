@@ -111,7 +111,8 @@ object IncrementalDedup {
     // well-split large corpus spread is a no-op.
     val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val docsIn = if (corpusBytes <= (64L << 20)) docs else graft.sources.Par.spread(docs)
-    val sh = graft.sources.Checkpoint.tableGated(shingled(docsIn, idCol, textCol), "incr-build-sh")
+    val sh = graft.sources.Checkpoint
+      .tableGated(shingled(docsIn, idCol, textCol), "incr-build-sh", Dedup.shingleBarrierLeafBytes)
     val keyed = graft.sources.Checkpoint.tableGated(keyedOf(sh), "incr-build-keyed")
     val members = keyed
       .join(keyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
@@ -183,7 +184,8 @@ object IncrementalDedup {
     def gated(df: DataFrame, name: String): DataFrame =
       graft.sources.Checkpoint.tableGated(df, name)
 
-    val newSh = gated(shingled(newDocs, idCol, textCol), "incr-sh")
+    val newSh = graft.sources.Checkpoint
+      .tableGated(shingled(newDocs, idCol, textCol), "incr-sh", Dedup.shingleBarrierLeafBytes)
     val newKeyed = keyedOf(newSh)
 
     // exact-dup regroup over touched hk-groups only
@@ -275,8 +277,8 @@ object IncrementalDedup {
     // 4. exact-Jaccard verify (same double tree as the one-shot)
     val hslAll = stShingles.unionByName(newSh)
     val repPairs = cand
-      .join(hslAll.select(col("id").as("id_a"), col("hsl").as("sh_a")).hint("shuffle_hash"), "id_a")
-      .join(hslAll.select(col("id").as("id_b"), col("hsl").as("sh_b")).hint("shuffle_hash"), "id_b")
+      .join(Dedup.hashIfSmall(hslAll.select(col("id").as("id_a"), col("hsl").as("sh_a"))), "id_a")
+      .join(Dedup.hashIfSmall(hslAll.select(col("id").as("id_b"), col("hsl").as("sh_b"))), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -310,15 +312,15 @@ object IncrementalDedup {
     // only pairs reaching the new batch
     val inter = repPairs
       .join(
-        membersAll
-          .select(col("rid").as("id_a"), col("id").as("ma"), col("__new").as("na"))
-          .hint("shuffle_hash"),
+        Dedup.hashIfSmall(
+          membersAll
+            .select(col("rid").as("id_a"), col("id").as("ma"), col("__new").as("na"))),
         "id_a",
       )
       .join(
-        membersAll
-          .select(col("rid").as("id_b"), col("id").as("mb"), col("__new").as("nb"))
-          .hint("shuffle_hash"),
+        Dedup.hashIfSmall(
+          membersAll
+            .select(col("rid").as("id_b"), col("id").as("mb"), col("__new").as("nb"))),
         "id_b",
       )
       .where(col("na") || col("nb"))
