@@ -38,12 +38,18 @@ object MinhashAccount {
       )
       val st = operators.Dedup.lshStages(
         shingled, nHashes = 16, bands = 4, threshold = 0.5, maxBucket = 4096)
+      // SPARK_GRAFT_MINHASH_CAND_ONLY=1 stops after the candidate
+      // count: at family-quadratic densities (sf100 synthetic) the
+      // verify/expand stages need TBs of array-join traffic, but the
+      // candidate count itself is a skinny-row distinct — measurable
+      // one decade past where the full operator fits the box
+      val candOnly = sys.env.get("SPARK_GRAFT_MINHASH_CAND_ONLY").contains("1")
       val t0 = System.nanoTime()
       val nDocs = docs.count()
       val nReps = st.reps.count()
       val nCand = st.cand.count()
-      val nRepPairs = st.repPairs.count()
-      val nOut = st.pairs.count()
+      val nRepPairs = if (candOnly) -1L else st.repPairs.count()
+      val nOut = if (candOnly) -1L else st.pairs.count()
       // cluster-size histogram head: the C(k,2) term's drivers
       val topClusters = st.members
         .groupBy(col("rid")).agg(count(lit(1)).as("k"))
