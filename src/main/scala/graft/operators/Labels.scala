@@ -143,7 +143,7 @@ object Labels {
     // chunk folds use pow(decay, n) carries). Pipelines that need a
     // bit-reproducible path choice should pin it explicitly with
     // spark.graft.dailyVolPath=flat|chunked; the oracle sweep SFs all
-    // sit far below the default 1 GiB gate (flat path).
+    // sit far below the default 8 GiB gate (flat path).
     val pathConf = df.sparkSession.conf
       .getOption("spark.graft.dailyVolPath")
       .getOrElse("auto")
@@ -155,10 +155,19 @@ object Labels {
           .collectLeaves()
           .map(_.stats.sizeInBytes)
           .sum
+        // 8 GiB default (r13): the flat path's real limit is
+        // PER-SYMBOL density (one core consumes a symbol's stream at
+        // ~1-2M ticks/s), which total bytes only proxy. The sf100
+        // probe measured the old 1 GiB gate flipping too early: at
+        // 100M ticks / 50 symbols (1.8 GB) flat ran 98 s vs
+        // chunked 215 s — 2.2x the wrong way. A table past 8 GiB on
+        // a 2k-symbol universe still flips long before any single
+        // symbol saturates a core; genuinely skewed universes should
+        // pin spark.graft.dailyVolPath=chunked explicitly.
         val gate = df.sparkSession.conf
           .getOption("spark.graft.dailyVolChunkBytes")
           .map(BigInt(_))
-          .getOrElse(BigInt(1L << 30))
+          .getOrElse(BigInt(8L << 30))
         leafBytes <= gate
       case other =>
         throw new IllegalArgumentException(
