@@ -3021,16 +3021,20 @@ object SparkEntry {
          |SELECT symbol, count(*) > 1 AS clustered
          |FROM r GROUP BY symbol
          |ORDER BY symbol""".stripMargin,
+    // activeness = n > 1 AND min(rq) < max(rq): the exact integer
+    // second-moment predicate n*ss - s1*s1 > 0 is true iff not all rq
+    // are equal, so min<max is the same truth value with no
+    // intermediate products (no HUGEINT/decimal(38,0) bound at all);
+    // the Spark side computes the identical BIGINT min/max predicate
     "hrp_invariants" ->
       s"""WITH $T,
          |$dailyRetCtes,
          |m AS (
          |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(rq) AS BIGINT) AS s1,
-         |         sum(CAST(rq AS HUGEINT) * rq) AS ss
+         |         min(rq) AS mn, max(rq) AS mx
          |  FROM r GROUP BY symbol)
          |SELECT CAST(count(*) AS BIGINT) AS n_symbols,
-         |       CASE WHEN sum(CASE WHEN n > 1 AND CAST(n AS HUGEINT) * ss - CAST(s1 AS HUGEINT) * s1 > 0
+         |       CASE WHEN sum(CASE WHEN n > 1 AND mn < mx
          |                          THEN 1 ELSE 0 END) > 0
          |            THEN 1.0 ELSE 0.0 END AS total_weight,
          |       CAST(0 AS BIGINT) AS n_negative
@@ -3040,11 +3044,10 @@ object SparkEntry {
          |$dailyRetCtes,
          |m AS (
          |  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
-         |         CAST(sum(rq) AS BIGINT) AS s1,
-         |         sum(CAST(rq AS HUGEINT) * rq) AS ss
+         |         min(rq) AS mn, max(rq) AS mx
          |  FROM r GROUP BY symbol)
          |SELECT CAST(count(*) AS BIGINT) AS n_symbols,
-         |       CASE WHEN sum(CASE WHEN n > 1 AND CAST(n AS HUGEINT) * ss - CAST(s1 AS HUGEINT) * s1 > 0
+         |       CASE WHEN sum(CASE WHEN n > 1 AND mn < mx
          |                          THEN 1 ELSE 0 END) > 0
          |            THEN 1.0 ELSE 0.0 END AS total_weight
          |FROM m""".stripMargin,

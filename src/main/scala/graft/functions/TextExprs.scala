@@ -474,6 +474,17 @@ case class QualityStatsExpr(child: Expression, stops: Seq[String])
     // changes, so lowering per token equals the twin's whole-text lower
     val raw = input.asInstanceOf[UTF8String].toString
     val n = raw.length
+    // the twin lowers the WHOLE text via Catalyst lower() =
+    // UTF8String.toLowerCase, whose ASCII byte-fold fast path applies
+    // only when the ENTIRE string is ASCII — one non-ASCII char
+    // anywhere sends the whole string (pure-ASCII tokens included)
+    // through default-locale String.toLowerCase. Decide per string,
+    // not per token (r13 advice): under a tr/az default locale a
+    // pure-ASCII token inside a non-ASCII document must lower
+    // 'I'→U+0131 like the twin, not 'I'→'i'.
+    var docAscii = true
+    var a = 0
+    while (docAscii && a < n) { if (raw.charAt(a) >= 0x80) docAscii = false; a += 1 }
     var nChars = 0L
     var nTok = 0L
     var punct = 0L
@@ -497,16 +508,18 @@ case class QualityStatsExpr(child: Expression, stops: Seq[String])
         // lower()-then-compare. regionMatches(ignoreCase) is WRONG
         // here: its per-char Character.toUpperCase folds U+0131
         // dotless-i and U+017F long-s onto ASCII ('ı'→'I', 'ſ'→'S'),
-        // which String.toLowerCase does not (r12 advice). Fast path:
-        // pure-ASCII tokens fold per char (ASCII lowering IS per-char);
-        // any non-ASCII char falls back to the real toLowerCase, so
-        // Kelvin-sign-class mappings stay bit-equal to the twin too.
-        var asciiTok = true
-        var q = start
-        while (asciiTok && q < i) { if (raw.charAt(q) >= 0x80) asciiTok = false; q += 1 }
+        // which String.toLowerCase does not (r12 advice). The ASCII
+        // fold applies only when the WHOLE document is ASCII (docAscii
+        // above); otherwise every token — pure-ASCII ones included —
+        // takes the real toLowerCase, so Kelvin-sign-class and
+        // tr/az-locale mappings stay bit-equal to the twin. Per-token
+        // substring lowering equals the twin's whole-text lowering
+        // sliced at token boundaries: ws separators are neither cased
+        // nor case-ignorable, so the context-sensitive mappings
+        // (Final_Sigma, lt After_Soft_Dotted) never cross a boundary.
         var sIdx = 0
         var hit = false
-        if (asciiTok) {
+        if (docAscii) {
           while (!hit && sIdx < stopArr.length) {
             val sw = stopArr(sIdx)
             if (sw.length == len) {
@@ -680,8 +693,27 @@ case class TokenCountsExpr(child: Expression) extends UnaryExpression with Codeg
       i += 1
     }
     // bpe pass: lowered text (lowering can change length — İ → i +
-    // U+0307 — so this is NOT derivable from the raw-text pass)
-    val low = raw.toLowerCase
+    // U+0307 — so this is NOT derivable from the raw-text pass).
+    // Mirror UTF8String.toLowerCase exactly (r13 advice): Catalyst's
+    // lower() byte-folds a PURE-ASCII string locale-independently and
+    // only falls back to default-locale String.toLowerCase when any
+    // non-ASCII byte exists — an unconditional String.toLowerCase
+    // would map ASCII 'I' to U+0131 under a tr/az default locale and
+    // break the bit-equal pin against the column twin.
+    var ascii = true
+    var q = 0
+    while (ascii && q < n) { if (raw.charAt(q) >= 0x80) ascii = false; q += 1 }
+    val low =
+      if (ascii) {
+        val cs = new Array[Char](n)
+        var p = 0
+        while (p < n) {
+          val c = raw.charAt(p)
+          cs(p) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          p += 1
+        }
+        new String(cs)
+      } else raw.toLowerCase
     val m = low.length
     var bpe = 0L
     var state = 0 // 0 = none/ws, 1 = in [a-z] run, 2 = in [0-9] run

@@ -144,6 +144,8 @@ object Hrp {
         count(lit(1)).as("n"),
         sum(col("rq")).as("s"),
         sum(col("rq").cast(dec) * col("rq").cast(dec)).as("ss"),
+        min(col("rq")).as("mn"),
+        max(col("rq")).as("mx"),
       )
       .select(
         col("symbol"),
@@ -154,14 +156,14 @@ object Hrp {
           when(col("n") > 1, (nD * col("ss").cast("double") - sD * sD) / (nD * nD))
             .otherwise(lit(0.0)).as("variance")
         },
-        // activeness from the EXACT decimal moments (n*ss - s*s > 0),
-        // mirroring the oracle's HUGEINT predicate: the double-rounded
-        // variance can cancel to 0.0 (or round positive) on
-        // near-zero-variance symbols where the exact integer disagrees
-        // (r12 advice) — the exact form is the one both engines share
-        (col("n") > 1 &&
-          col("n").cast(dec) * col("ss") - col("s").cast(dec) * col("s").cast(dec) >
-          lit(BigDecimal(0))).as("act"),
+        // exact activeness: the integer second-moment predicate
+        // n*ss - s*s > 0 holds iff not all rq are equal, i.e.
+        // min(rq) < max(rq) — same truth value with NO intermediate
+        // products, so no decimal(38,0) overflow-to-null (r13 advice:
+        // the decimal form could NPE the driver filter and its ~1e38
+        // bound sat slightly inside the oracle's HUGEINT ~1.7e38).
+        // The oracle computes the identical BIGINT min/max predicate.
+        (col("n") > 1 && col("mn") < col("mx")).as("act"),
       )
       .collect()
       .sortBy(_.getString(0))

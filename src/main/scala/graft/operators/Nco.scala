@@ -52,6 +52,8 @@ object Nco {
         count(lit(1)).as("n"),
         sum(col("rq")).as("s"),
         sum(col("rq").cast(dec) * col("rq").cast(dec)).as("ss"),
+        min(col("rq")).as("mn"),
+        max(col("rq")).as("mx"),
       )
       .select(
         col("symbol"),
@@ -61,11 +63,9 @@ object Nco {
           when(col("n") > 1, (nD * col("ss").cast("double") - sD * sD) / (nD * nD))
             .otherwise(lit(0.0)).as("variance")
         },
-        // exact-decimal activeness, same predicate as the oracle's
-        // HUGEINT n*ss - s*s > 0 (see Hrp.weights, r12 advice)
-        (col("n") > 1 &&
-          col("n").cast(dec) * col("ss") - col("s").cast(dec) * col("s").cast(dec) >
-          lit(BigDecimal(0))).as("act"),
+        // exact activeness via min<max — equivalent to n*ss - s*s > 0
+        // with no overflow-prone products (see Hrp.weights, r13 advice)
+        (col("n") > 1 && col("mn") < col("mx")).as("act"),
       )
       .collect()
       .sortBy(_.getString(0))

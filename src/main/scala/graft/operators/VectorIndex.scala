@@ -333,35 +333,55 @@ object VectorIndex {
       assign(centsCkpt).select(col("id"), col("nv"), col("child").as("cell")),
       "vidx-maint-reassigned",
     )
-    rewriteSplitPartitions(spark, dir, reassigned, toSplit.map(_._1).toSet)
-    // centroid table: parents replaced by their children
     val parentSet = toSplit.map(_._1).toSet
+    val stale = rewriteSplitPartitions(spark, dir, reassigned, parentSet)
+    // centroid table: parents replaced by their children
     val kept = cents.where(!col("cent_id").isin(parentSet.toSeq: _*))
     val newCents = kept
       .unionByName(centsCkpt.select(col("cent_id"), col("cv")))
       .localCheckpoint()
     newCents.write.mode("overwrite").parquet(s"$dir/centroids")
+    // stale empty-parent dirs go LAST: after the centroid commit a
+    // crash here leaves duplicate-but-reachable rows, never
+    // unreachable ones (r13 advice; windows documented on
+    // rewriteSplitPartitions)
+    deleteStaleParents(spark, dir, stale)
     plan.toSeq
       .map { case (cell, n, ids) => (cell, n, ids.length) }
       .toDF("cell", "n", "n_children")
   }
 
-  /** Dynamic-partition-overwrite the split cells' vector partitions,
-    * then drop any PARENT partition that won zero members in the
-    * final assignment (the k-means empty-cluster case): dynamic
+  /** Dynamic-partition-overwrite the split cells' vector partitions
+    * and RETURN the set of parent partitions that won zero members in
+    * the final assignment (the k-means empty-cluster case): dynamic
     * overwrite only touches directories it receives rows for, so an
     * empty parent id would otherwise keep its old vectors on disk
-    * while its centroid is removed — stale unreachable-but-scanned
-    * rows duplicating their reassigned copies (r12 advice). Fresh
-    * child ids with zero members need no cleanup (nothing on disk);
-    * their empty centroid is harmless to probes.
+    * while its centroid is removed — stale rows duplicating their
+    * reassigned copies (r12 advice). Fresh child ids with zero
+    * members need no cleanup (nothing on disk); their empty centroid
+    * is harmless to probes.
+    *
+    * The stale-parent DELETE is deliberately NOT done here: the
+    * caller performs it only AFTER the new centroid table is
+    * committed (r13 advice). Maintenance is not transactional —
+    * the windows, in caller order, are: (a) after this overwrite but
+    * before the centroid write, members moved OUT of a parent
+    * directory are unreachable under the old centroid table (probes
+    * prune to centroid cells; the parent dir now holds only the
+    * child-0 subset) — the unavoidable window; (b) after the
+    * centroid write but before the stale delete, an empty parent's
+    * old directory still exists while no centroid references it —
+    * its rows are stale DUPLICATES whose reassigned copies ARE
+    * reachable via the new child cells, so a crash there degrades to
+    * harmless leftover bytes, not lost vectors. Deleting before the
+    * centroid write would widen (a) to whole-partition loss.
     */
   private[graft] def rewriteSplitPartitions(
       spark: SparkSession,
       dir: String,
       reassigned: DataFrame,
       parentIds: Set[Long],
-  ): Unit = {
+  ): Set[Long] = {
     // cells that actually receive rows: one job over the checkpointed
     // split-members table, collapsing to <= #children distinct values
     val written =
@@ -379,13 +399,22 @@ object VectorIndex {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val stale = parentIds -- written
+    parentIds -- written
+  }
+
+  /** Drop the stale empty-parent vector partitions — called AFTER the
+    * new centroid table is committed (see [[rewriteSplitPartitions]]).
+    */
+  private[graft] def deleteStaleParents(
+      spark: SparkSession,
+      dir: String,
+      stale: Set[Long],
+  ): Unit =
     if (stale.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       stale.foreach(id => fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$id"), true))
     }
-  }
 
   /** IVF top-k for the new batch's `nQueries` smallest ids against
     * stored ∪ new vectors: queries probe their `nProbe` nearest

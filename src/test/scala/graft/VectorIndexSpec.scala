@@ -175,7 +175,17 @@ class VectorIndexSpec extends SparkSpec {
       .where(col("cell") === parent)
       .select(col("id"), col("nv"), lit(fresh).as("cell"))
       .localCheckpoint()
-    VectorIndex.rewriteSplitPartitions(spark, store, reassigned, Set(parent))
+    val stale = VectorIndex.rewriteSplitPartitions(spark, store, reassigned, Set(parent))
+    assert(stale == Set(parent), "empty parent not reported stale")
+    // r13 advice: the delete is deferred until after the centroid
+    // commit — between the two calls the parent dir must still exist
+    // (a crash there leaves duplicate-but-reachable rows, not lost
+    // vectors)
+    assert(
+      new java.io.File(s"$store/vectors/cell=$parent").exists(),
+      "parent partition deleted before the centroid commit window",
+    )
+    VectorIndex.deleteStaleParents(spark, store, stale)
     val after = spark.read.parquet(s"$store/vectors")
       .select(col("id"), col("cell").cast("long").as("cell"))
     assert(after.where(col("cell") === parent).count() == 0, "stale parent rows survived")
