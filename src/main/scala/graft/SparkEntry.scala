@@ -407,6 +407,13 @@ object SparkEntry {
         .report(TradeData.fromEvents(s, dir))
         .orderBy(col("symbol"))
     },
+    "tick_qc_daily" -> { (s, dir) =>
+      // per-(symbol, day) ingest gate — the streaming twin's batch form
+      operators.TickQc
+        .reportDaily(TradeData.fromEvents(s, dir))
+        .withColumn("date", col("date").cast("string"))
+        .orderBy(col("symbol"), col("date"))
+    },
     "order_flow" -> { (s, dir) =>
       // daily tick-rule order-flow imbalance
       operators.Microstructure
@@ -3228,6 +3235,33 @@ object SparkEntry {
          |       CAST(n_nonpos = 0 AND n_dup_ids = 0 AND n_ts_backwards = 0 AND n_jumps = 0 AS INTEGER) AS clean
          |FROM a
          |ORDER BY symbol""".stripMargin,
+    // Per-(symbol, day) QC: the same integer defect counts with lag
+    // features restarting at each day boundary (window partitioned by
+    // symbol, date) and per-day distinct ids
+    "tick_qc_daily" ->
+      s"""WITH $T,
+         |l AS (
+         |  SELECT symbol, CAST(ts AS DATE) AS date, ts,
+         |         CAST(round(price * 100) AS BIGINT) AS pc, trade_id,
+         |         lag(ts) OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY trade_id, ts, CAST(round(price * 100) AS BIGINT)) AS prev_ts,
+         |         lag(CAST(round(price * 100) AS BIGINT)) OVER (PARTITION BY symbol, CAST(ts AS DATE) ORDER BY trade_id, ts, CAST(round(price * 100) AS BIGINT)) AS prev_pc
+         |  FROM trades),
+         |a AS (
+         |  SELECT symbol, CAST(date AS VARCHAR) AS date,
+         |         CAST(count(*) AS BIGINT) AS n_ticks,
+         |         CAST(sum(CASE WHEN pc <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpos,
+         |         CAST(count(*) - count(DISTINCT trade_id) AS BIGINT) AS n_dup_ids,
+         |         CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_backwards,
+         |         CAST(sum(CASE WHEN prev_pc IS NOT NULL AND prev_pc > 0 AND abs(pc - prev_pc) * 100 > 5 * prev_pc THEN 1 ELSE 0 END) AS BIGINT) AS n_jumps,
+         |         CAST(min(pc) AS DOUBLE) / 100.0 AS min_price,
+         |         CAST(max(pc) AS DOUBLE) / 100.0 AS max_price,
+         |         CAST(min(trade_id) AS BIGINT) AS first_id,
+         |         CAST(max(trade_id) AS BIGINT) AS last_id
+         |  FROM l GROUP BY symbol, date)
+         |SELECT *,
+         |       CAST(n_nonpos = 0 AND n_dup_ids = 0 AND n_ts_backwards = 0 AND n_jumps = 0 AS INTEGER) AS clean
+         |FROM a
+         |ORDER BY symbol, date""".stripMargin,
     // Strategy risk: same exact-cents daily-close spine as
     // backtest_psr, conditional BIGINT up/down sums, then the
     // quadratic implied-precision / implied-frequency double tree

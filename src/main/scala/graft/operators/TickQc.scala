@@ -100,6 +100,35 @@ object TickQc {
     )
   }
 
+  /** Per-(symbol, day) variant of [[report]] — the daily ingest gate
+    * and the batch twin of [[graft.streaming.StreamingTickQc]]. Lag
+    * features restart at each day boundary (the window partitions by
+    * (symbol, date)), so a day's counts depend only on that day's
+    * ticks — the property that makes the streaming twin's
+    * day-rollover finality exact. `n_dup_ids` is likewise per
+    * (symbol, day): a resend landing on a different calendar day is
+    * a backwards-ts defect on that day, not a duplicate here.
+    * Parallelism is (symbols × days) — the hot-symbol tape
+    * parallelizes by day without [[report]]'s chunk machinery; if a
+    * single symbol-day ever outgrows a task, chunk inside the day
+    * the same way.
+    */
+  def reportDaily(
+      df: DataFrame,
+      jumpPct: Int = 5,
+      c: TradingCols = TradingCols.default,
+  ): DataFrame = {
+    require(jumpPct >= 1, "jumpPct >= 1")
+    val t = base(df, c).withColumn("date", to_date(col("ts")))
+    val w = Window
+      .partitionBy(col("symbol"), col("date"))
+      .orderBy(col("trade_id"), col("ts"), col("pc"))
+    val lagged = t
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("__prev_pc", lag(col("pc"), 1).over(w))
+    verdict(countsOf(lagged, jumpPct, Seq("symbol", "date")), Seq("symbol", "date"))
+  }
+
   /** Single global-window formulation — the semantic reference the
     * chunked form is pinned equal to (and the oracle's shape).
     * Serializes per symbol; use [[report]] in production.
@@ -126,9 +155,13 @@ object TickQc {
       col(c.tradeId).cast("long").as("trade_id"),
     )
 
-  private def countsOf(lagged: DataFrame, jumpPct: Int): DataFrame =
+  private def countsOf(
+      lagged: DataFrame,
+      jumpPct: Int,
+      keys: Seq[String] = Seq("symbol"),
+  ): DataFrame =
     lagged
-      .groupBy(col("symbol"))
+      .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_ticks"),
         sum(when(col("pc") <= 0L, 1L).otherwise(0L)).as("n_nonpos"),
@@ -148,7 +181,7 @@ object TickQc {
         max(col("trade_id")).as("last_id"),
       )
 
-  private def verdict(counts: DataFrame): DataFrame =
+  private def verdict(counts: DataFrame, keys: Seq[String] = Seq("symbol")): DataFrame =
     counts
       .withColumn(
         "clean",
@@ -156,8 +189,10 @@ object TickQc {
           col("n_ts_backwards") === 0L && col("n_jumps") === 0L).cast("int"),
       )
       .select(
-        col("symbol"), col("n_ticks"), col("n_nonpos"), col("n_dup_ids"),
-        col("n_ts_backwards"), col("n_jumps"), col("min_price"), col("max_price"),
-        col("first_id"), col("last_id"), col("clean"),
+        keys.map(col) ++ Seq(
+          col("n_ticks"), col("n_nonpos"), col("n_dup_ids"),
+          col("n_ts_backwards"), col("n_jumps"), col("min_price"), col("max_price"),
+          col("first_id"), col("last_id"), col("clean"),
+        ): _*
       )
 }
