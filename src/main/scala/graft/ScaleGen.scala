@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
   * never exercised past 17 MB).
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> [copies=10]
+  *          [familySize=0]
+  *
+  * `familySize` > 0 switches documents to FIXED-DENSITY mode (r13
+  * judge ask). The default mode's candidate explosion (measured
+  * 117k → 8.87M → 606.2M LSH candidates per decade) is NOT verified
+  * near-dups — output pairs stay flat (the word shuffle destroys the
+  * 5-gram shingles, so mutated copies leave the 0.5 threshold;
+  * measured: out_pairs at ×100 = exactly copy-0's internal pairs) —
+  * it is BAND-COLLISION mass from every copy sharing the same
+  * generator vocabulary, and every cross-copy pair carries that
+  * background Jaccard, hence quadratic. Fixed-density keeps copies
+  * 1..familySize-1 on the legacy mutation (they contribute the same
+  * per-doc collision density as before) and gives copies
+  * familySize.. a seeded unique suffix on EVERY token — zero shingle
+  * overlap with the originals and with each other — so collision
+  * density per doc is constant in `copies` and candidates grow
+  * ~linearly with corpus size: the shape of a real corpus, where
+  * duplication/similarity density is a property of the sources, not
+  * of corpus size.
   *
   * Copy 0 is the original data; copies 1..N-1 are deterministic
   * transforms that preserve each table's statistical shape without
@@ -37,6 +56,7 @@ object ScaleGen {
     val src = args(0)
     val dst = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val familySize = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -80,9 +100,12 @@ object ScaleGen {
           val idIdx = schema.fieldIndex("doc_id")
           val textIdx = schema.fieldIndex("text")
           val ncIdx = schema.fieldNames.indexOf("n_chars")
+          val fresh = familySize > 0 && i >= familySize
           shifted.mapPartitions(_.map { r =>
             val id = r.getLong(idIdx)
-            val mutated = mutateText(r.getString(textIdx), id)
+            val mutated =
+              if (fresh) freshText(r.getString(textIdx), id)
+              else mutateText(r.getString(textIdx), id)
             val vals = r.toSeq.toArray
             vals(textIdx) = mutated
             if (ncIdx >= 0) vals(ncIdx) = mutated.length.toLong
@@ -146,6 +169,25 @@ object ScaleGen {
     }
     words.iterator
       .map(w => if (rnd.nextDouble() < 0.3) w + "q" + rnd.nextInt(97) else w)
+      .mkString(" ")
+  }
+
+  /** Fixed-density mode's fresh document: every token gets a seeded
+    * unique suffix, so shingle/unigram overlap with the base doc (and
+    * with every other copy) is zero — the doc leaves its family
+    * entirely while keeping the word-count/length shape.
+    */
+  private def freshText(text: String, seed: Long): String = {
+    val rnd = new scala.util.Random(seed * 6364136223846793005L + 1442695040888963407L)
+    val words = text.split(" ")
+    var i = words.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = words(i); words(i) = words(j); words(j) = t
+      i -= 1
+    }
+    words.iterator
+      .map(w => w + "z" + java.lang.Long.toHexString(rnd.nextLong() & 0xffffffL))
       .mkString(" ")
   }
 }
