@@ -423,11 +423,36 @@ object Dedup {
     * parquet compresses poorly (on-disk ≈ in-memory).
     */
   private[graft] def hashIfSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val gate = df.sparkSession.conf
+    val gate = spark.conf
       .getOption("spark.graft.shuffleHashMaxBytes")
       .map(BigInt(_))
-      .getOrElse(BigInt(512L << 20))
+      .getOrElse {
+        // default gate = 15% of the executor unified-memory pool
+        // (executor heap × the 0.6 memory fraction), floored at the
+        // old fixed 512 MB — the dailyVol treatment (r13 advice):
+        // measure the gate against what memory sustains, not a
+        // constant. Stats caveat (measured r14): a localCheckpoint'd
+        // shingle table reports default-width stats (~44 B/row — 22 MB
+        // for a ~1 GB table at sf10), so BELOW the shingle-barrier
+        // leaf gate this predicate effectively always hints hash; the
+        // protection that matters at scale comes from the barrier
+        // routing big tables through PARQUET, whose real file stats
+        // land here and exceed the gate (sf100: multi-GB → sort-merge,
+        // the spillable path). The 128 MiB leaf gate therefore also
+        // bounds the worst understated hash build to ≤ a few GiB
+        // (leaf × the 10-30× shingle blowup). Measured solo-3× A/B at
+        // sf10 (r12 binary vs this tree, same box/data/protocol):
+        // r12 {72.8, 42.0, 47.0} s vs r13+r14 {38.3, 44.2, 45.6} s —
+        // no regression; the reported 2× was first-solo-run
+        // page-cache/JIT distortion.
+        val execMem = spark.conf
+          .getOption("spark.executor.memory")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(Runtime.getRuntime.maxMemory)
+        BigInt(math.max(512L << 20, (execMem * 0.6 * 0.15).toLong))
+      }
     if (bytes <= gate) df.hint("shuffle_hash") else df
   }
 
