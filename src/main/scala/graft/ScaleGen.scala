@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * never exercised past 17 MB).
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <dstDir> [copies=10]
-  *          [familySize=0]
+  *          [familySize=0] [tables=all — comma-separated subset]
   *
   * `familySize` > 0 switches documents to FIXED-DENSITY mode (r13
   * judge ask). The default mode's candidate explosion (measured
@@ -57,6 +57,11 @@ object ScaleGen {
     val dst = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
     val familySize = if (args.length > 3) args(3).toInt else 0
+    // optional 5th arg: comma-separated table subset (e.g. "documents")
+    // — fixed-density dedup probes only need the doc corpus, not 16 GB
+    // of tick/fact copies alongside it
+    val tables: String => Boolean =
+      if (args.length > 4) args(4).split(",").map(_.trim).toSet else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,11 +76,12 @@ object ScaleGen {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     // dimensions: verbatim
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part") if tables(t))
       save(spark.read.parquet(s"$src/$t.parquet"), t)
 
     // events: id + time shifts (micros timestamps on output)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (tables("events")) {
     val evRaw = spark.read.parquet(s"$src/events.parquet")
     val ev = evRaw.withColumn("ts", graft.sources.TradeData.normalizeTs(evRaw))
     val maxEvId = ev.agg(max("event_id")).head().getLong(0) + 1
@@ -87,8 +93,10 @@ object ScaleGen {
       },
       "events",
     )
+    }
 
     // documents: shifted ids, shuffled+mutated text per copy
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxDocId = docs.agg(max("doc_id")).head().getLong(0) + 1
     save(
@@ -115,8 +123,10 @@ object ScaleGen {
       },
       "documents",
     )
+    }
 
     // embeddings: shifted ids, fresh seeded Gaussian vectors off-copy
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val maxVecId = emb.agg(max("vec_id")).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -138,13 +148,18 @@ object ScaleGen {
       },
       "embeddings",
     )
+    }
 
     // facts: key-shifted copies
+    if (tables("lineitem") || tables("orders")) {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val maxOk = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-    save(union(copies)(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk))), "lineitem")
-    save(union(copies)(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk))), "orders")
+    if (tables("lineitem"))
+      save(union(copies)(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk))), "lineitem")
+    if (tables("orders"))
+      save(union(copies)(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOk))), "orders")
+    }
 
     println(s"[scalegen] wrote ${copies}x of $src to $dst")
     spark.stop()

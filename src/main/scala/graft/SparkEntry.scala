@@ -1232,6 +1232,16 @@ object SparkEntry {
         )
         .orderBy(col("doc_id"))
     },
+    "dup_classifier" -> { (s, dir) =>
+      // second trained export (dup-cluster membership label) through
+      // the same scoring path — proves the import is model-agnostic
+      TextAnalysis
+        .classifierScore(
+          s.read.parquet(s"$dir/documents.parquet"),
+          weights = Some(TextAnalysis.trainedDupWeights),
+        )
+        .orderBy(col("doc_id"))
+    },
     "dsir_weights" -> { (s, dir) =>
       // DSIR importance weights toward the English subset as the
       // target distribution (lang is a real column of documents)
@@ -1409,6 +1419,33 @@ object SparkEntry {
     */
   private lazy val trainedWeightsListSql: String =
     operators.TextAnalysis.trainedQualityWeights.mkString("[", ", ", "]")
+
+  private lazy val trainedDupWeightsListSql: String =
+    operators.TextAnalysis.trainedDupWeights.mkString("[", ", ", "]")
+
+  /** Hashed-ngram linear scorer oracle, parameterized on the inlined
+    * weight export (shared by quality_classifier / dup_classifier).
+    */
+  private def classifierOracleSql(weightsList: String): String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
+       |x AS (SELECT doc_id, unnest(gl) AS gram FROM g),
+       |wv AS (
+       |  SELECT doc_id,
+       |         list_extract($weightsList, CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS INT) + 1) AS w
+       |  FROM x),
+       |a AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS n
+       |      FROM wv GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(a.n, 0) AS n_grams,
+       |       CASE WHEN a.n IS NULL THEN 0.0
+       |            ELSE CAST(a.wsum - a.n * 2147483648 AS DOUBLE) / CAST(a.n * 2147483648 AS DOUBLE)
+       |       END AS raw,
+       |       CASE WHEN a.n IS NULL THEN 0.5
+       |            ELSE 1.0 / (1.0 + exp(-(CAST(a.wsum - a.n * 2147483648 AS DOUBLE) / CAST(a.n * 2147483648 AS DOUBLE))))
+       |       END AS score
+       |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Rademacher projection list (mirrors Similarity.rpProject: ±1
     * "rp"-prefixed planes inlined as literals, left-to-right f64
@@ -4635,25 +4672,11 @@ object SparkEntry {
       // hashed-ngram linear scorer with the TRAINED weight export
       // inlined as a literal list (integer weight sums — associative,
       // engine-exact; one affine+sigmoid double step at the end)
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT doc_id, list_concat(toks, ${ngramListSql("toks", 2)}) AS gl FROM d),
-         |x AS (SELECT doc_id, unnest(gl) AS gram FROM g),
-         |wv AS (
-         |  SELECT doc_id,
-         |         list_extract($trainedWeightsListSql, CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS INT) + 1) AS w
-         |  FROM x),
-         |a AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS n
-         |      FROM wv GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |       coalesce(a.n, 0) AS n_grams,
-         |       CASE WHEN a.n IS NULL THEN 0.0
-         |            ELSE CAST(a.wsum - a.n * 2147483648 AS DOUBLE) / CAST(a.n * 2147483648 AS DOUBLE)
-         |       END AS raw,
-         |       CASE WHEN a.n IS NULL THEN 0.5
-         |            ELSE 1.0 / (1.0 + exp(-(CAST(a.wsum - a.n * 2147483648 AS DOUBLE) / CAST(a.n * 2147483648 AS DOUBLE))))
-         |       END AS score
-         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      classifierOracleSql(trainedWeightsListSql),
+    // same scoring SQL, second trained export (dup-cluster label) —
+    // the oracle proves the scorer is weight-agnostic end-to-end
+    "dup_classifier" ->
+      classifierOracleSql(trainedDupWeightsListSql),
     // DSIR importance weights: per-bucket add-one log-likelihood
     // ratio (target = lang 'en') quantized once to integer
     // nano-units, per-doc BIGINT sum, deterministic md5 Gumbel key

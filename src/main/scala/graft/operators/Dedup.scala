@@ -467,8 +467,15 @@ object Dedup {
     * 128 MiB of leaf bytes bounds the in-memory shingle barrier to
     * single-digit GiB derived; above it the table goes to parquet,
     * whose REAL file stats then drive [[hashIfSmall]] correctly.
+    * Overridable via spark.graft.shingleBarrierLeafBytes (probe aid
+    * and a deploy knob: executors with large storage memory can
+    * raise it; disk-tight boxes can lower it).
     */
-  private[graft] val shingleBarrierLeafBytes: Long = 128L << 20
+  private[graft] def shingleBarrierLeafBytes: Long =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.shingleBarrierLeafBytes")
+      .map(_.toLong)
+      .getOrElse(128L << 20)
 
   /** The [[lshJaccardPairs]] pipeline with its intermediate stages
     * exposed — the measured pair-growth account ([[graft.MinhashAccount]])
