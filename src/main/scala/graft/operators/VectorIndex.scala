@@ -159,12 +159,15 @@ object VectorIndex {
     * sf0.001). The gate is CELL count, not bytes — the file
     * explosion scales with cells × tasks regardless of corpus size.
     */
-  private def writeVectors(assigned: DataFrame, dir: String, mode: String, nCells: Long): Unit = {
+  private def writeVectors(assigned: DataFrame, dir: String, mode: String, nCells: Long): Unit =
+    writeVectorsTo(assigned, s"$dir/vectors", mode, nCells)
+
+  private def writeVectorsTo(assigned: DataFrame, path: String, mode: String, nCells: Long): Unit = {
     val out = if (nCells <= 64) assigned else assigned.repartition(col("cell"))
     out.write
       .mode(mode)
       .partitionBy("cell")
-      .parquet(s"$dir/vectors")
+      .parquet(path)
   }
 
   /** Assigns a new batch to the STORED centroids and appends it to
@@ -182,6 +185,79 @@ object VectorIndex {
   ): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids")
     writeVectors(assignCells(normalized(newEmb, idCol, vecCol), cents), dir, "append", cents.count())
+  }
+
+  /** Idempotent, crash-replay-safe variant of [[appendIndex]] keyed by
+    * a caller-supplied batch id — the store-side half of an
+    * exactly-once contract over Spark's at-least-once `foreachBatch`
+    * (a micro-batch whose data write succeeded but whose checkpoint
+    * commit did not is RE-EXECUTED on restart, and a blind append
+    * would land its vectors twice; restarts are routine at ingest
+    * scale).
+    *
+    * Protocol per batch id B (all paths under the store dir; `_`-led
+    * names are invisible to the parquet reader):
+    *  1. `_ingest_commits/batch-B` exists → B is fully applied: no-op.
+    *  2. `_ingest_commits/batch-B.inflight` exists → a prior attempt
+    *     crashed mid-promote: delete every `vectors/cell=X/bB-*.parquet`
+    *     it may have promoted. The cell-dir glob runs ONLY on actual
+    *     crash replays (inflight present, commit absent) — a fresh
+    *     batch pays one marker existence check, not a store listing.
+    *  3. Stage the assigned batch under `_staging/batch-B` (overwrite
+    *     mode, so a replayed stage self-cleans), promote each staged
+    *     file to `vectors/cell=X/bB-<i>.parquet` (names deterministic
+    *     in B, so step 2 can find them), create the commit marker —
+    *     the single atomic commit point — then drop staging+inflight.
+    *
+    * A crash before the marker replays into case 2; after it, case 1.
+    * The store therefore holds each batch's rows exactly once no
+    * matter how many times the batch re-executes (pinned in
+    * StreamingVectorIndexSpec: same batch applied twice, and a
+    * simulated mid-promote crash, both table-equal to once-applied).
+    */
+  def appendIndexIdempotent(
+      spark: SparkSession,
+      dir: String,
+      newEmb: DataFrame,
+      batchId: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new Path(root, s"_ingest_commits/batch-$batchId")
+    val inflight = new Path(root, s"_ingest_commits/batch-$batchId.inflight")
+    if (fs.exists(commit)) return
+    val vectors = new Path(root, "vectors")
+    if (fs.exists(inflight)) {
+      val orphans = fs.globStatus(new Path(vectors, s"cell=*/b$batchId-*.parquet"))
+      if (orphans != null) orphans.foreach(o => fs.delete(o.getPath, false))
+    }
+    fs.mkdirs(inflight.getParent)
+    fs.create(inflight, true).close()
+    val staging = new Path(root, s"_staging/batch-$batchId")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    writeVectorsTo(
+      assignCells(normalized(newEmb, idCol, vecCol), cents),
+      staging.toString, "overwrite", cents.count())
+    val cellDirs = fs.globStatus(new Path(staging, "cell=*"))
+    if (cellDirs != null) cellDirs.foreach { cd =>
+      val dest = new Path(vectors, cd.getPath.getName)
+      fs.mkdirs(dest)
+      val files = fs
+        .listStatus(cd.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val tgt = new Path(dest, s"b$batchId-$i.parquet")
+        if (fs.exists(tgt)) fs.delete(tgt, false)
+        require(fs.rename(f.getPath, tgt), s"promote failed: ${f.getPath} -> $tgt")
+      }
+    }
+    fs.create(commit, true).close()
+    fs.delete(staging, true)
+    fs.delete(inflight, false)
   }
 
   /** SemDeDup status of a NEW batch against the store: each new

@@ -21,19 +21,22 @@ import graft.operators.VectorIndex
   *    struct(cs, -cent_id))` ordering comparison-for-comparison, so
   *    a vector gets the IDENTICAL cell in both modes (pinned).
   *  - [[ingest]] — the store writer: `foreachBatch` delegating each
-  *    micro-batch to [[VectorIndex.appendIndex]], i.e. the exact
-  *    batch code path (broadcast argmax + cell-partitioned append) —
-  *    the standard Structured Streaming shape for batch-only sinks.
-  *    The streamed store is file-identical in content to batch
-  *    appends of the same rows.
+  *    micro-batch to [[VectorIndex.appendIndexIdempotent]], i.e. the
+  *    exact batch assignment path (broadcast argmax + cell-partitioned
+  *    append) behind a batchId-keyed staged commit. `foreachBatch` is
+  *    at-least-once by Spark's contract — a micro-batch whose store
+  *    write succeeded but whose checkpoint commit did not is
+  *    re-executed on restart — so the append is made idempotent on
+  *    `batchId`: replayed batches are skipped (committed) or cleaned
+  *    and redone (mid-promote crash), giving exactly-once store
+  *    contents end to end. The streamed store is content-identical to
+  *    batch appends of the same rows.
   *
   * Ordering contract: assignment is per-row (no cross-row state), so
   * ANY arrival order produces the same store contents — unlike the
   * bar/CSW streaming operators there is no ordered-arrival caveat.
   * Ids must be globally unique across the stream's lifetime (the
-  * [[VectorIndex]] ingest invariant; replays after a sink failure
-  * are idempotent only at the micro-batch level parquet append
-  * provides).
+  * [[VectorIndex]] ingest invariant).
   */
 object StreamingVectorIndex {
 
@@ -78,10 +81,11 @@ object StreamingVectorIndex {
       )
   }
 
-  /** Continuous store ingest: every micro-batch runs the batch
-    * [[VectorIndex.appendIndex]] (same assignment tree, same
-    * cell-partitioned append). Start with any trigger;
-    * `Trigger.AvailableNow` drains a backlog and stops.
+  /** Continuous store ingest: every micro-batch runs
+    * [[VectorIndex.appendIndexIdempotent]] keyed by the micro-batch
+    * id (same assignment tree as batch ingest, same cell-partitioned
+    * layout, exactly-once under crash replay). Start with any
+    * trigger; `Trigger.AvailableNow` drains a backlog and stops.
     */
   def ingest(
       spark: SparkSession,
@@ -94,8 +98,8 @@ object StreamingVectorIndex {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        VectorIndex.appendIndex(spark, dir, batch, idCol, vecCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VectorIndex.appendIndexIdempotent(spark, dir, batch, batchId, idCol, vecCol)
       }
 
   /** [[ingest]] with the maintenance policy wired in (r12 verdict
@@ -137,7 +141,10 @@ object StreamingVectorIndex {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        VectorIndex.appendIndex(spark, dir, batch, idCol, vecCol)
+        VectorIndex.appendIndexIdempotent(spark, dir, batch, batchId, idCol, vecCol)
+        // maintenance after a replayed-but-committed append is safe:
+        // maintainIndex's census re-decides from the store, and a
+        // balanced store makes it a no-op (documented non-transactional)
         if (batchId % checkEvery == 0) {
           val report = VectorIndex.maintainIndex(spark, dir, splitFactor, kmeansIters)
           if (!report.isEmpty) onMaintain(report)

@@ -119,6 +119,53 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf == brute, "exhaustive probe != brute force after maintenance")
   }
 
+  test("replayed micro-batch is exactly-once: same batch through the sink path twice == once") {
+    val store = temp("replay")
+    VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
+    val batch = emb.where(col("vec_id") >= split)
+    def stored() = spark.read
+      .parquet(s"$store/vectors")
+      .select(col("id"), col("cell").cast("long").as("cell"), col("nv"))
+      .orderBy("id")
+      .collect().toSeq.map(_.toSeq)
+    // the sink-path append, exactly as ingest()'s foreachBatch invokes it
+    VectorIndex.appendIndexIdempotent(spark, store, batch, batchId = 7L)
+    val once = stored()
+    assert(once.size == emb.count(), "first apply incomplete")
+    // at-least-once replay: checkpoint commit lost, batch re-executed
+    VectorIndex.appendIndexIdempotent(spark, store, batch, batchId = 7L)
+    assert(stored() == once, "replayed batch changed the store")
+    // a DIFFERENT batch id still appends (idempotence is per-batch)
+    VectorIndex.appendIndexIdempotent(
+      spark, store, batch.withColumn("vec_id", col("vec_id") + lit(100000L)), batchId = 8L)
+    assert(stored().size == once.size + batch.count(), "next batch blocked")
+  }
+
+  test("mid-promote crash replay converges to exactly-once") {
+    import org.apache.hadoop.fs.Path
+    val store = temp("crash")
+    VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
+    val batch = emb.where(col("vec_id") >= split)
+    def stored() = spark.read
+      .parquet(s"$store/vectors")
+      .select(col("id"), col("cell").cast("long").as("cell"), col("nv"))
+      .orderBy("id")
+      .collect().toSeq.map(_.toSeq)
+    VectorIndex.appendIndexIdempotent(spark, store, batch, batchId = 3L)
+    val once = stored()
+    // simulate a crash AFTER the promote but BEFORE the commit marker:
+    // the batch's files are in the store, the inflight marker is up,
+    // the commit marker is gone — the worst-case replay window
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new Path(root, "_ingest_commits/batch-3"), false), "commit marker missing")
+    fs.create(new Path(root, "_ingest_commits/batch-3.inflight"), true).close()
+    // a blind append here would double every batch-3 vector
+    VectorIndex.appendIndexIdempotent(spark, store, batch, batchId = 3L)
+    assert(stored() == once, "crash replay duplicated or lost batch rows")
+    assert(!fs.exists(new Path(root, "_ingest_commits/batch-3.inflight")), "inflight not cleaned")
+  }
+
   test("stateless assigned transform: streamed cells == the store's batch assignment") {
     val store = temp("a")
     VectorIndex.buildIndex(emb.where(col("vec_id") < split), store, nCells = 16, kmeansIters = 0)
