@@ -60,8 +60,18 @@ object ScaleGen {
     // optional 5th arg: comma-separated table subset (e.g. "documents")
     // — fixed-density dedup probes only need the doc corpus, not 16 GB
     // of tick/fact copies alongside it
+    val knownTables = Set(
+      "region", "nation", "customer", "supplier", "part",
+      "events", "documents", "embeddings", "lineitem", "orders")
     val tables: String => Boolean =
-      if (args.length > 4) args(4).split(",").map(_.trim).toSet else (_: String) => true
+      if (args.length > 4) {
+        val asked = args(4).split(",").map(_.trim).toSet
+        val unknown = asked -- knownTables
+        require(
+          unknown.isEmpty,
+          s"unknown table name(s) ${unknown.mkString(", ")} — known: ${knownTables.toSeq.sorted.mkString(", ")}")
+        asked
+      } else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,8 +135,71 @@ object ScaleGen {
     )
     }
 
-    // embeddings: shifted ids, fresh seeded Gaussian vectors off-copy
-    if (tables("embeddings")) {
+    // embeddings: shifted ids, fresh seeded Gaussian vectors off-copy.
+    // familySize > 0 switches to FIXED-DENSITY mode (r14 verdict #3):
+    // the legacy table's d=64 isotropic cloud has ~0.76% of ALL pairs
+    // above cosine 0.3 (measured cross-copy at sf1: 0.3 is only 2.4σ
+    // when cos ~ N(0, 1/64)) — near-dup pair mass is QUADRATIC in the
+    // corpus by generator construction, and no isotropic d=64
+    // generator can avoid it. Real embedding corpora live in higher
+    // dimension where the threshold sits far out in the tail, so the
+    // fd corpus is synthesized at d=512 (0.3 = 6.8σ; background
+    // P ≈ 5e-12 — ~10 random pairs at 2M vectors): each source row r
+    // seeds one near-dup FAMILY whose members are copies
+    // 0..familySize-1 (member = normalize(base_r + ε·noise), ε in
+    // [0.10, 0.20] → within-family cosine 0.96-0.99, TIGHT near-dups
+    // like real duplicate embeddings — autoLshParams grows planes
+    // with log₂(n), so loose pairs near the threshold would lose
+    // recall per decade and fake a density decay; at cos ≥ 0.96 the
+    // 4-table 1-bit-multiprobe recall stays ≥ ~0.95 at every probed
+    // decade), and copies ≥ familySize are fresh unit Gaussians
+    // contributing zero pair mass. Output pairs stay FLAT across
+    // decades (srcRows × C(familySize, 2) expected) while the corpus
+    // — and LSH candidate background — grows linearly: the shape of a
+    // real corpus, exactly mirroring the documents table's
+    // fixed-density mode.
+    if (tables("embeddings") && familySize > 0) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val maxVecId = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val n = copies.toLong * maxVecId
+      val fdDim = 512
+      val fs = familySize
+      val out = spark.range(0, n, 1, cpus.toInt * 4).select(col("id").as("vec_id"))
+        .mapPartitions { it =>
+          it.map { row =>
+            val id = row.getLong(0)
+            val r = id % maxVecId // family = source row
+            val copy = id / maxVecId
+            val vec = new Array[Float](fdDim)
+            if (copy < fs) {
+              // family member: shared seeded base + member noise
+              val baseRnd = new scala.util.Random(r * 6364136223846793005L + 97L)
+              val base = Array.fill(fdDim)(baseRnd.nextGaussian())
+              val bn = math.sqrt(base.map(x => x * x).sum)
+              val eps = 0.10 + 0.10 * copy.toDouble / math.max(1, fs - 1)
+              val mRnd = new scala.util.Random(id * 2654435761L + 17L)
+              val noise = Array.fill(fdDim)(mRnd.nextGaussian())
+              val nn = math.sqrt(noise.map(x => x * x).sum)
+              var i = 0
+              while (i < fdDim) {
+                vec(i) = (base(i) / bn + eps * noise(i) / nn).toFloat
+                i += 1
+              }
+            } else {
+              val rnd = new scala.util.Random(id * 2654435761L + 17L)
+              var i = 0
+              while (i < fdDim) { vec(i) = rnd.nextGaussian().toFloat; i += 1 }
+            }
+            org.apache.spark.sql.Row(id, vec.toSeq, (r % 10).toInt)
+          }
+        }(org.apache.spark.sql.Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType),
+        ))))
+      save(out, "embeddings")
+    } else if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val maxVecId = emb.agg(max("vec_id")).head().getLong(0) + 1
     val dim = emb.select(size(col("embedding"))).head().getInt(0)

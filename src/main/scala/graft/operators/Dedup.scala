@@ -472,10 +472,17 @@ object Dedup {
     * raise it; disk-tight boxes can lower it).
     */
   private[graft] def shingleBarrierLeafBytes: Long =
-    org.apache.spark.sql.SparkSession.active.conf
-      .getOption("spark.graft.shingleBarrierLeafBytes")
-      .map(_.toLong)
-      .getOrElse(128L << 20)
+    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+      .flatMap(_.conf.getOption("spark.graft.shingleBarrierLeafBytes"))
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"spark.graft.shingleBarrierLeafBytes must be a byte count in decimal, got '$v'")
+        }
+      }
+      .getOrElse(128L << 20) // no active session / unset -> 128 MiB default
 
   /** The [[lshJaccardPairs]] pipeline with its intermediate stages
     * exposed — the measured pair-growth account ([[graft.MinhashAccount]])

@@ -380,19 +380,45 @@ object Similarity {
       nTables: Int = 0,
       nPlanes: Int = 0,
       probeBits: Int = 0,
-      dim: Int = 64,
+      /** 0 = infer from the first row (the LSH planes must span the
+        * FULL vector — hashing a d=512 corpus with d=64 planes throws
+        * away 7/8 of the signal). Inference reads one row; the
+        * testdata corpora are d=64, so inferred buckets there are
+        * bit-identical to the old fixed default (oracle-pinned). */
+      dim: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-  ): DataFrame = {
+  ): DataFrame = cosineStages(emb, threshold, nTables, nPlanes, probeBits, dim, idCol, vecCol).pairs
+
+  /** [[cosinePairs]] with its intermediate stages exposed — the
+    * embedding analog of [[Dedup.lshStages]]: the measured pair-growth
+    * account ([[graft.EmbedAccount]]) counts each stage so decade
+    * claims about this operator come from the operator itself.
+    */
+  private[graft] case class CosineStages(buckets: DataFrame, cand: DataFrame, pairs: DataFrame)
+
+  private[graft] def cosineStages(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      nTables: Int = 0,
+      nPlanes: Int = 0,
+      probeBits: Int = 0,
+      dim: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): CosineStages = {
     val (t, p, pb) =
       if (nTables > 0 && nPlanes > 0) (nTables, nPlanes, probeBits)
       else autoLshParams(emb.count())
+    val d =
+      if (dim > 0) dim
+      else emb.select(size(col(vecCol))).head().getInt(0)
     // checkpointed columnar so both self-join sides scan the same
     // parquet table (nv is 512 bytes/vector x nTables entries — too
     // large for an executor cache at corpus scale)
     val tb = graft.sources.Checkpoint.tableGated(
       withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-        .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), t, p, dim)).as(Seq("tbl", "bucket"))),
+        .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), t, p, d)).as(Seq("tbl", "bucket"))),
       "cosine-buckets",
     )
     // multiprobe on side a only: hamming(bucket_a, bucket_b) <= 1 is
@@ -401,16 +427,18 @@ object Similarity {
       if (pb <= 0) tb.as("a")
       else
         tb.withColumn("bucket", explode(probeList(col("bucket"), p, pb))).as("a")
-    aSide
+    val cand = aSide
       .join(
         tb.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"),
       )
+    val pairs = cand
       .withColumn("s", dotNorm(col("a.nv"), col("b.nv")))
       .where(col("s") >= threshold)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(first(col("s")).as("score"))
       .select(col("id_a"), col("id_b"), col("score"))
+    CosineStages(tb, cand, pairs)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
