@@ -57,6 +57,14 @@ object FracDiff {
     * carry-ins (metadata-sized pass, same shape as
     * Ewm.stdOverKeyChunked) and each chunk scans independently seeded
     * with its carry.
+    *
+    * The carry reaches its chunk as ONE sentinel row unioned ahead of
+    * the chunk's data (sorted first via a 0/1 flag), not as a joined
+    * per-row column: a left join would attach the n_w−1-double array
+    * to every fact row, and at 100M rows the per-row deserialization
+    * of that boxed array dominated GC (the measured sf100 superlinear
+    * step). Both scan passes are allocation-free per row — primitive
+    * rings, direct field compares, one output array per emitted row.
     */
   def fracDiffChunked(
       df: org.apache.spark.sql.DataFrame,
@@ -69,6 +77,7 @@ object FracDiff {
       outCol: String = "frac_diff",
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.expressions.GenericRow
     import org.apache.spark.sql.types._
     val ws = weights(d, threshold)
     val nW = ws.length
@@ -78,7 +87,8 @@ object FracDiff {
     val sorted = chunked
       .repartition(groupCols.map(col): _*)
       .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
-    val keyIdx = groupCols.map(sorted.schema.fieldIndex)
+    val keyIdx0 = sorted.schema.fieldIndex(symbolCol)
+    val keyIdx1 = sorted.schema.fieldIndex("__chunk")
     val valIdx = sorted.schema.fieldIndex(valueCol)
 
     // pass 1: per-chunk tails (last <= nW-1 values, NaN for nulls)
@@ -88,18 +98,30 @@ object FracDiff {
     )
     val tails = sorted.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var curKey: Seq[Any] = null
-      var buf: scala.collection.mutable.ArrayDeque[Double] = null
-      def flush(): Unit =
-        if (curKey != null) out += Row.fromSeq(curKey :+ buf.toSeq)
+      val cap = math.max(nW - 1, 1)
+      val ring = new Array[Double](cap)
+      var len = 0
+      var pos = 0
+      var started = false
+      var k0: Any = null
+      var k1: Any = null
+      def flush(): Unit = if (started) {
+        val t = new Array[Double](len)
+        var i = 0
+        while (i < len) { t(i) = ring(((pos - len + i) % cap + cap) % cap); i += 1 }
+        out += Row(k0, k1, scala.collection.immutable.ArraySeq.unsafeWrapArray(t))
+      }
       it.foreach { row =>
-        val key = keyIdx.map(row.get)
-        if (key != curKey) {
-          flush(); curKey = key
-          buf = new scala.collection.mutable.ArrayDeque[Double]()
+        val a = row.get(keyIdx0)
+        val b = row.get(keyIdx1)
+        if (!started || a != k0 || b != k1) {
+          flush(); started = true; k0 = a; k1 = b; len = 0; pos = 0
         }
-        buf.append(if (row.isNullAt(valIdx)) Double.NaN else row.getDouble(valIdx))
-        if (buf.length > nW - 1) buf.removeHead()
+        if (nW > 1) {
+          ring(pos) = if (row.isNullAt(valIdx)) Double.NaN else row.getDouble(valIdx)
+          pos = (pos + 1) % cap
+          if (len < cap) len += 1
+        }
       }
       flush()
       out.iterator
@@ -124,57 +146,90 @@ object FracDiff {
           StructField("__carry", ArrayType(DoubleType, containsNull = false), nullable = false)
       )))
 
-    // pass 3: per-chunk scan seeded with the carry
-    val joined = chunked
-      .join(carries, groupCols, "left")
+    // pass 3: per-chunk scan seeded with the carry. The carry arrives
+    // as a sentinel row (__sent=0, sorted ahead of its chunk's data)
+    // so no fact row ever materializes the carry array.
+    val carryType = ArrayType(DoubleType, containsNull = false)
+    val dataSide = chunked
+      .withColumn("__carry", lit(null).cast(carryType))
+      .withColumn("__sent", lit(1))
+    val sentSide = carries.select(
+      chunked.schema.fieldNames.map { n =>
+        if (n == symbolCol || n == "__chunk") col(n)
+        else lit(null).cast(chunked.schema(n).dataType).as(n)
+      }.toSeq :+ col("__carry") :+ lit(0).as("__sent"): _*)
+    val arranged = dataSide
+      .unionByName(sentSide)
       .repartition(groupCols.map(col): _*)
-      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
-    val jKeyIdx = groupCols.map(joined.schema.fieldIndex)
-    val jValIdx = joined.schema.fieldIndex(valueCol)
-    val carryIdx = joined.schema.fieldIndex("__carry")
-    val keepIdx = chunked.schema.fieldNames.filter(_ != "__chunk").map(joined.schema.fieldIndex)
+      .sortWithinPartitions(
+        (groupCols.map(col) :+ col("__sent")) ++ orderCols.map(col): _*)
+    val aSchema = arranged.schema
+    val aK0 = aSchema.fieldIndex(symbolCol)
+    val aK1 = aSchema.fieldIndex("__chunk")
+    val aVal = aSchema.fieldIndex(valueCol)
+    val aCarry = aSchema.fieldIndex("__carry")
+    val aSent = aSchema.fieldIndex("__sent")
+    val keepIdx = chunked.schema.fieldNames.filter(_ != "__chunk").map(aSchema.fieldIndex)
+    val nKeep = keepIdx.length
     val outSchema = StructType(
-      keepIdx.map(joined.schema.fields(_)).toSeq :+ StructField(outCol, DoubleType, nullable = true)
+      keepIdx.map(aSchema.fields(_)).toSeq :+ StructField(outCol, DoubleType, nullable = true)
     )
 
-    joined.mapPartitions { it =>
-      var curKey: Seq[Any] = null
+    arranged.mapPartitions { it =>
+      var started = false
+      var k0: Any = null
+      var k1: Any = null
       val ring = new Array[Double](nW) // ring(0)=current, grows backward
       var hist = 0L // values preceding the current row (uncapped count, capped seed)
       var pos = 0
-      it.map { row =>
-        val key = jKeyIdx.map(row.get)
-        if (key != curKey) {
-          curKey = key
-          val carry: Seq[Double] =
-            if (row.isNullAt(carryIdx)) Seq.empty else row.getSeq[Double](carryIdx)
+      it.flatMap { row =>
+        val a = row.get(aK0)
+        val b = row.get(aK1)
+        if (!started || a != k0 || b != k1) {
+          started = true; k0 = a; k1 = b
           java.util.Arrays.fill(ring, Double.NaN)
-          // seed so that "index (pos - k) mod nW" is lag k of the
-          // current row: the last carry value is lag 1 of row 0
           pos = 0
-          carry.reverse.zipWithIndex.foreach { case (v, back) =>
-            ring(((pos - 1 - back) % nW + nW) % nW) = v
-          }
-          hist = carry.length.toLong
+          hist = 0L
         }
-        val x = if (row.isNullAt(jValIdx)) Double.NaN else row.getDouble(jValIdx)
-        ring(pos) = x
-        val out: Any =
-          if (hist + 1 < nW) null
-          else {
-            var acc = 0.0
-            var k = 0
-            var bad = false
-            while (k < nW && !bad) {
-              val v = ring(((pos - k) % nW + nW) % nW)
-              if (v.isNaN) bad = true else acc += ws(k) * v
-              k += 1
+        if (row.getInt(aSent) == 0) {
+          // sentinel: seed so that "index (pos - k) mod nW" is lag k
+          // of the current row — the last carry value is lag 1 of the
+          // chunk's first data row
+          if (!row.isNullAt(aCarry)) {
+            val carry = row.getSeq[Double](aCarry)
+            val n = carry.length
+            var back = 0
+            while (back < n) {
+              ring(((pos - 1 - back) % nW + nW) % nW) = carry(n - 1 - back)
+              back += 1
             }
-            if (bad) null else acc
+            hist = n.toLong
           }
-        pos = (pos + 1) % nW
-        hist += 1
-        Row.fromSeq(keepIdx.map(row.get).toSeq :+ out)
+          None
+        } else {
+          val x = if (row.isNullAt(aVal)) Double.NaN else row.getDouble(aVal)
+          ring(pos) = x
+          val out: Any =
+            if (hist + 1 < nW) null
+            else {
+              var acc = 0.0
+              var k = 0
+              var bad = false
+              while (k < nW && !bad) {
+                val v = ring(((pos - k) % nW + nW) % nW)
+                if (v.isNaN) bad = true else acc += ws(k) * v
+                k += 1
+              }
+              if (bad) null else acc
+            }
+          pos = (pos + 1) % nW
+          hist += 1
+          val arr = new Array[Any](nKeep + 1)
+          var i = 0
+          while (i < nKeep) { arr(i) = row.get(keepIdx(i)); i += 1 }
+          arr(nKeep) = out
+          Some(new GenericRow(arr): Row)
+        }
       }
     }(Encoders.row(outSchema))
   }
