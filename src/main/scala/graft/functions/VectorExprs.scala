@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for embedding arithmetic.
   *
@@ -178,12 +178,201 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int) extends Binary
     copy(left = l, right = r)
 }
 
+/** All `nTables` random-hyperplane LSH bucket ids of one vector in a
+  * SINGLE tight loop over a flat ±1 plane matrix held as a codegen
+  * reference object.
+  *
+  * The composed form — nTables × nPlanes separate
+  * [[DotProductExpr]]s over 512-element literal arrays, summed
+  * through when/otherwise chains — is semantically identical but
+  * inlines ~35k-multiply expression trees into one generated method:
+  * past HotSpot's huge-method bytecode limit the method never JITs,
+  * and the whole bucket stage runs in the JVM bytecode interpreter
+  * (measured ~100× slow at d=512: the sf10 fixed-density corpus
+  * burned 200+ CPU-minutes computing buckets for 200k vectors).
+  * One expression, one small loop nest → JIT-compiled, and the plane
+  * matrix lives in one double[] instead of thousands of boxed
+  * literal nodes.
+  *
+  * Bit-compatible with the composed form: per plane, the dot is a
+  * left-to-right f64 accumulation over min(len(v), dim) elements
+  * (exactly [[DotProductExpr]] against a dim-length literal array),
+  * and bucket_t = Σ_j (dot_j > 0 ? 1L << j : 0L) in ascending j —
+  * the same long the when-chain sum produced.
+  */
+case class LshBucketsExpr(
+    child: Expression,
+    planes: Array[Double],
+    nTables: Int,
+    nPlanes: Int,
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dim = planes.length / (nTables * nPlanes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"lsh buckets need array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val lf = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val base = (t * nPlanes + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += (if (lf) v.getFloat(i).toDouble else v.getDouble(i)) * planes(base + i)
+          i += 1
+        }
+        if (s > 0) bucket += (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => {
+        val t = ctx.freshName("t")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val base = ctx.freshName("base")
+        val bucket = ctx.freshName("bucket")
+        val tmp = ctx.freshName("tmp")
+        s"""
+           |int $n = java.lang.Math.min($v.numElements(), $dim);
+           |long[] $tmp = new long[$nTables];
+           |for (int $t = 0; $t < $nTables; $t++) {
+           |  long $bucket = 0L;
+           |  for (int $j = 0; $j < $nPlanes; $j++) {
+           |    int $base = ($t * $nPlanes + $j) * $dim;
+           |    double $s = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $s += (double) $v.$get($i) * $planesRef[$base + $i];
+           |    }
+           |    if ($s > 0) $bucket += (1L << $j);
+           |  }
+           |  $tmp[$t] = $bucket;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($tmp);
+           |""".stripMargin
+      },
+    )
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** f64-normalized copy of a vector: out_i = (double) v_i / √(Σ v_i²),
+  * norm accumulated left-to-right in f64 — bit-identical to the
+  * `transform(v, x → cast(x as double) / sqrt(dot(v, v)))` HOF form
+  * it replaces. ArrayTransform is CodegenFallback (every element
+  * pays an interpreted lambda eval: ~1G evals to normalize 2M d=512
+  * vectors), while this is one JIT-compiled loop; normalization
+  * fronts every embedding operator's vector table, so it sits on the
+  * scan path of the whole similarity family.
+  */
+case class NormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"normalize needs array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val lf = elemIsFloat
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) v.getFloat(i).toDouble else v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = (if (lf) v.getFloat(i).toDouble else v.getDouble(i)) / nrm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val nrm = ctx.freshName("nrm")
+        val tmp = ctx.freshName("tmp")
+        s"""
+           |int $n = $v.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double ${s}x = (double) $v.$get($i);
+           |  $s += ${s}x * ${s}x;
+           |}
+           |double $nrm = java.lang.Math.sqrt($s);
+           |double[] $tmp = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $tmp[$i] = (double) $v.$get($i) / $nrm;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($tmp);
+           |""".stripMargin
+      },
+    )
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{toColumn, toExpression}
 
   /** Codegen'd left-to-right f64 dot product of two array columns. */
   def dotNative(a: Column, b: Column): Column =
     toColumn(DotProductExpr(toExpression(a), toExpression(b)))
+
+  /** Codegen'd all-tables LSH bucket ids (flat ±1 plane matrix of
+    * size nTables·nPlanes·dim).
+    */
+  def lshBucketsNative(v: Column, planes: Array[Double], nTables: Int, nPlanes: Int): Column =
+    toColumn(LshBucketsExpr(toExpression(v), planes, nTables, nPlanes))
+
+  /** Codegen'd f64 vector normalization (bit-identical to the
+    * transform-HOF form).
+    */
+  def normalizeNative(v: Column): Column =
+    toColumn(NormalizeExpr(toExpression(v)))
 
   /** Codegen'd left-to-right f64 squared L2 distance. */
   def l2sqNative(a: Column, b: Column): Column =

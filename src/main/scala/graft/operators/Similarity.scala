@@ -49,8 +49,12 @@ object Similarity {
     * — 3x fewer dot products in pair joins.
     */
   private[operators] def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    // NormalizeExpr = the transform-HOF form bit-for-bit, minus the
+    // per-element interpreted lambda (ArrayTransform is
+    // CodegenFallback — a measured scan-path tax on every embedding
+    // operator at d=512)
     df.withColumn("__nrm", sqrt(dot(col(vecCol), col(vecCol))))
-      .withColumn(outCol, transform(col(vecCol), x => x.cast("double") / col("__nrm")))
+      .withColumn(outCol, graft.functions.VectorExprs.normalizeNative(col(vecCol)))
       .drop("__nrm")
 
   /** Plain f64 dot for already-normalized vectors (same native
@@ -115,16 +119,14 @@ object Similarity {
     * decays as (1 - p^planes).
     */
   def lshBuckets(v: Column, nTables: Int, nPlanes: Int, dim: Int): Column = {
+    // one native expression for ALL tables' buckets: the composed
+    // when(dot(v, literal_array) > 0, ...) form inlined ~nTables ×
+    // nPlanes × dim multiplies into one generated method — past
+    // HotSpot's huge-method limit it never JITs and the stage runs
+    // bytecode-interpreted (~100× slow at d=512, measured). Same
+    // planes, same per-plane f64 dot order, same bucket longs.
     val w = planeWeights(nTables * nPlanes, dim)
-    val buckets = (0 until nTables).map { t =>
-      (0 until nPlanes)
-        .map { j =>
-          val wj = array(w(t * nPlanes + j).map(lit): _*)
-          when(dot(v, wj) > 0, lit(1L << j)).otherwise(lit(0L))
-        }
-        .reduceLeft(_ + _)
-    }
-    array(buckets: _*)
+    graft.functions.VectorExprs.lshBucketsNative(v, w.flatten, nTables, nPlanes)
   }
 
   /** Brute-force top-k cosine neighbors for each query vector
@@ -413,32 +415,46 @@ object Similarity {
     val d =
       if (dim > 0) dim
       else emb.select(size(col(vecCol))).head().getInt(0)
-    // checkpointed columnar so both self-join sides scan the same
-    // parquet table (nv is 512 bytes/vector x nTables entries — too
-    // large for an executor cache at corpus scale)
-    val tb = graft.sources.Checkpoint.tableGated(
+    // The candidate join is SLIM: only (id, tbl, bucket) flows through
+    // the multiprobe explode and the self-join. Carrying the
+    // normalized vector there (the pre-r15 shape) multiplied the d·4B
+    // payload by tables × (1+planes) probe rows — at 200k d=512
+    // vectors that is a 35 GB sort-merge input, measured spilling for
+    // 20+ minutes; the slim join sorts ~16-byte rows instead.
+    // Vectors are fetched by id for the DISTINCT surviving candidate
+    // pairs only (two hash joins against the checkpointed vector
+    // table; AQE broadcasts the candidate side when it is small).
+    val vecs = graft.sources.Checkpoint.tableGated(
       withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-        .select(col("id"), col("nv"), posexplode(lshBuckets(col("v"), t, p, d)).as(Seq("tbl", "bucket"))),
+        .select(col("id"), col("nv")),
+      "cosine-vecs",
+    )
+    val bk = graft.sources.Checkpoint.tableGated(
+      emb
+        .select(col(idCol).as("id"), posexplode(lshBuckets(col(vecCol), t, p, d)).as(Seq("tbl", "bucket"))),
       "cosine-buckets",
     )
     // multiprobe on side a only: hamming(bucket_a, bucket_b) <= 1 is
     // symmetric, and the a.id < b.id filter keeps both orientations
     val aSide =
-      if (pb <= 0) tb.as("a")
+      if (pb <= 0) bk.as("a")
       else
-        tb.withColumn("bucket", explode(probeList(col("bucket"), p, pb))).as("a")
+        bk.withColumn("bucket", explode(probeList(col("bucket"), p, pb))).as("a")
     val cand = aSide
       .join(
-        tb.as("b"),
+        bk.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"),
       )
-    val pairs = cand
-      .withColumn("s", dotNorm(col("a.nv"), col("b.nv")))
+    val candIds = cand
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val pairs = candIds
+      .join(vecs.select(col("id").as("id_a"), col("nv").as("nv_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("nv").as("nv_b")), "id_b")
+      .withColumn("s", dotNorm(col("nv_a"), col("nv_b")))
       .where(col("s") >= threshold)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(first(col("s")).as("score"))
-      .select(col("id_a"), col("id_b"), col("score"))
-    CosineStages(tb, cand, pairs)
+      .select(col("id_a"), col("id_b"), col("s").as("score"))
+    CosineStages(bk, cand, pairs)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

@@ -1,0 +1,29 @@
+#!/bin/bash
+# r14 verdict #7: settle the tick_qc / multimodal_decode / feature_ic
+# mover drifts with the prescribed binary A/B. Interleaved solo runs,
+# r13 tree (worktree) vs current tree, same box/data/protocol.
+# Usage: tools/r13_ab.sh <r13TreeDir> [out=/tmp/r13_ab.jsonl]
+set -u
+R13=$1
+OUT=${2:-/tmp/r13_ab.jsonl}
+run_one() { # repo label dir query
+  local S
+  S=$(cd "$1" && SPARK_GRAFT_SF_DIR="$3" SPARK_GRAFT_ONLY="$4" SPARK_GRAFT_CPUS=32 \
+    GRAFT_HEAP=24g tools/graftjava.sh graft.Bench 2>/dev/null \
+    | grep '"metric"' | tail -1 \
+    | python3 -c "import json,sys; print(json.load(sys.stdin)['queries']['$4'])")
+  echo "{\"bin\":\"$2\",\"q\":\"$4\",\"dir\":\"$3\",\"sec\":$S}" >> "$OUT"
+}
+cd "$(dirname "$0")/.." || exit 1
+HERE=$(pwd)
+for i in 1 2 3; do
+  run_one "$HERE" cur /tmp/graft_sf10 tick_qc
+  run_one "$R13" r13 /tmp/graft_sf10 tick_qc
+done
+for q in multimodal_decode feature_ic; do
+  for i in 1 2 3; do
+    run_one "$HERE" cur /root/testdata/sf0.1 "$q"
+    run_one "$R13" r13 /root/testdata/sf0.1 "$q"
+  done
+done
+echo R13AB_DONE
