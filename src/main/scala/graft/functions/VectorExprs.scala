@@ -273,7 +273,7 @@ case class LshBucketsExpr(
            |  }
            |  $tmp[$t] = $bucket;
            |}
-           |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($tmp);
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
            |""".stripMargin
       },
     )
@@ -346,7 +346,7 @@ case class NormalizeExpr(child: Expression)
            |for (int $i = 0; $i < $n; $i++) {
            |  $tmp[$i] = (double) $v.$get($i) / $nrm;
            |}
-           |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($tmp);
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
            |""".stripMargin
       },
     )
