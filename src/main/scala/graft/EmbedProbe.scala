@@ -61,6 +61,8 @@ object EmbedProbe {
     println(
       s"""{"dir":"$dir","mode":"$mode","build_sec":${f(tBuild)},""" +
         s""""incr_sec":${f(tIncr)},"total_sec":${f(tBuild + tIncr)}}""")
+    // the probe store is multi-GB at sf100 — don't leak it across runs
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
     spark.stop()
   }
 }

@@ -422,13 +422,14 @@ object Similarity {
     // vectors that is a 35 GB sort-merge input, measured spilling for
     // 20+ minutes; the slim join sorts ~16-byte rows instead.
     // Vectors are fetched by id for the DISTINCT surviving candidate
-    // pairs only (two hash joins against the checkpointed vector
-    // table; AQE broadcasts the candidate side when it is small).
-    val vecs = graft.sources.Checkpoint.tableGated(
+    // pairs only (two hash joins; AQE broadcasts the candidate side
+    // when it is small). NOT checkpointed: normalized f64 vectors are
+    // ~2× the float source and incompressible (8 GB parquet at 2M
+    // d=512 — measured filling the disk), while recomputing the
+    // codegen'd normalization from the source scan is ~free.
+    val vecs =
       withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-        .select(col("id"), col("nv")),
-      "cosine-vecs",
-    )
+        .select(col("id"), col("nv"))
     val bk = graft.sources.Checkpoint.tableGated(
       emb
         .select(col(idCol).as("id"), posexplode(lshBuckets(col(vecCol), t, p, d)).as(Seq("tbl", "bucket"))),
