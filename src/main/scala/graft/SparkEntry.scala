@@ -4275,12 +4275,11 @@ object SparkEntry {
          |  FROM bk, prm),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |         FROM pr a JOIN bk b ON a.tbl = b.tbl AND a.pb = b.bucket AND a.vec_id < b.vec_id),
-         |nrm AS (SELECT vec_id, ${nvSql("embedding")} AS nv FROM embeddings),
          |scored AS (
-         |  SELECT id_a, id_b, ${dotNormSql("ea.nv", "eb.nv")} AS score
+         |  SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS score
          |  FROM cand
-         |  JOIN nrm ea ON ea.vec_id = id_a
-         |  JOIN nrm eb ON eb.vec_id = id_b)
+         |  JOIN embeddings ea ON ea.vec_id = id_a
+         |  JOIN embeddings eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
     "semantic_dedup" ->

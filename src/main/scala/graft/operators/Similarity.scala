@@ -422,14 +422,15 @@ object Similarity {
     // vectors that is a 35 GB sort-merge input, measured spilling for
     // 20+ minutes; the slim join sorts ~16-byte rows instead.
     // Vectors are fetched by id for the DISTINCT surviving candidate
-    // pairs only (two hash joins; AQE broadcasts the candidate side
-    // when it is small). NOT checkpointed: normalized f64 vectors are
-    // ~2× the float source and incompressible (8 GB parquet at 2M
-    // d=512 — measured filling the disk), while recomputing the
-    // codegen'd normalization from the source scan is ~free.
-    val vecs =
-      withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-        .select(col("id"), col("nv"))
+    // pairs only. RAW float vectors, scored cosine-from-raw
+    // (dot / (‖a‖·‖b‖), the cosSql oracle form): the f64 normalized
+    // copy doubled every byte the pair shuffle moves, and the pair
+    // shuffle is THE cost of verification — candidate pairs ×
+    // vector payload (measured 70+ GB at 2M d=512 with ~23M
+    // candidates, exhausting local disk; halved by raw floats).
+    // Norms are recomputed per pair (512 FMAs against a 2 KB/row
+    // shuffle saving — compute is free, bytes are not).
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val bk = graft.sources.Checkpoint.tableGated(
       emb
         .select(col(idCol).as("id"), posexplode(lshBuckets(col(vecCol), t, p, d)).as(Seq("tbl", "bucket"))),
@@ -449,10 +450,13 @@ object Similarity {
     val candIds = cand
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // SHUFFLE_HASH: a sort-merge join would SORT the pair+vector
+    // payload — a second on-disk copy of the largest shuffle in the
+    // operator; hash-building the slim vector side avoids it
     val pairs = candIds
-      .join(vecs.select(col("id").as("id_a"), col("nv").as("nv_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("nv").as("nv_b")), "id_b")
-      .withColumn("s", dotNorm(col("nv_a"), col("nv_b")))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")).hint("SHUFFLE_HASH"), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")).hint("SHUFFLE_HASH"), "id_b")
+      .withColumn("s", cosine(col("v_a"), col("v_b")))
       .where(col("s") >= threshold)
       .select(col("id_a"), col("id_b"), col("s").as("score"))
     CosineStages(bk, cand, pairs)
