@@ -4245,9 +4245,10 @@ object SparkEntry {
       // scale-adaptive replay of cosinePairs' PRODUCTION parameters:
       // p = clamp(4, 24, ceil_log2(max(n,16)) + 2) planes per table
       // (integer shift comparison — bit-identical to autoLshParams'
-      // numberOfLeadingZeros form), 4 tables, 1-bit multiprobe on
-      // side a; plane weights generated from the same md5 nibble rule
-      // as Similarity.planeWeights instead of inlined literals
+      // numberOfLeadingZeros form), 12 exact tables, no multiprobe
+      // (recall bought with tables since r15 — see autoLshParams);
+      // plane weights generated from the same md5 nibble rule as
+      // Similarity.planeWeights instead of inlined literals
       s"""WITH prm AS (
          |  SELECT greatest(4, least(24, k + 2)) AS p FROM (
          |    SELECT min(k) AS k
@@ -4258,8 +4259,8 @@ object SparkEntry {
          |  SELECT j, list(CASE WHEN substr(md5('p' || CAST(j AS VARCHAR) || '_' || CAST(k AS VARCHAR)), 1, 1)
          |                      BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END ORDER BY k) AS wv
          |  FROM (SELECT tj.j, tk.k
-         |        FROM generate_series(0, 95) tj(j), generate_series(0, 63) tk(k), prm
-         |        WHERE tj.j < 4 * prm.p)
+         |        FROM generate_series(0, 287) tj(j), generate_series(0, 63) tk(k), prm
+         |        WHERE tj.j < 12 * prm.p)
          |  GROUP BY j),
          |bk AS (
          |  SELECT e.vec_id, CAST(pl.j // prm.p AS INT) AS tbl,
@@ -4268,13 +4269,8 @@ object SparkEntry {
          |                  THEN (CAST(1 AS BIGINT) << CAST(pl.j % prm.p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM embeddings e, pl, prm
          |  GROUP BY e.vec_id, pl.j // prm.p),
-         |pr AS (
-         |  SELECT vec_id, tbl,
-         |         unnest(list_prepend(bucket, list_transform(range(prm.p),
-         |           jj -> xor(bucket, CAST(1 AS BIGINT) << CAST(jj AS INT))))) AS pb
-         |  FROM bk, prm),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM pr a JOIN bk b ON a.tbl = b.tbl AND a.pb = b.bucket AND a.vec_id < b.vec_id),
+         |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |scored AS (
          |  SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS score
          |  FROM cand

@@ -68,30 +68,38 @@ object Similarity {
     * nPlanes ≈ log₂(N) + 2 keeps the expected bucket size O(1), so the
     * per-table self-join is O(N) candidate pairs regardless of corpus
     * size — the round-1 fixed 2^4 bucket space made the candidate set
-    * ≈23% of ALL pairs (effectively quadratic at 100 TB). Fine buckets
-    * cost recall, which 1-bit multiprobe (query also probes every
-    * bucket at hamming distance 1) buys back at (1+nPlanes)× probe
-    * cost but unchanged bucket sizes: for genuine near-duplicates
-    * (cosine ≥ 0.9, bit-agreement p ≈ 0.86), 4 tables × 1-bit probes
-    * give recall ≥ 0.94 at nPlanes = 11. On isotropic data with no
-    * near-dups (like the synthetic test embeddings, top-10 cosine
-    * ≈ 0.35) no sub-quadratic scheme holds high exact-top-k recall —
-    * brute force is the honest baseline there.
+    * ≈23% of ALL pairs (effectively quadratic at 100 TB).
+    *
+    * Recall is bought with TABLES, not multiprobe. The r14 scheme
+    * (4 tables × 1-bit probes) multiplied BACKGROUND CANDIDATES by
+    * (1+nPlanes) ≈ 24× for the same recall ~12 exact tables give:
+    * probes were the right trade when the bucket computation carried
+    * the vector payload through the join (probe rows were cheap,
+    * plane dots expensive), but with the slim join + one-loop
+    * LshBucketsExpr the expensive currency is VERIFICATION — each
+    * background candidate costs a d·4B pair-shuffle row — and probes
+    * pay ~7.4× more of it per unit of recall (measured: 23M
+    * candidates at 2M d=512 vectors probed vs ~3M with 12 exact
+    * tables; the probed form's verification shuffle exhausted local
+    * disk). At dup cosine ≥ 0.9 (bit agreement ≥ 0.86), 12 exact
+    * tables hold recall ≥ 0.96 through the 24-plane cap. On isotropic
+    * data with no near-dups (like the synthetic test embeddings,
+    * top-10 cosine ≈ 0.35) no sub-quadratic scheme holds high
+    * exact-top-k recall — brute force is the honest baseline there.
     */
   def autoLshParams(n: Long): (Int, Int, Int) = {
     // ceil(log2 n) + 2 planes: expected bucket size ~1/4, so the
-    // 1-bit-probe candidate fraction (1+planes)·tables/2^planes stays
-    // below 1% for n >= ~1500 and FALLS as n grows (at the 24-plane
-    // cap, buckets regrow linearly but only past n ≈ 6·10^7).
+    // candidate fraction tables/2^planes stays far below 1% and
+    // FALLS as n grows (at the 24-plane cap, buckets regrow linearly
+    // but only past n ≈ 6·10^7).
     // ceil-log2 via bit length, NOT math.ceil(log(n)/log(2)) — the FP
     // quotient is off by an ulp at some exact powers of two, and the
-    // scale-adaptive oracle (SparkEntry lshPrmSql) must derive the
-    // IDENTICAL plane count from count(*) in SQL.
+    // scale-adaptive oracle (SparkEntry embed_dedup SQL) must derive
+    // the IDENTICAL plane count from count(*) in SQL.
     val m = math.max(n, 16L)
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
     val planes = math.max(4, math.min(24, ceilLog2 + 2))
-    val probes = if (planes > 4) 1 else 0
-    (4, planes, probes)
+    (12, planes, 0)
   }
 
   /** Per-(table,bucket) probe list: the bucket itself plus, when

@@ -787,7 +787,9 @@ class PipelineOpsSpec extends SparkSpec {
 
     val (t, p, pb) = Similarity.autoLshParams(n)
     assert(p == math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 2) // 13 at n=2000
-    assert(pb == 1)
+    // recall is bought with tables since r15 (probes multiplied
+    // verification candidates ~7x per unit of recall — §6w)
+    assert(t == 12 && pb == 0)
 
     // candidate-pair count through the same buckets + 1-bit probes.
     // Wasted work is measured on the ISOTROPIC driver embeddings
@@ -800,12 +802,7 @@ class PipelineOpsSpec extends SparkSpec {
           col("vec_id").as("id"),
           posexplode(Similarity.lshBuckets(col("embedding"), t, p, dim)).as(Seq("tbl", "bucket")),
         )
-      val probes = tb.withColumn(
-        "bucket",
-        explode(array((col("bucket") +: (0 until p).map(j => col("bucket").bitwiseXOR(lit(1L << j)))): _*)),
-      )
-      probes
-        .as("a")
+      tb.as("a")
         .join(tb.as("b"), Seq("tbl", "bucket"))
         .where(col("a.id") < col("b.id"))
         .select(col("a.id"), col("b.id"))
