@@ -62,7 +62,14 @@ object EmbedProbe {
       s"""{"dir":"$dir","mode":"$mode","build_sec":${f(tBuild)},""" +
         s""""incr_sec":${f(tIncr)},"total_sec":${f(tBuild + tIncr)}}""")
     // the probe store is multi-GB at sf100 — don't leak it across runs
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    // (java.nio, not commons-io: the latter is only on the classpath
+    // transitively through Spark)
+    try {
+      java.nio.file.Files
+        .walk(java.nio.file.Paths.get(store))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -852,6 +852,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("24-plane regime: 12 exact tables hold high recall for very-high-cosine planted dups") {
+    // r15 advice: autoLshParams caps at 24 planes (N >= ~4M); per-table
+    // collision there is (1 - acos(c)/pi)^24 — only VERY high-cosine
+    // dups survive 12 tables (cos 0.99 -> ~0.99 recall; cos 0.9 ->
+    // ~0.25 — documented on autoLshParams, callers raise nTables).
+    // This pins the regime the dedup operators actually target:
+    // planted dups at cosine >= 0.985 under the cap parameters.
+    val dim = 64
+    val rnd = new scala.util.Random(23)
+    val uniques = (0 until 1500).map(i => (i.toLong * 2, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    // jitter for cosine ~0.99: eps/||v|| ~ 0.14 per the 1/sqrt(1+e^2) relation
+    val planted = uniques.take(400).map { case (id, v) =>
+      (id + 1, v.map(x => x + 0.14f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (uniques ++ planted).toDF("vec_id", "embedding")
+    // ground truth: planted pairs whose ACTUAL cosine reached 0.985
+    val truth = uniques.take(400).zip(planted).flatMap { case ((ida, va), (idb, vb)) =>
+      def nrm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val cos = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum / (nrm(va) * nrm(vb))
+      if (cos >= 0.985) Some((ida, idb)) else None
+    }.toSet
+    assert(truth.size >= 200, s"need enough >=0.985 planted pairs, got ${truth.size}")
+    val found = Similarity
+      .cosinePairs(emb, threshold = 0.985, nTables = 12, nPlanes = 24, probeBits = 0)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    info(s"24-plane/12-table recall on ${truth.size} cos>=0.985 planted dups: $recall")
+    assert(recall >= 0.9, s"recall $recall under the cap parameters")
+  }
+
+  test("null array elements null the LSH buckets and normalized vector (HOF-form semantics)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0)),
+    ).toDF("id", "v")
+    val planes = Similarity.planeWeights(2, 3).flatten
+    val out = df
+      .select(
+        col("id"),
+        graft.functions.VectorExprs.normalizeNative(col("v")).as("nv"),
+        graft.functions.VectorExprs.lshBucketsNative(col("v"), planes, 1, 2).as("bk"),
+      )
+      .orderBy("id")
+      .collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2), "null element must null the result")
+    assert(!out(1).isNullAt(1) && !out(1).isNullAt(2))
+    val nv = out(1).getSeq[Double](1)
+    assert(math.abs(nv.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
   test("auto IVF (sqrt-N cells + spherical k-means) recalls clustered neighbors") {
     val n = 1000
     val dim = 64

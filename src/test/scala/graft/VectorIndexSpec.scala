@@ -196,4 +196,48 @@ class VectorIndexSpec extends SparkSpec {
       "stale parent partition directory survived",
     )
   }
+
+  test("in-memory cell dedup is bit-equal to the pair-join form it replaced (r16, rows 20b/20c)") {
+    import spark.implicits._
+    // clustered corpus with planted near-dups so dup_of/max_sim are
+    // really exercised (several per cell, cross-cluster keepers)
+    val dim = 48
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(12)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 600).map { i =>
+      val b = bases(i % 12)
+      val v = b.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val res = Similarity
+      .semanticDedup(emb, threshold = 0.9, nCells = 8, kmeansIters = 1)
+      .localCheckpoint()
+    assert(res.where(col("is_dup") === 1).count() > 50, "needs real dup mass to be a meaningful pin")
+    // reference: the ORIGINAL pair self-join over the same assignment
+    // (taken from the output's own cell column) — scores, dup_of and
+    // max_sim must match bit-for-bit, not approximately
+    val nv = emb.select(
+      col("vec_id").as("id"),
+      graft.functions.VectorExprs.normalizeNative(col("embedding")).as("nv"),
+    )
+    val assigned = res.select(col("vec_id").as("id"), col("cell")).join(nv, "id")
+    val dups = assigned
+      .as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("s", graft.functions.VectorExprs.dotNative(col("a.nv"), col("b.nv")))
+      .where(col("s") >= 0.9)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("dup_of"), max(col("s")).as("max_sim"))
+    val ref = assigned
+      .join(dups, Seq("id"), "left")
+      .select(
+        col("id").as("vec_id"),
+        col("cell"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"),
+        col("dup_of"),
+        col("max_sim"),
+      )
+    assert(rows(res.orderBy("vec_id")) == rows(ref.orderBy("vec_id")))
+  }
 }
