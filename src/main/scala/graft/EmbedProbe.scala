@@ -38,11 +38,26 @@ object EmbedProbe {
       .write.format("noop").mode("overwrite").save()
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def f(v: Double): Double = math.round(v * 100) / 100.0
+    // "diversity" probes the one-shot D4 path at its PRODUCTION shape
+    // (N/256 cells — the driver query pins nCells=16 for oracle
+    // replay); no store involved
+    if (mode == "diversity") {
+      val t0 = System.nanoTime()
+      operators.Similarity
+        .diversitySample(emb, removeFrac = 0.25, kmeansIters = 0)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"dir":"$dir","mode":"diversity","build_sec":0.0,"incr_sec":${f(sec)},"total_sec":${f(sec)}}""")
+      spark.stop()
+      return
+    }
     val store = java.nio.file.Files
       .createTempDirectory("graft-embprobe").toString
     val t0 = System.nanoTime()
     // batch 1 = 3/4 of the corpus frozen into the index, production √N cells
-    operators.VectorIndex.buildIndex(emb.where(col("vec_id") % 4 =!= 3), store, nCells = 0)
+    val stages = operators.VectorIndex
+      .buildIndexStaged(emb.where(col("vec_id") % 4 =!= 3), store, nCells = 0)
     val tBuild = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val out = mode match {
@@ -57,10 +72,11 @@ object EmbedProbe {
     }
     out.write.format("noop").mode("overwrite").save()
     val tIncr = (System.nanoTime() - t1) / 1e9
-    def f(v: Double): Double = math.round(v * 100) / 100.0
+    val stageJson = stages.map { case (n, s) => s""""$n":${f(s)}""" }.mkString(",")
     println(
       s"""{"dir":"$dir","mode":"$mode","build_sec":${f(tBuild)},""" +
-        s""""incr_sec":${f(tIncr)},"total_sec":${f(tBuild + tIncr)}}""")
+        s""""incr_sec":${f(tIncr)},"total_sec":${f(tBuild + tIncr)},""" +
+        s""""build_stages":{$stageJson}}""")
     // the probe store is multi-GB at sf100 — don't leak it across runs
     // (java.nio, not commons-io: the latter is only on the classpath
     // transitively through Spark)

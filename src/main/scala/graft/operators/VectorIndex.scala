@@ -57,37 +57,41 @@ import graft.operators.Similarity.{dotNorm, kmeansRound, withNormalized}
   */
 object VectorIndex {
 
-  /** Inline-argmax cap: 4096 cells × 64 dims ≈ 2 MB of plan
-    * literals (the [[Similarity.directAssignMax]] bound). Below it
-    * assignment is a PER-ROW argmax over the centroid array — no
-    * join, no aggregation, one tight codegen'd pass; the
-    * broadcast-join + max_by form (kept above the cap) pays the
-    * ObjectHashAggregate fallback (`first(nv)` + struct-keyed
-    * max_by pin it off codegen) over N × cells intermediate rows —
-    * measured 23.6 s vs 2.9 s for 200k × 781 on local[32].
+  /** Map-side-argmax cap, now the 65536-cell buildIndex cap itself:
+    * the centroid table rides into the stage as a codegen REFERENCE
+    * OBJECT (cells × dim × 8 B — 268 MB worst-case at 65536 × d=512,
+    * the same bytes the broadcast-join form shipped), so assignment
+    * is a PER-ROW argmax — no join, no aggregation, one tight
+    * codegen'd pass ([[graft.functions.NearestCellExpr]]). The
+    * join + max_by fallback above the cap pays a SortAggregate (First
+    * and MaxBy have array/struct buffers — never hash-able), r16-
+    * slimmed so its sort carries (id, cs, cent_id) rows, NOT vector
+    * payloads — the pre-r16 `first(nv)` form sorted N × cells × ~4 KB
+    * and exhausted local disk (§6z). Was 4096 when the per-row argmax
+    * inlined the centroids as a typedLit plan literal (re-optimized
+    * and recompiled per ACTION — the dominant cost of the r15
+    * EmbedProbe buildIndex at a mis-estimated 1817 cells).
     */
-  private[graft] val maxInlineCells = 4096
+  private[graft] val maxInlineCells = 65536
 
-  /** cell = argmax over `cents` of struct(cosine, -cent_id): max of
-    * the struct is the same lexicographic comparison as the join
-    * form's `max_by(cent_id, struct(cs, -cent_id))` ordering —
-    * highest cosine, then SMALLEST centroid id — evaluated on
-    * identical doubles, so the two forms are bit-equal (pinned).
+  /** cell = argmax over `cents` of (cosine, smallest cent_id) — the
+    * native [[graft.functions.NearestCellExpr]], comparator-identical
+    * to the join form's `max_by(cent_id, struct(cs, -cent_id))`
+    * ordering evaluated on identical doubles, so the two forms are
+    * bit-equal (pinned).
     */
   private[graft] def inlineCellExpr(
       cents: Seq[(Long, Seq[Double])],
       nv: org.apache.spark.sql.Column,
-  ): org.apache.spark.sql.Column =
-    -array_max(
-      transform(
-        typedLit(cents),
-        c =>
-          struct(
-            graft.functions.VectorExprs.dotNative(c.getField("_2"), nv).as("s"),
-            (-c.getField("_1")).as("nid"),
-          ),
-      )
-    ).getField("nid")
+  ): org.apache.spark.sql.Column = {
+    val dim = cents.head._2.length
+    graft.functions.VectorExprs.nearestCellNative(
+      nv,
+      cents.map(_._1).toArray,
+      cents.flatMap(_._2).toArray,
+      dim,
+    )
+  }
 
   /** Nearest-centroid cell per vector, smallest-cent_id tiebreak —
     * the shared [[Similarity.assignToCells]] (inline argmax at
@@ -126,27 +130,77 @@ object VectorIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): Unit = {
-    val cells =
-      if (nCells > 0) nCells
-      else {
-        val stats = emb.queryExecution.optimizedPlan.stats
-        val estRows = stats.rowCount.map(_.toLong).getOrElse {
-          val rowWidth = math.max(1L, emb.schema.defaultSize.toLong)
-          stats.sizeInBytes.toLong / rowWidth
-        }
-        math.max(16, math.min(65536, math.round(math.sqrt(estRows.toDouble)).toInt))
+    buildIndexStaged(emb, dir, nCells, kmeansIters, idCol, vecCol)
+    ()
+  }
+
+  /** √N cell count from PLAN METADATA — no count() action (r9
+    * verdict), but with the ROW WIDTH measured honestly: Catalyst's
+    * `schema.defaultSize` prices an array column at ONE element
+    * (4 B for array<float>), under-sizing a d=512 embedding row
+    * ~170× — sizeInBytes/defaultSize then over-estimates rows the
+    * same factor and √ inflates the cell count ~13× (the store the
+    * r15 EmbedProbe built at fd sf1 had 1817 cells for 15k vectors —
+    * cell size ~8, and a 1817-entry centroid literal in every plan).
+    * One row is read to size the vector column at its real length
+    * (the same one-row scan cosineStages uses for dim inference).
+    */
+  private[graft] def sqrtCellsFromStats(emb: DataFrame, vecCol: String): Int = {
+    val stats = emb.queryExecution.optimizedPlan.stats
+    val estRows = stats.rowCount.map(_.toLong).getOrElse {
+      val elemBytes = emb.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => 8L
+        case _ => 4L
       }
+      val dim = emb.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0)).getOrElse(0)
+      val rowWidth = math.max(1L, emb.schema.defaultSize.toLong + math.max(0, dim - 1) * elemBytes)
+      stats.sizeInBytes.toLong / rowWidth
+    }
+    math.max(16, math.min(65536, math.round(math.sqrt(estRows.toDouble)).toInt))
+  }
+
+  /** [[buildIndex]] with its phases materialized and timed — the
+    * stage decomposition the embeddings decade artifact reports
+    * (r15 verdict #4). Each k-means round is checkpoint-gated, which
+    * is also a fix: the un-gated foldLeft re-executed round R-1's
+    * whole plan inside round R's `take` action AND again in the
+    * final centroid materialization (round 1 ran 3× at kmeansIters=2).
+    */
+  private[graft] def buildIndexStaged(
+      emb: DataFrame,
+      dir: String,
+      nCells: Int = 0,
+      kmeansIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Seq[(String, Double)] = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stages += ((name, (System.nanoTime() - t0) / 1e9))
+      r
+    }
+    val cells = timed("cells_estimate") {
+      if (nCells > 0) nCells else sqrtCellsFromStats(emb, vecCol)
+    }
     val nv = normalized(emb, idCol, vecCol)
-    val seed = nv
-      .orderBy(col("id"))
-      .limit(cells)
-      .select(col("id").as("cent_id"), col("nv").as("cv"))
-    val cents = graft.sources.Checkpoint.tableGated(
-      (0 until kmeansIters).foldLeft(seed) { (c, _) => kmeansRound(nv, c) },
-      "vidx-cents",
-    )
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    writeVectors(assignCells(nv, cents), dir, "overwrite", cells.toLong)
+    val seed = timed("normalize_seed") {
+      graft.sources.Checkpoint.tableGated(
+        nv.orderBy(col("id"))
+          .limit(cells)
+          .select(col("id").as("cent_id"), col("nv").as("cv")),
+        "vidx-seed",
+      )
+    }
+    val cents = (0 until kmeansIters).foldLeft(seed) { (c, round) =>
+      timed(s"kmeans_round_$round") {
+        graft.sources.Checkpoint.tableGated(kmeansRound(nv, c), s"vidx-round-$round")
+      }
+    }
+    timed("centroid_write")(cents.write.mode("overwrite").parquet(s"$dir/centroids"))
+    timed("assign_write")(writeVectors(assignCells(nv, cents), dir, "overwrite", cells.toLong))
+    stages.toSeq
   }
 
   /** Cell-partitioned vector write, pre-shuffled ON the partition
@@ -375,15 +429,18 @@ object VectorIndex {
         element_at(childLists(col("cell")), col("r")).as("cent_id"),
         col("nv").as("cv"),
       )
-    // local spherical k-means inside each parent cell
-    def assign(c: DataFrame): DataFrame = members
-      .join(broadcast(c), Seq("cell"))
-      .withColumn("cs", dotNorm(col("nv"), col("cv")))
-      .groupBy(col("cell"), col("id"))
-      .agg(
-        first(col("nv")).as("nv"),
-        max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("child"),
-      )
+    // local spherical k-means inside each parent cell. The argmax agg
+    // is SLIM (id, cs, cent_id — First/MaxBy buffers force
+    // SortAggregate, whose sort must never carry the nv payload,
+    // §6z); nv re-joins from the checkpointed members table by id.
+    def assign(c: DataFrame): DataFrame = {
+      val winner = members
+        .join(broadcast(c), Seq("cell"))
+        .select(col("cell"), col("id"), col("cent_id"), dotNorm(col("nv"), col("cv")).as("cs"))
+        .groupBy(col("cell"), col("id"))
+        .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("child"))
+      members.join(winner, Seq("cell", "id"))
+    }
     val finalCents = (0 until kmeansIters).foldLeft(seed) { (c, _) =>
       assign(c)
         .select(col("cell"), col("child"), posexplode(col("nv")).as(Seq("pos", "x")))
