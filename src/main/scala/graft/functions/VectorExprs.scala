@@ -233,6 +233,11 @@ case class LshBucketsExpr(
     // of the nPlanes × dim hot loop.
     var z = 0
     while (z < n) { if (v.isNullAt(z)) return null; z += 1 }
+    // decode once — the table × plane loops re-reading ArrayData paid
+    // nTables × nPlanes × dim decode calls per row
+    val vv = new Array[Double](n)
+    z = 0
+    while (z < n) { vv(z) = if (lf) v.getFloat(z).toDouble else v.getDouble(z); z += 1 }
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
@@ -243,7 +248,7 @@ case class LshBucketsExpr(
         var s = 0.0
         var i = 0
         while (i < n) {
-          s += (if (lf) v.getFloat(i).toDouble else v.getDouble(i)) * planes(base + i)
+          s += vv(i) * planes(base + i)
           i += 1
         }
         if (s > 0) bucket += (1L << j)
@@ -280,6 +285,8 @@ case class LshBucketsExpr(
            |if ($hasNull) {
            |  ${ev.isNull} = true;
            |} else {
+           |  double[] ${tmp}v = new double[$n];
+           |  for (int $i = 0; $i < $n; $i++) { ${tmp}v[$i] = (double) $v.$get($i); }
            |  long[] $tmp = new long[$nTables];
            |  for (int $t = 0; $t < $nTables; $t++) {
            |    long $bucket = 0L;
@@ -287,7 +294,7 @@ case class LshBucketsExpr(
            |      int $base = ($t * $nPlanes + $j) * $dim;
            |      double $s = 0.0;
            |      for (int $i = 0; $i < $n; $i++) {
-           |        $s += (double) $v.$get($i) * $planesRef[$base + $i];
+           |        $s += ${tmp}v[$i] * $planesRef[$base + $i];
            |      }
            |      if ($s > 0) $bucket += (1L << $j);
            |    }
@@ -442,16 +449,22 @@ case class NearestCellExpr(
     val v = a.asInstanceOf[ArrayData]
     val lf = elemIsFloat
     val nCells = centIds.length
+    // decode the vector ONCE — the cell loop re-reading ArrayData per
+    // centroid paid cells × dim decode calls per row (measured ~2× on
+    // the sf100 assignment passes)
+    val n = math.min(v.numElements(), dim)
+    val vv = new Array[Double](n)
+    var j = 0
+    while (j < n) { vv(j) = if (lf) v.getFloat(j).toDouble else v.getDouble(j); j += 1 }
     var bestId = 0L
     var bestS = 0.0
     var c = 0
     while (c < nCells) {
       val base = c * dim
-      val n = math.min(v.numElements(), dim)
       var s = 0.0
       var i = 0
       while (i < n) {
-        s += (if (lf) v.getFloat(i).toDouble else v.getDouble(i)) * cents(base + i)
+        s += vv(i) * cents(base + i)
         i += 1
       }
       val id = centIds(c)
@@ -481,15 +494,18 @@ case class NearestCellExpr(
         val bestId = ctx.freshName("bestId")
         val id = ctx.freshName("id")
         val cmp = ctx.freshName("cmp")
+        val vv = ctx.freshName("vv")
         s"""
            |int $n = java.lang.Math.min($v.numElements(), $dim);
+           |double[] $vv = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) { $vv[$i] = (double) $v.$get($i); }
            |double $bestS = 0.0;
            |long $bestId = 0L;
            |for (int $c = 0; $c < ${centIds.length}; $c++) {
            |  int $base = $c * $dim;
            |  double $s = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
-           |    $s += (double) $v.$get($i) * $centsRef[$base + $i];
+           |    $s += $vv[$i] * $centsRef[$base + $i];
            |  }
            |  long $id = $idsRef[$c];
            |  int $cmp = ($s == $bestS) ? 0 : java.lang.Double.compare($s, $bestS);
