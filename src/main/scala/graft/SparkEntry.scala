@@ -1105,6 +1105,51 @@ object SparkEntry {
         .incrementalSemanticDedup(s, store, emb.where(col("vec_id") % 4 === 3), threshold = 0.3)
         .orderBy(col("vec_id"))
     },
+    "semantic_dedup_prod_invariants" -> { (s, dir) =>
+      // PRODUCTION two-level assignment gate (r15 verdict #7): the
+      // oracle-gated semantic_dedup pins nCells=16 — a replayable toy
+      // that never exercises the coarse/fine split past
+      // directAssignMax. This query drives that split (nCells=8192)
+      // on the corpus augmented with an EXACT clone of every vector
+      // (vec_id + 10_000_000): identical vectors score identically
+      // against every centroid, so any deterministic argmax co-cells
+      // each clone with its original regardless of the partition —
+      // the invariants below are exact integers, which makes them
+      // DuckDB-replayable as constants WITHOUT replaying the
+      // (f64-mean, non-replayable) assignment itself.
+      // threshold 0.95: on the isotropic synthetic embeddings (top
+      // pair cosine ~0.35) ONLY the planted clone pairs qualify, so
+      // every invariant is exact at ANY sf — in-cell strangers can
+      // co-cell but never score
+      val emb = s.read
+        .parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val clones = emb.select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val out = Similarity.semanticDedup(
+        emb.unionByName(clones), threshold = 0.95, nCells = 8192, kmeansIters = 0)
+      out.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("vec_id") >= 10000000L && col("is_dup") === 1, 1L).otherwise(0L))
+          .as("n_clones_flagged"),
+        // a clone's keep-first parent must be its own original (the
+        // only lower-id in-cell member above the threshold)
+        sum(when(col("vec_id") >= 10000000L && col("is_dup") === 1
+              && col("dup_of") =!= col("vec_id") - 10000000L, 1L).otherwise(0L))
+          .as("n_wrong_dup_of"),
+        sum(when(col("vec_id") < 10000000L && col("is_dup") === 1, 1L).otherwise(0L))
+          .as("n_originals_flagged"),
+        // identical normalized vectors dot to ~1 (FP-exactly the
+        // squared norm) — far above any threshold concern
+        sum(when(col("vec_id") >= 10000000L && col("is_dup") === 1
+              && col("max_sim") <= lit(0.9999), 1L).otherwise(0L))
+          .as("n_low_sim"),
+        when(countDistinct(col("cell")).between(1L, 8192L), 1L).otherwise(0L)
+          .as("cells_bounded"),
+        // a populated cell id > 4096 proves the coarse·finePer + fine
+        // two-level encoding was in play
+        max(when(col("cell") > 4096, 1L).otherwise(0L)).as("two_level"),
+      )
+    },
     "ann_incr_topk" -> { (s, dir) =>
       // cross-run IVF serving: batch-2 queries against the frozen
       // batch-1 index plus the batch itself, probes partition-pruned
@@ -4357,6 +4402,20 @@ object SparkEntry {
          |FROM assign av LEFT JOIN dups d ON d.id = av.id
          |WHERE av.id % 4 = 3
          |ORDER BY av.id""".stripMargin,
+    "semantic_dedup_prod_invariants" ->
+      // exact-integer invariants of the production two-level path on
+      // corpus ∪ exact clones — derivable WITHOUT replaying the
+      // (f64-mean, non-replayable) coarse/fine assignment: identical
+      // vectors co-cell under ANY deterministic argmax, and at
+      // threshold 0.95 only clone pairs score on the isotropic corpus
+      s"""SELECT CAST(2 * c AS BIGINT) AS n_rows,
+         |       CAST(c AS BIGINT) AS n_clones_flagged,
+         |       CAST(0 AS BIGINT) AS n_wrong_dup_of,
+         |       CAST(0 AS BIGINT) AS n_originals_flagged,
+         |       CAST(0 AS BIGINT) AS n_low_sim,
+         |       CAST(1 AS BIGINT) AS cells_bounded,
+         |       CAST(1 AS BIGINT) AS two_level
+         |FROM (SELECT count(*) AS c FROM embeddings)""".stripMargin,
     "ann_incr_topk" ->
       // frozen batch-1 centroids; corpus = all vectors (batch 1 at
       // build time + batch 2 at query time, same assignment tree);
