@@ -67,14 +67,21 @@ object Pq {
       .where(col("id") < k)
       .select(col("sub"), col("id").cast("int").as("code"), col("sv").as("cv"))
     (0 until iters).foldLeft(seed) { (cb, _) =>
-      val assigned = sv
+      // the argmin agg is SLIM (id, sub, code, d — §6z byte rule: an
+      // agg with array/typed buffers falls to sort-based execution
+      // past 128 keys, and its sort must never carry the subvector
+      // payload); sv re-joins by (id, sub) afterwards
+      val winner = sv
         .join(broadcast(cb), "sub")
-        .withColumn("d", VectorExprs.l2sqNative(col("sv"), col("cv")))
-        .groupBy(col("id"), col("sub"))
-        .agg(
-          first(col("sv")).as("sv"),
-          graft.functions.OrderedAgg.firstByOrd(col("code"), col("d"), col("code")).as("code"),
+        .select(
+          col("id"),
+          col("sub"),
+          col("code"),
+          VectorExprs.l2sqNative(col("sv"), col("cv")).as("d"),
         )
+        .groupBy(col("id"), col("sub"))
+        .agg(graft.functions.OrderedAgg.firstByOrd(col("code"), col("d"), col("code")).as("code"))
+      val assigned = sv.join(winner, Seq("id", "sub"))
       assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))

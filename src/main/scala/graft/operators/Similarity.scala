@@ -332,13 +332,15 @@ object Similarity {
     */
   /** Final nearest-centroid assignment, smallest-cent_id tiebreak.
     * At ≤ [[VectorIndex.maxInlineCells]] centroids the cell is a
-    * PER-ROW argmax over the collected centroid array inlined as a
-    * plan literal ([[VectorIndex.inlineCellExpr]]) — no join, no
-    * aggregation, whole-stage codegen; the broadcast-join +
-    * `max_by(struct)` + `first(nv)` form (kept above the cap, where
-    * the literal would bloat the plan) pays the ObjectHashAggregate
-    * fallback over N × cells intermediate rows — measured 23.6 s vs
-    * 2.9 s for 200k vectors × 781 cells (SURVEY §6j). Both forms run
+    * PER-ROW argmax with the collected centroid table as a codegen
+    * REFERENCE OBJECT ([[VectorIndex.inlineCellExpr]] →
+    * [[graft.functions.NearestCellExpr]]) — no join, no aggregation,
+    * no plan literal, whole-stage codegen. The broadcast-join +
+    * `max_by(struct)` fallback above the cap aggregates SLIM
+    * (id, cs, cent_id) rows and re-joins nv by id — MaxBy's struct
+    * buffer forces SortAggregate, and its sort must never carry the
+    * vector payload (§6z: the pre-r16 `first(nv)` form sorted
+    * N × cells × ~4 KB and exhausted local disk). Both forms run
     * the same double comparisons, so cells are bit-equal (pinned in
     * VectorIndexSpec / StreamingVectorIndexSpec).
     */

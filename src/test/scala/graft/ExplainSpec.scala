@@ -596,6 +596,16 @@ class ExplainSpec extends SparkSpec {
       .incrementalSemanticDedup(spark, store, emb.where(col("vec_id") >= 80), threshold = 0.3)
       .queryExecution.executedPlan.toString
     assert(!pDedup.contains("CartesianProduct") && !pDedup.contains("BroadcastNestedLoopJoin"), pDedup)
+    // r16: the store side reaches the in-memory cell scorer through a
+    // left-semi join on the batch's touched cells — the partition
+    // filter must still prune dynamically (reads only touched cells'
+    // directories at any store size)
+    assert(pDedup.contains("dynamicpruningexpression"),
+      "dedup store scan must dynamically prune cell partitions: " + pDedup)
+    // and the pair stage is the collect_list + SemDedupCellExpr pass,
+    // never a payload-carrying self-join of the vector table
+    assert(pDedup.contains("semdedupcell") || pDedup.contains("SemDedupCell"),
+      "dedup must score cells in memory: " + pDedup)
   }
 
   test("gopher filter is a pure map-side projection: no exchange, no agg, one scan") {
