@@ -339,16 +339,21 @@ object VectorIndex {
       assignCells(normalized(newEmb, idCol, vecCol), cents),
       "vidx-dedup-assign",
     )
-    // The store side is pruned to the cells the batch touches via a
-    // semi-join on the partition column (dynamic partition pruning —
-    // pinned in ExplainSpec), then scored per cell by the shared
+    // The store scan is STATICALLY pruned to the cells the batch
+    // touches: the touched-cell list is bounded by the 65536-cell
+    // build cap (the same bounded-census collect maintainIndex uses),
+    // and an IN filter on the partition column prunes at planning
+    // time — strictly stronger than dynamic pruning, which never
+    // fired for a broadcast LeftSemi (no selective build-side filter;
+    // the pre-r16 equi-join had the same silent gap — the full store
+    // was scanned and filtered post-scan). Scoring is the shared
     // in-memory pass: each stored vector of a touched cell crosses
     // the wire ONCE, vs the pre-r16 pair join that shipped
     // Σ|cell_store|·|cell_new| rows × two d=512 f64 payloads — dead
     // on disk at 200k vectors (r15 row 20c, judge-reproduced).
-    val touched = newAssigned.select(col("cell")).distinct()
+    val touched = newAssigned.select(col("cell")).distinct().collect().map(_.getLong(0)).sorted
     val members = storedVectors(spark, dir)
-      .join(touched, Seq("cell"), "left_semi")
+      .where(col("cell").isin(touched: _*))
       .select(col("cell"), col("id"), lit(false).as("neu"), col("nv"))
       .unionByName(newAssigned.select(col("cell"), col("id"), lit(true).as("neu"), col("nv")))
     Similarity.cellDedupScores(members, threshold)

@@ -596,12 +596,12 @@ class ExplainSpec extends SparkSpec {
       .incrementalSemanticDedup(spark, store, emb.where(col("vec_id") >= 80), threshold = 0.3)
       .queryExecution.executedPlan.toString
     assert(!pDedup.contains("CartesianProduct") && !pDedup.contains("BroadcastNestedLoopJoin"), pDedup)
-    // r16: the store side reaches the in-memory cell scorer through a
-    // left-semi join on the batch's touched cells — the partition
-    // filter must still prune dynamically (reads only touched cells'
-    // directories at any store size)
-    assert(pDedup.contains("dynamicpruningexpression"),
-      "dedup store scan must dynamically prune cell partitions: " + pDedup)
+    // r16: the store scan is STATICALLY pruned to the batch's touched
+    // cells (bounded-census IN filter on the partition column —
+    // dynamic pruning never fired for the broadcast semi/equi joins
+    // here, so the full store was silently scanned pre-r16)
+    assert(pDedup.contains("INSET") || pDedup.contains(" IN ("),
+      "dedup store scan must carry a touched-cell partition filter: " + pDedup)
     // and the pair stage is the collect_list + SemDedupCellExpr pass,
     // never a payload-carrying self-join of the vector table
     assert(pDedup.contains("semdedupcell") || pDedup.contains("SemDedupCell"),
