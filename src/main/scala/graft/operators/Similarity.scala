@@ -591,7 +591,11 @@ object Similarity {
       val cents = (0 until kmeansIters).foldLeft(
         nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
       ) { (c, _) => kmeansRound(nv, c) }
-      (graft.sources.Checkpoint.tableGated(assignToCells(nv, cents), "semdedup-assign"), cents)
+      // NOT checkpointed since r16: the assignment had a materialize
+      // barrier because the pair SELF-JOIN consumed it twice; the
+      // in-memory cell scorer consumes it once, so the barrier was a
+      // pure corpus-sized parquet round-trip (~8 GB at 2M d=512)
+      (assignToCells(nv, cents), cents)
     } else twoLevelAssign(nv, cells, kmeansIters)
 
   /** D4-style semantic diversification (Tirumala et al. 2023's
@@ -695,10 +699,10 @@ object Similarity {
       )
       .groupBy(col("id"))
       .agg(max_by(col("fcell"), struct(col("cs"), -col("fine"))).as("cell"))
-    val assigned = graft.sources.Checkpoint.tableGated(
-      members.join(winner, Seq("id")).select(col("id"), col("nv"), col("cell")),
-      "semdedup-assign",
-    )
+    // no final materialize barrier (r16): downstream consumes the
+    // assignment once (the members table above holds the multi-pass
+    // barrier), so a checkpoint here was a corpus-sized round-trip
+    val assigned = members.join(winner, Seq("id")).select(col("id"), col("nv"), col("cell"))
     val cents = fcents.select(
       (col("coarse").cast("long") * finePer + col("fine")).as("cent_id"),
       col("cv"),

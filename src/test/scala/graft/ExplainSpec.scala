@@ -558,19 +558,21 @@ class ExplainSpec extends SparkSpec {
     assert(below.orderBy("id").collect().toSeq == above.orderBy("id").collect().toSeq)
   }
 
-  test("semantic dedup: checkpointed assignment feeds both pair sides, no cartesian") {
+  test("semantic dedup: one corpus pass into the in-memory cell scorer, no cartesian") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Similarity
       .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
       .queryExecution.executedPlan.toString
-    // the centroid cross join runs once INSIDE the assignment
-    // barrier; the visible plan must scan the materialized table —
-    // parquet above the size gate, localCheckpoint RDD below it —
-    // never re-derive assignments or cartesian the corpus
-    assert(
-      p.contains("graft-ckpt-semdedup-assign") || p.contains("Scan ExistingRDD"),
-      p)
+    // r16 shape: map-side NearestCellExpr assignment feeds ONE
+    // groupBy(cell) collect_list into SemDedupCellExpr — no pair
+    // self-join (the corpus appears in exactly one FileScan), no
+    // assignment checkpoint (single consumer since the join died),
+    // no cartesian, exactly one exchange (the cell grouping)
+    assert(p.contains("semdedupcell") || p.contains("SemDedupCell"), p)
+    assert("FileScan parquet".r.findAllIn(p).length == 1, "corpus must be scanned once: " + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "no pair self-join may remain: " + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
   }
 
   test("vector index: probe and dedup scans dynamically prune the cell partitions") {
