@@ -520,6 +520,159 @@ case class NearestCellExpr(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Two-level (coarse → fine) nearest-centroid cell id in ONE map-side
+  * pass: argmax over the coarse table picks a coarse position, then
+  * argmax over THAT position's fine-centroid segment yields the
+  * global cell id — ~(nCoarse + finePer) dots per row instead of
+  * `cells`, with both tables as codegen reference objects.
+  *
+  * This replaces the join-form two-level pipeline (members checkpoint
+  * → fine equi-join → slim SortAggregate argmax → payload re-join by
+  * id), whose cost at 2M d=512 vectors was two corpus-sized shuffles
+  * plus an 8 GB checkpoint round-trip — all for an assignment whose
+  * inputs (√cells coarse + cells fine centroids, ≤268 MB at the
+  * 65536-cell cap) fit in executor memory outright.
+  *
+  * Bit-compatible with the join form: the coarse compare is
+  * [[NearestCellExpr]]'s (highest dot, ±0.0 equal, NaN largest and
+  * self-equal, smallest cent_id on ties), the fine compare replicates
+  * `max_by(cell, struct(cs, -fine))` (ties keep the smallest fine
+  * index = the first row of the segment, which is stored in
+  * ascending fine order), and each dot is the [[DotProductExpr]]
+  * left-to-right f64 loop. Pinned against the join form in ScalaTest.
+  *
+  * `fineStart` has nCoarse+1 entries; coarse position c's fine rows
+  * are [fineStart(c), fineStart(c+1)) in `fineCells` (precomputed
+  * global cell ids) and `fineMat`. An empty segment (a coarse
+  * centroid that won no member, hence seeded no fines) falls back to
+  * cell = coarseId — unreachable when the expression is evaluated on
+  * the same corpus the seeds came from (a coarse cell that wins this
+  * row has ≥ 1 member, hence ≥ 1 fine seed).
+  */
+case class NearestFineExpr(
+    child: Expression,
+    coarseIds: Array[Long],
+    coarseMat: Array[Double],
+    fineCells: Array[Long],
+    fineMat: Array[Double],
+    fineStart: Array[Int],
+    dim: Int,
+) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(
+    coarseIds.nonEmpty && coarseMat.length == coarseIds.length * dim
+      && fineStart.length == coarseIds.length + 1
+      && fineMat.length == fineCells.length * dim,
+    "aligned coarse/fine centroid tables",
+  )
+
+  override def dataType: DataType = LongType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"nearest fine cell needs array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val lf = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    val vv = new Array[Double](n)
+    var j = 0
+    while (j < n) { vv(j) = if (lf) v.getFloat(j).toDouble else v.getDouble(j); j += 1 }
+    var bestC = 0
+    var bestS = 0.0
+    var c = 0
+    while (c < coarseIds.length) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vv(i) * coarseMat(base + i); i += 1 }
+      val cmp = if (s == bestS) 0 else java.lang.Double.compare(s, bestS)
+      if (c == 0 || cmp > 0 || (cmp == 0 && coarseIds(c) < coarseIds(bestC))) { bestS = s; bestC = c }
+      c += 1
+    }
+    val lo = fineStart(bestC)
+    val hi = fineStart(bestC + 1)
+    if (lo >= hi) return coarseIds(bestC)
+    var bestF = lo
+    var bestFs = 0.0
+    var f = lo
+    while (f < hi) {
+      val base = f * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vv(i) * fineMat(base + i); i += 1 }
+      val cmp = if (s == bestFs) 0 else java.lang.Double.compare(s, bestFs)
+      if (f == lo || cmp > 0) { bestFs = s; bestF = f } // ties keep first = smallest fine
+      f += 1
+    }
+    fineCells(bestF)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cIds = ctx.addReferenceObj("nfCoarseIds", coarseIds, "long[]")
+    val cMat = ctx.addReferenceObj("nfCoarseMat", coarseMat, "double[]")
+    val fCells = ctx.addReferenceObj("nfFineCells", fineCells, "long[]")
+    val fMat = ctx.addReferenceObj("nfFineMat", fineMat, "double[]")
+    val fStart = ctx.addReferenceObj("nfFineStart", fineStart, "int[]")
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      v => {
+        val vv = ctx.freshName("vv")
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val s = ctx.freshName("s")
+        val base = ctx.freshName("base")
+        val bestC = ctx.freshName("bestC")
+        val bestS = ctx.freshName("bestS")
+        val cmp = ctx.freshName("cmp")
+        val lo = ctx.freshName("lo")
+        val hi = ctx.freshName("hi")
+        val f = ctx.freshName("f")
+        val bestF = ctx.freshName("bestF")
+        val bestFs = ctx.freshName("bestFs")
+        s"""
+           |int $n = java.lang.Math.min($v.numElements(), $dim);
+           |double[] $vv = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) { $vv[$i] = (double) $v.$get($i); }
+           |int $bestC = 0;
+           |double $bestS = 0.0;
+           |for (int $c = 0; $c < ${coarseIds.length}; $c++) {
+           |  int $base = $c * $dim;
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) { $s += $vv[$i] * $cMat[$base + $i]; }
+           |  int $cmp = ($s == $bestS) ? 0 : java.lang.Double.compare($s, $bestS);
+           |  if ($c == 0 || $cmp > 0 || ($cmp == 0 && $cIds[$c] < $cIds[$bestC])) { $bestS = $s; $bestC = $c; }
+           |}
+           |int $lo = $fStart[$bestC];
+           |int $hi = $fStart[$bestC + 1];
+           |if ($lo >= $hi) {
+           |  ${ev.value} = $cIds[$bestC];
+           |} else {
+           |  int $bestF = $lo;
+           |  double $bestFs = 0.0;
+           |  for (int $f = $lo; $f < $hi; $f++) {
+           |    int $base = $f * $dim;
+           |    double $s = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) { $s += $vv[$i] * $fMat[$base + $i]; }
+           |    int $cmp = ($s == $bestFs) ? 0 : java.lang.Double.compare($s, $bestFs);
+           |    if ($f == $lo || $cmp > 0) { $bestFs = $s; $bestF = $f; }
+           |  }
+           |  ${ev.value} = $fCells[$bestF];
+           |}
+           |""".stripMargin
+      },
+    )
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** SemDeDup scoring of ONE cell, in memory: the input is a cell's
   * member list `array<struct<id: long, neu: boolean,
   * nv: array<double>>>`; the output is, for every `neu` member b, its
@@ -556,7 +709,7 @@ case class NearestCellExpr(
   * rows at the default), with the k²·d work in compiled Scala — the
   * per-row interpreted-call overhead is noise.
   */
-case class SemDedupCellExpr(child: Expression, threshold: Double)
+case class SemDedupCellExpr(child: Expression, threshold: Double, normalize: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -569,12 +722,31 @@ case class SemDedupCellExpr(child: Expression, threshold: Double)
     containsNull = false,
   )
 
+  /** With `normalize = true`, member vectors arrive RAW (float or
+    * double) — half the shuffle bytes of the f64 normalized copy at
+    * float input, and the shuffle of this expression's input IS the
+    * operator's dominant cost at scale (jstack: shuffle-write-bound
+    * at 2M d=512) — and each member is normalized here, once, with
+    * [[NormalizeExpr]]'s exact arithmetic (f64 Σx² left-to-right,
+    * per-element /√), so scores are bit-identical to pre-normalized
+    * input.
+    */
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(StructType(fields), _) =>
+      fields(2).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val ms = a.asInstanceOf[ArrayData]
     val n = ms.numElements()
     val ids = new Array[Long](n)
     val neu = new Array[Boolean](n)
     val vecs = new Array[Array[Double]](n)
+    val lf = elemIsFloat
     var i = 0
     while (i < n) {
       val r = ms.getStruct(i, 3)
@@ -584,7 +756,15 @@ case class SemDedupCellExpr(child: Expression, threshold: Double)
       val d = v.numElements()
       val arr = new Array[Double](d)
       var k = 0
-      while (k < d) { arr(k) = v.getDouble(k); k += 1 }
+      while (k < d) { arr(k) = if (lf) v.getFloat(k).toDouble else v.getDouble(k); k += 1 }
+      if (normalize) {
+        var s2 = 0.0
+        k = 0
+        while (k < d) { val x = arr(k); s2 += x * x; k += 1 }
+        val nrm = math.sqrt(s2)
+        k = 0
+        while (k < d) { arr(k) = arr(k) / nrm; k += 1 }
+      }
       vecs(i) = arr
       i += 1
     }
@@ -666,14 +846,28 @@ object VectorExprs {
 
   /** In-memory SemDeDup verdicts for one cell's member list
     * (array<struct<id, neu, nv>> → array<struct<id, dup_of,
-    * max_sim>> for the neu members).
+    * max_sim>> for the neu members); `normalize` when nv is raw.
     */
-  def semDedupCellNative(members: Column, threshold: Double): Column =
-    toColumn(SemDedupCellExpr(toExpression(members), threshold))
+  def semDedupCellNative(members: Column, threshold: Double, normalize: Boolean = false): Column =
+    toColumn(SemDedupCellExpr(toExpression(members), threshold, normalize))
 
   /** Map-side nearest-centroid assignment against a fixed centroid
     * table (ids + flat row-major matrix as codegen reference objects).
     */
   def nearestCellNative(v: Column, centIds: Array[Long], cents: Array[Double], dim: Int): Column =
     toColumn(NearestCellExpr(toExpression(v), centIds, cents, dim))
+
+  /** Map-side two-level (coarse → fine) cell assignment; see
+    * [[NearestFineExpr]].
+    */
+  def nearestFineNative(
+      v: Column,
+      coarseIds: Array[Long],
+      coarseMat: Array[Double],
+      fineCells: Array[Long],
+      fineMat: Array[Double],
+      fineStart: Array[Int],
+      dim: Int,
+  ): Column =
+    toColumn(NearestFineExpr(toExpression(v), coarseIds, coarseMat, fineCells, fineMat, fineStart, dim))
 }

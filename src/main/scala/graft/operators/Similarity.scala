@@ -523,10 +523,17 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.max(16, (emb.count() / 256L).min(Int.MaxValue.toLong).toInt)
-    val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-      .select(col("id"), col("nv"))
-    val (assigned, _) = cellPartition(nv, cells, kmeansIters)
-    cellDedupScores(assigned.select(col("cell"), col("id"), lit(true).as("neu"), col("nv")), threshold)
+    val (assigned, _) =
+      cellPartition(emb.select(col(idCol).as("id"), col(vecCol).as("v")), cells, kmeansIters)
+    // the grouping shuffle ships the RAW vector (half the bytes of
+    // the f64 normalized copy at float input — the shuffle is this
+    // operator's dominant cost at 2M d=512, jstack-measured §6z);
+    // the scorer normalizes each member once, bit-equal
+    cellDedupScores(
+      assigned.select(col("cell"), col("id"), lit(true).as("neu"), col("vec").as("nv")),
+      threshold,
+      normalize = true,
+    )
   }
 
   /** In-cell keep-first duplicate verdicts WITHOUT materializing pair
@@ -548,14 +555,24 @@ object Similarity {
     *
     * `members`: (cell, id, neu, nv); verdicts are emitted for `neu`
     * rows, candidates range over ALL lower-id rows of the cell.
+    * `normalize = true` when nv holds RAW vectors (the scorer then
+    * applies the NormalizeExpr arithmetic per member — bit-equal to
+    * shipping the f64 normalized copy at half the shuffle bytes for
+    * float input); false when nv is already the normalized f64 copy
+    * (the incremental store format).
     */
-  private[operators] def cellDedupScores(members: DataFrame, threshold: Double): DataFrame =
+  private[operators] def cellDedupScores(
+      members: DataFrame,
+      threshold: Double,
+      normalize: Boolean = false,
+  ): DataFrame =
     members
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("id"), col("neu"), col("nv"))).as("ms"))
       .select(
         col("cell"),
-        explode(graft.functions.VectorExprs.semDedupCellNative(col("ms"), threshold)).as("r"),
+        explode(graft.functions.VectorExprs.semDedupCellNative(col("ms"), threshold, normalize))
+          .as("r"),
       )
       .select(
         col("r.id").as("vec_id"),
@@ -574,29 +591,44 @@ object Similarity {
     */
   private[graft] val directAssignMax = 4096
 
-  /** Cell partition of a normalized corpus: returns (assignments
-    * (id, nv, cell), centroids (cent_id, cv)) by the path matching
-    * the cell count — the single-level broadcast argmax at
-    * ≤[[directAssignMax]] (seeds = the `cells` smallest ids — NOT
-    * `id < cells`, which is empty when the id space is sparse or
-    * offset; identical on dense 0-based corpora, so the pinned
-    * oracles are unchanged), the coarse/fine split above it.
+  /** Cell partition of a RAW vector table (id, v): returns
+    * (assignments (id, vec, cell) — `vec` is the raw vector in its
+    * source element type, never the f64 copy — and centroids
+    * (cent_id, cv)) by the path matching the cell count: single-level
+    * map-side argmax at ≤[[directAssignMax]] (seeds = the `cells`
+    * smallest ids — NOT `id < cells`, which is empty when the id
+    * space is sparse or offset; identical on dense 0-based corpora,
+    * so the pinned oracles are unchanged), the coarse/fine split
+    * above it. Normalization happens INSIDE the assignment
+    * expressions ([[graft.functions.NormalizeExpr]] feeding the
+    * argmax — bit-equal to materializing the f64 copy), so assignment
+    * is one map pass over the raw scan and downstream shuffles ship
+    * raw bytes. NOT checkpointed since r16: the materialize barrier
+    * existed for the pair SELF-JOIN's two-sided read; the in-memory
+    * cell scorer consumes the assignment once.
     */
   private def cellPartition(
-      nv: DataFrame,
+      raw: DataFrame,
       cells: Int,
       kmeansIters: Int,
-  ): (DataFrame, DataFrame) =
+  ): (DataFrame, DataFrame) = {
+    val nv = withNormalized(raw, "v", "nv").select(col("id"), col("nv"))
     if (cells <= directAssignMax) {
       val cents = (0 until kmeansIters).foldLeft(
         nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
       ) { (c, _) => kmeansRound(nv, c) }
-      // NOT checkpointed since r16: the assignment had a materialize
-      // barrier because the pair SELF-JOIN consumed it twice; the
-      // in-memory cell scorer consumes it once, so the barrier was a
-      // pure corpus-sized parquet round-trip (~8 GB at 2M d=512)
-      (assignToCells(nv, cents), cents)
-    } else twoLevelAssign(nv, cells, kmeansIters)
+      val arr: Seq[(Long, Seq[Double])] = cents.collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val assigned = raw.select(
+        col("id"),
+        col("v").as("vec"),
+        VectorIndex
+          .inlineCellExpr(arr, graft.functions.VectorExprs.normalizeNative(col("v")))
+          .as("cell"),
+      )
+      (assigned, cents)
+    } else twoLevelAssign(raw, nv, cells, kmeansIters)
+  }
 
   /** D4-style semantic diversification (Tirumala et al. 2023's
     * SSL-prototypes step, the companion of [[semanticDedup]] in the
@@ -628,14 +660,17 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.max(16, (emb.count() / 256L).min(Int.MaxValue.toLong).toInt)
-    val nv = withNormalized(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "nv")
-      .select(col("id"), col("nv"))
-    val (assigned, cents) = cellPartition(nv, cells, kmeansIters)
+    val (assigned, cents) =
+      cellPartition(emb.select(col(idCol).as("id"), col(vecCol).as("v")), cells, kmeansIters)
     val wCell = Window.partitionBy(col("cell")).orderBy(col("proto_sim").desc, col("id"))
     val wN = Window.partitionBy(col("cell"))
     assigned
       .join(cents, col("cell") === col("cent_id"))
-      .withColumn("proto_sim", dotNorm(col("nv"), col("cv")))
+      // vec is RAW — normalize inline (bit-equal to the f64 copy)
+      .withColumn(
+        "proto_sim",
+        dotNorm(graft.functions.VectorExprs.normalizeNative(col("vec")), col("cv")),
+      )
       .withColumn("proto_rank", row_number().over(wCell))
       .withColumn("__n", count(lit(1)).over(wN))
       .select(
@@ -660,49 +695,102 @@ object Similarity {
     * assignment is the same coarse-key equi-join, so no round is ever
     * N·cells work).
     */
-  private def twoLevelAssign(nv: DataFrame, cells: Int, kmeansIters: Int): (DataFrame, DataFrame) = {
+  private def twoLevelAssign(
+      raw: DataFrame,
+      nv: DataFrame,
+      cells: Int,
+      kmeansIters: Int,
+  ): (DataFrame, DataFrame) = {
     val coarse = math.max(16, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val finePer = math.max(1, math.ceil(cells.toDouble / coarse).toInt)
     val ccents = (0 until kmeansIters).foldLeft(
       nv.orderBy(col("id")).limit(coarse).select(col("id").as("cent_id"), col("nv").as("cv"))
     ) { (c, _) => kmeansRound(nv, c) }
-    // coarse label per vector — fully MAP-SIDE: √cells ≤ 256
-    // centroids ride as a codegen reference object through the shared
-    // per-row argmax (assignToCells), no join and no aggregation. The
-    // pre-r16 broadcast-join + agg(first(nv), max_by) form planned as
-    // SortAggregate (array-buffered First is never hash-able) and its
-    // sort carried N × √cells rows × the 4 KB payload — a judged
-    // scale-killer at fd sf100 (§6z). Checkpointed because every fine
-    // round AND the final assignment re-scan it.
-    val members = graft.sources.Checkpoint.tableGated(
-      assignToCells(nv, ccents).withColumnRenamed("cell", "coarse"),
-      "semdedup-coarse",
-    )
+    // the coarse table is tiny (≤256 rows) and the fine table is
+    // bounded by the 65536-cell cap (≤268 MB at d=512) — BOTH fit as
+    // codegen reference objects, so the whole two-level assignment is
+    // ONE map-side pass ([[graft.functions.NearestFineExpr]]). The
+    // join-form pipeline this replaces (corpus-sized members
+    // checkpoint → fine equi-join → slim SortAggregate argmax →
+    // payload re-join by id) moved the corpus through two shuffles
+    // and an 8 GB round-trip at 2M d=512 — for an assignment whose
+    // parameters fit in memory outright (§6z).
+    val ccLocal = ccents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val coarseExpr = VectorIndex.inlineCellExpr(ccLocal.toSeq, col("nv"))
     // fine seeds: per coarse cell, its `finePer` smallest member ids
-    // (deterministic, non-empty for every non-empty coarse cell)
+    // (deterministic, non-empty for every non-empty coarse cell).
+    // The seed-rank window runs over SLIM (id, coarse) labels —
+    // ~16 B/row instead of the 4 KB payload — and seed vectors are
+    // fetched by broadcasting the cells-bounded slim winners against
+    // the corpus (map-side, no corpus shuffle).
+    val labels = nv.select(col("id"), coarseExpr.as("coarse"))
     val wCell = Window.partitionBy(col("coarse")).orderBy(col("id"))
-    val seeds = members
+    val seedSlim = labels
       .withColumn("r", row_number().over(wCell))
       .where(col("r") <= finePer)
+    val seeds = nv
+      .join(broadcast(seedSlim), Seq("id"))
       .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
-    val fcents = (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) }
-    // fine argmax over SLIM rows only (id, fine, cs — the MaxBy
-    // SortAggregate sorts ~24 B/row, linear × √cells, never the nv
-    // payload, §6z); nv re-joins from the checkpointed members by id
-    val winner = members
-      .join(fcents, Seq("coarse"))
-      .select(
-        col("id"),
-        col("fine"),
-        (col("coarse").cast("long") * finePer + col("fine")).as("fcell"),
-        dotNorm(col("nv"), col("cv")).as("cs"),
-      )
-      .groupBy(col("id"))
-      .agg(max_by(col("fcell"), struct(col("cs"), -col("fine"))).as("cell"))
-    // no final materialize barrier (r16): downstream consumes the
-    // assignment once (the members table above holds the multi-pass
-    // barrier), so a checkpoint here was a corpus-sized round-trip
-    val assigned = members.join(winner, Seq("id")).select(col("id"), col("nv"), col("cell"))
+    // fine k-means rounds (if any) keep the join machinery; members
+    // recompute the slim coarse label inline — map-side, no barrier
+    def members = nv.select(col("id"), col("nv"), coarseExpr.as("coarse"))
+    val fcents = graft.sources.Checkpoint.tableGated(
+      (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) },
+      "semdedup-fcents",
+    )
+    // assemble the per-coarse fine segments in ccLocal position order,
+    // ascending fine index within a segment (the tie order). The fine
+    // table fits a reference object up to the 65536-cell cap (≤268 MB
+    // at d=512); past it (explicit huge nCells) the join-form argmax
+    // remains, slim per the §6z byte rule, re-joining the RAW vector.
+    val assigned =
+      if (cells <= VectorIndex.maxInlineCells) {
+        val fLocal = fcents
+          .select(col("coarse"), col("fine"), col("cv"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+        val byCoarse = fLocal.groupBy(_._1)
+        val dim = ccLocal.head._2.length
+        val coarseIds = ccLocal.map(_._1)
+        val coarseMat = ccLocal.flatMap(_._2)
+        val fineStart = new Array[Int](coarseIds.length + 1)
+        val fineCellsB = Array.newBuilder[Long]
+        val fineMatB = Array.newBuilder[Double]
+        var pos = 0
+        coarseIds.zipWithIndex.foreach { case (cid, ci) =>
+          fineStart(ci) = pos
+          byCoarse
+            .getOrElse(cid, Array.empty[(Long, Int, Seq[Double])])
+            .sortBy(_._2)
+            .foreach { case (_, fine, cv) =>
+              fineCellsB += cid * finePer + fine
+              fineMatB ++= cv
+              pos += 1
+            }
+        }
+        fineStart(coarseIds.length) = pos
+        raw.select(
+          col("id"),
+          col("v").as("vec"),
+          graft.functions.VectorExprs
+            .nearestFineNative(
+              graft.functions.VectorExprs.normalizeNative(col("v")),
+              coarseIds, coarseMat, fineCellsB.result(), fineMatB.result(), fineStart, dim)
+            .as("cell"),
+        )
+      } else {
+        val winner = members
+          .join(fcents, Seq("coarse"))
+          .select(
+            col("id"),
+            col("fine"),
+            (col("coarse").cast("long") * finePer + col("fine")).as("fcell"),
+            dotNorm(col("nv"), col("cv")).as("cs"),
+          )
+          .groupBy(col("id"))
+          .agg(max_by(col("fcell"), struct(col("cs"), -col("fine"))).as("cell"))
+        raw.join(winner, Seq("id")).select(col("id"), col("v").as("vec"), col("cell"))
+      }
     val cents = fcents.select(
       (col("coarse").cast("long") * finePer + col("fine")).as("cent_id"),
       col("cv"),
