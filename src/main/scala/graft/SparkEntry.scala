@@ -1143,7 +1143,20 @@ object SparkEntry {
         sum(when(col("vec_id") >= 10000000L && col("is_dup") === 1
               && col("max_sim") <= lit(0.9999), 1L).otherwise(0L))
           .as("n_low_sim"),
-        when(countDistinct(col("cell")).between(1L, 8192L), 1L).otherwise(0L)
+        // bound = the implementation's ACTUAL cell-id space, from the
+        // same formulas as twoLevelAssign: coarse = max(16, ⌈√8192⌉)
+        // = 91, finePer = ⌈8192/91⌉ = 91 → up to 91·91 = 8281 distinct
+        // populated cells (twoLevelAssign overshoots the nCells target
+        // by up to ⌈√n⌉²). The pre-r17 bound of 8192 passed only while
+        // the gate corpus left >89 cells empty — at sf1+ it would
+        // falsely fail (r16 advice).
+        when(
+          countDistinct(col("cell")).between(
+            1L, {
+              val coarse = math.max(16, math.ceil(math.sqrt(8192.0)).toInt)
+              (coarse.toLong * math.max(1, math.ceil(8192.0 / coarse).toInt))
+            }),
+          1L).otherwise(0L)
           .as("cells_bounded"),
         // a populated cell id > 4096 proves the coarse·finePer + fine
         // two-level encoding was in play

@@ -752,64 +752,43 @@ case class SemDedupCellExpr(child: Expression, threshold: Double, normalize: Boo
       val r = ms.getStruct(i, 3)
       ids(i) = r.getLong(0)
       neu(i) = r.getBoolean(1)
-      val v = r.getArray(2)
-      val d = v.numElements()
-      val arr = new Array[Double](d)
-      var k = 0
-      while (k < d) { arr(k) = if (lf) v.getFloat(k).toDouble else v.getDouble(k); k += 1 }
-      if (normalize) {
-        var s2 = 0.0
-        k = 0
-        while (k < d) { val x = arr(k); s2 += x * x; k += 1 }
-        val nrm = math.sqrt(s2)
-        k = 0
-        while (k < d) { arr(k) = arr(k) / nrm; k += 1 }
+      // a null vector or any null element makes the member
+      // NON-SCORING (vecs(i) = null): the join form's dotNorm / the
+      // HOF dot returns null there, which never reaches >= threshold
+      // — so such a member is excluded from every candidate set and,
+      // if neu, emitted as a keeper. Decoding a null element as 0.0
+      // (the pre-r17 behavior) silently mis-scored it instead.
+      if (!r.isNullAt(2)) {
+        val v = r.getArray(2)
+        val d = v.numElements()
+        val arr = new Array[Double](d)
+        var k = 0
+        var anyNull = false
+        while (k < d) {
+          if (v.isNullAt(k)) { anyNull = true; k = d }
+          else { arr(k) = if (lf) v.getFloat(k).toDouble else v.getDouble(k); k += 1 }
+        }
+        if (!anyNull) {
+          if (normalize) SemDedupKernel.normalizeInPlace(arr)
+          vecs(i) = arr
+        }
       }
-      vecs(i) = arr
       i += 1
     }
-    // ascending id: member b's candidate set is exactly the members
-    // before it (collect_list order is nondeterministic; results are
-    // order-free after this sort)
-    val ord = Array.range(0, n).sortBy(ids(_))
-    val out = new Array[Any](n)
-    var nOut = 0
-    var bi = 0
-    while (bi < n) {
-      val b = ord(bi)
-      if (neu(b)) {
-        val vb = vecs(b)
-        var dupOf = -1L
-        var maxSim = 0.0
-        var ai = 0
-        while (ai < bi) {
-          val a = ord(ai)
-          val va = vecs(a)
-          val d = math.min(va.length, vb.length)
-          var s = 0.0
-          var k = 0
-          while (k < d) { s += va(k) * vb(k); k += 1 }
-          // Spark SQL comparison/max semantics: NaN is larger than
-          // any value (nan-safe ordering), so a NaN score qualifies
-          // and dominates max_sim — degenerate (zero-norm) vectors
-          // behave exactly as in the join form
-          if (s >= threshold || java.lang.Double.isNaN(s)) {
-            if (dupOf < 0) { dupOf = ids(a); maxSim = s } // first hit = min id
-            else if (s > maxSim || java.lang.Double.isNaN(s)) maxSim = s
-          }
-          ai += 1
-        }
-        out(nOut) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          if (dupOf < 0) Array[Any](ids(b), null, null)
-          else Array[Any](ids(b), dupOf, maxSim)
-        )
-        nOut += 1
-      }
-      bi += 1
+    // the shared kernel: ascending-id candidate rule, found-flag
+    // verdicts, NaN/threshold comparisons — one implementation for
+    // this expression and the streamed cell-scoring form
+    val v = SemDedupKernel.verdicts(ids, neu, vecs, n, threshold)
+    val out = new Array[Any](v.nOut)
+    var j = 0
+    while (j < v.nOut) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        if (!v.found(j)) Array[Any](v.ids(j), null, null)
+        else Array[Any](v.ids(j), v.dupOf(j), v.maxSim(j))
+      )
+      j += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      if (nOut == n) out else java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], nOut)
-    )
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -19,10 +19,11 @@ import graft.functions.VectorExprs
   * PqAdcExpr — instead of a full dim-length arithmetic pass.
   *
   * Codebooks: deterministic seeds (subvectors of the first k vectors)
-  * refined by `iters` Lloyd rounds, all as DataFrame ops keyed by
-  * subspace: one broadcast-join assignment + one posexplode/avg per
-  * round, shuffles of (m·k·subDim) cardinality. iters=0 (pure seeds)
-  * is the SQL-oracle-able configuration; training is a front-loaded,
+  * refined by `iters` Lloyd rounds: one broadcast-join assignment +
+  * one primitive vector-sum pass ([[VectorAgg.sumByKey]], r17 — the
+  * posexplode/avg form hash-aggregated N·dim exploded rows per
+  * round) with the mean tree op-for-op. iters=0 (pure seeds) is the
+  * SQL-oracle-able configuration; training is a front-loaded,
   * reusable artifact either way.
   *
   * All distance arithmetic is left-to-right f64 (L2SqExpr), matching
@@ -82,14 +83,21 @@ object Pq {
         .groupBy(col("id"), col("sub"))
         .agg(graft.functions.OrderedAgg.firstByOrd(col("code"), col("d"), col("code")).as("code"))
       val assigned = sv.join(winner, Seq("id", "sub"))
-      assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("mu"))
-        .groupBy(col("sub"), col("code"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("pos"), col("mu")))), s => s.getField("mu"))
-            .as("cv")
+      // codebook means via the primitive sum kernel (r17, same move
+      // as Similarity.kmeansRound: the posexplode/avg form hash-
+      // aggregated N·dim (key, pos, x) rows per iter). Key packs
+      // (sub, code) — both in [0, m)×[0, k) by construction. The
+      // mean Column tree (`Σ/n`, null where no non-null element)
+      // matches avg op-for-op; m·k ≤ a few hundred keys, so the
+      // driver buffers are KBs.
+      val sums = VectorAgg.sumByKey(
+        assigned.select((col("sub").cast("long") * k + col("code")).as("kk"), col("sv")))
+      VectorAgg
+        .sumsToDF(emb.sparkSession, sums)
+        .select(
+          floor(col("k") / k).cast("int").as("sub"),
+          (col("k") % k).cast("int").as("code"),
+          VectorAgg.meanCol(col("s"), col("c")).as("cv"),
         )
     }
   }

@@ -270,12 +270,11 @@ object Similarity {
     * nProbe/nCells of the corpus.
     *
     * Centroids: deterministic seed-selection (the first `nCells`
-    * vectors) refined by `kmeansIters` rounds of spherical k-means,
-    * entirely as DataFrame ops — assignment is a broadcast join +
-    * max_by partial aggregation, means are a posexplode/avg
-    * aggregation, so each round is two shuffles of (cell, dim)
-    * cardinality, never a driver loop over vectors. Cells that lose
-    * all members drop out (standard k-means shrinkage).
+    * vectors) refined by `kmeansIters` rounds of spherical k-means
+    * ([[kmeansRound]]: inline-argmax assignment + one primitive
+    * vector-sum pass per round, no shuffle inside the inline gate).
+    * Cells that lose all members drop out (standard k-means
+    * shrinkage).
     *
     * nCells = 0 derives √N cells (the classic IVF balance point:
     * probe cost ≈ cell size ≈ √N) from a metadata-cheap count.
@@ -326,10 +325,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
   }
 
-  /** One spherical k-means round: assign each vector to its nearest
-    * centroid (broadcast join + max_by partial agg), average members
-    * per cell per dimension, re-normalize the means onto the sphere.
-    */
   /** Final nearest-centroid assignment, smallest-cent_id tiebreak.
     * At ≤ [[VectorIndex.maxInlineCells]] centroids the cell is a
     * PER-ROW argmax with the collected centroid table as a codegen
@@ -345,12 +340,16 @@ object Similarity {
     * VectorIndexSpec / StreamingVectorIndexSpec).
     */
   private[operators] def assignToCells(nv: DataFrame, cents: DataFrame): DataFrame = {
-    val local = cents.take(VectorIndex.maxInlineCells + 1)
-    if (local.length <= VectorIndex.maxInlineCells) {
-      val arr: Seq[(Long, Seq[Double])] =
-        local.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
-      nv.select(col("id"), col("nv"), VectorIndex.inlineCellExpr(arr, col("nv")).as("cell"))
-    } else {
+    VectorIndex.collectCentroidsInline(cents.select(col("cent_id"), col("cv"))) match {
+      case Some((ids, mat, dim)) =>
+        nv.select(col("id"), col("nv"), VectorIndex.inlineCellExpr(ids, mat, dim, col("nv")).as("cell"))
+      case None =>
+        assignToCellsJoin(nv, cents)
+    }
+  }
+
+  private def assignToCellsJoin(nv: DataFrame, cents: DataFrame): DataFrame = {
+    {
       // beyond the reference-object cap: the argmax agg joins and
       // aggregates SLIM (id, cs, cent_id) rows only — First/MaxBy
       // buffers force SortAggregate, and its sort must never carry
@@ -365,22 +364,61 @@ object Similarity {
     }
   }
 
+  /** One spherical k-means round. Assignment is the shared
+    * [[assignToCells]]; the centroid means run through
+    * [[VectorAgg.sumByKey]] — ONE primitive-buffer pass over the
+    * corpus, no posexplode (the r16-named 40-60 s/round term: the
+    * explode form hash-aggregated N·d (cell, pos, x) rows, ~2×10⁹
+    * per round at 2M×d512). The mean/normalize Column tree is
+    * op-for-op the explode form's (`avg` = Σ/n in the same
+    * per-partition row order, null where a position had no non-null
+    * contributions; then √Σm² and the per-element divide), so
+    * refined centroids match to the partial-merge-order ulp — the
+    * same nondeterminism class both forms always had.
+    *
+    * Past the inline gate ([[VectorIndex.maxInlineCells]] /
+    * [[VectorIndex.maxInlineBytes]] — where the driver could not hold
+    * keys × dim sums anyway) the distributed explode form remains.
+    *
+    * NOTE: the fast path is EAGER (the sum pass runs at call time);
+    * callers fold rounds sequentially, which is also what the lazy
+    * form's checkpoint gates forced.
+    */
   private[operators] def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
-    // the shared assignment (inline argmax ≤4096 cells — each round's
-    // N × cells object-agg was the dominant k-means cost); identical
-    // cells, so refined centroids are bit-equal to the old form
-    val assigned = assignToCells(nv, cents)
-    val means = assigned
-      .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m"),
-        ).as("mv")
-      )
+    VectorIndex.collectCentroidsInline(cents.select(col("cent_id"), col("cv"))) match {
+      case Some((ids, mat, dim)) =>
+        val assigned = nv.select(
+          VectorIndex.inlineCellExpr(ids, mat, dim, col("nv")).as("cell"),
+          col("nv"),
+        )
+        val sums = VectorAgg.sumByKey(assigned)
+        normalizeMeans(
+          VectorAgg.sumsToDF(nv.sparkSession, sums)
+            .select(col("k").as("cell"), VectorAgg.meanCol(col("s"), col("c")).as("mv"))
+        )
+      case None =>
+        val assigned = assignToCellsJoin(nv, cents)
+        normalizeMeans(
+          assigned
+            .select(col("cell"), posexplode(col("nv")).as(Seq("pos", "x")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(avg(col("x")).as("m"))
+            .groupBy(col("cell"))
+            .agg(
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("m")))),
+                s => s.getField("m"),
+              ).as("mv")
+            )
+        )
+    }
+  }
+
+  /** The shared mean→sphere tail of every k-means round: √Σm², drop
+    * zero-norm cells, per-element divide — unchanged from the explode
+    * form (op-for-op, oracle-compatible).
+    */
+  private def normalizeMeans(means: DataFrame): DataFrame =
     means
       .withColumn("__nrm", sqrt(dot(col("mv"), col("mv"))))
       .where(col("__nrm") > 0)
@@ -388,7 +426,6 @@ object Similarity {
         col("cell").as("cent_id"),
         transform(col("mv"), x => x / col("__nrm")).as("cv"),
       )
-  }
 
   /** Embedding near-duplicate pairs: sharing an LSH bucket in any
     * table and cosine above `threshold`.
@@ -536,6 +573,58 @@ object Similarity {
     )
   }
 
+  /** [[semanticDedup]] with its phases materialized and timed — the
+    * buildIndexStaged pattern (r16 verdict #1: the ~34× sf10→sf100
+    * step needed a stage account, not a guess). The driver-eager
+    * phases (coarse rounds, centroid/seed collects, fine rounds)
+    * report through the cellPartition hook; the residual lazy plan is
+    * split by ONE extra parquet barrier into `assign_materialize`
+    * (normalize + two-level argmax, corpus map pass + write) and
+    * `score` (cell exchange + sort + kernel). The barrier is probe
+    * overhead the production query doesn't pay — stage sums sit above
+    * the solo query time by about the assignment parquet round-trip;
+    * the solo-3× medians stay the headline numbers.
+    */
+  private[graft] def semanticDedupStaged(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      nCells: Int = 0,
+      kmeansIters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      scoreStreamed: Boolean = cellScoreStreamedDefault,
+  ): Seq[(String, Double)] = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stages += ((name, (System.nanoTime() - t0) / 1e9))
+      r
+    }
+    val cells = timed("count_cells") {
+      if (nCells > 0) nCells
+      else math.max(16, (emb.count() / 256L).min(Int.MaxValue.toLong).toInt)
+    }
+    val (assigned, _) = cellPartition(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")),
+      cells,
+      kmeansIters,
+      hook = (n, s) => stages += ((n, s)),
+    )
+    val members = timed("assign_materialize") {
+      graft.sources.Checkpoint.tableGated(
+        assigned.select(col("cell"), col("id"), lit(true).as("neu"), col("vec").as("nv")),
+        "semstage-assign",
+        maxBytes = 0L, // always parquet: the barrier IS the stage split
+      )
+    }
+    timed(if (scoreStreamed) "score_streamed" else "score_agg") {
+      cellDedupScores(members, threshold, normalize = true, streamed = scoreStreamed)
+        .write.format("noop").mode("overwrite").save()
+    }
+    stages.toSeq
+  }
+
   /** In-cell keep-first duplicate verdicts WITHOUT materializing pair
     * rows: one groupBy(cell) shuffle moves each vector's payload once
     * (~corpus bytes), then [[graft.functions.SemDedupCellExpr]] runs
@@ -565,6 +654,25 @@ object Similarity {
       members: DataFrame,
       threshold: Double,
       normalize: Boolean = false,
+      streamed: Boolean = cellScoreStreamedDefault,
+  ): DataFrame =
+    if (streamed) cellDedupScoresStreamed(members, threshold, normalize)
+    else cellDedupScoresAgg(members, threshold, normalize)
+
+  /** The r16 aggregation form: groupBy(cell).collect_list →
+    * [[graft.functions.SemDedupCellExpr]]. ObjectHashAggregate falls
+    * back to SORT-based aggregation past 128 distinct cells per task
+    * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) —
+    * at production cell counts that sorts the corpus's vector bytes
+    * in BOTH the partial and the final aggregate (§6z r17 A/B). Kept
+    * as the non-default form: its sort-based fallback is the
+    * spill-safe shape if a deployment's per-task memory cannot hold
+    * its share of cells.
+    */
+  private[graft] def cellDedupScoresAgg(
+      members: DataFrame,
+      threshold: Double,
+      normalize: Boolean = false,
   ): DataFrame =
     members
       .groupBy(col("cell"))
@@ -581,6 +689,48 @@ object Similarity {
         col("r.dup_of").as("dup_of"),
         col("r.max_sim").as("max_sim"),
       )
+
+  /** Default scoring shape — set by the r17 A/B (§6z). */
+  private[graft] val cellScoreStreamedDefault: Boolean = true
+
+  /** The streamed scoring form: [[graft.plans.CellScorePlan]] — a
+    * custom physical operator whose requirements
+    * (ClusteredDistribution(cell) + ascending cell ordering) Catalyst
+    * satisfies with exactly ONE hash exchange and ONE spill-safe
+    * Tungsten sort on the 8-byte cell key (or ELIDES when the input
+    * is already cell-partitioned), then streams each cell through the
+    * SAME [[graft.functions.SemDedupKernel]] the expression form
+    * runs, holding one cell's primitive buffers. vs the aggregation
+    * form it removes BOTH ObjectHashAggregate sort-fallback passes
+    * over vector payloads and the collect_list buffer copies, and
+    * keeps the whole pipeline visible in explain(). Verdicts are
+    * bit-identical (shared kernel, shared decode/normalize rules) —
+    * pinned in ScalaTest.
+    */
+  private[graft] def cellDedupScoresStreamed(
+      members: DataFrame,
+      threshold: Double,
+      normalize: Boolean = false,
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val spark = members.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.CellScoreStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.CellScoreStrategy
+    }
+    val slim = members.select(col("cell"), col("id"), col("neu"), col("nv"))
+    val node = graft.plans.CellScorePlan(
+      slim.queryExecution.analyzed,
+      threshold,
+      normalize,
+      AttributeReference("vec_id", LongType, nullable = false)(),
+      AttributeReference("is_dup", IntegerType, nullable = false)(),
+      AttributeReference("dup_of", LongType, nullable = true)(),
+      AttributeReference("max_sim", DoubleType, nullable = true)(),
+    )
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, node)
+  }
 
   /** Above this cell count, [[semanticDedup]] switches from the exact
     * single-level broadcast assignment (N·cells dots, centroid table
@@ -607,27 +757,49 @@ object Similarity {
     * existed for the pair SELF-JOIN's two-sided read; the in-memory
     * cell scorer consumes the assignment once.
     */
+  /** No-op stage hook (the default): [[semanticDedupStaged]] passes a
+    * recorder to time the driver-eager phases in place.
+    */
+  private val noHook: (String, Double) => Unit = (_, _) => ()
+
+  private def hookTimed[T](hook: (String, Double) => Unit, name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    hook(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   private def cellPartition(
       raw: DataFrame,
       cells: Int,
       kmeansIters: Int,
+      hook: (String, Double) => Unit = noHook,
   ): (DataFrame, DataFrame) = {
     val nv = withNormalized(raw, "v", "nv").select(col("id"), col("nv"))
     if (cells <= directAssignMax) {
       val cents = (0 until kmeansIters).foldLeft(
         nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
-      ) { (c, _) => kmeansRound(nv, c) }
-      val arr: Seq[(Long, Seq[Double])] = cents.collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val assigned = raw.select(
-        col("id"),
-        col("v").as("vec"),
-        VectorIndex
-          .inlineCellExpr(arr, graft.functions.VectorExprs.normalizeNative(col("v")))
-          .as("cell"),
-      )
-      (assigned, cents)
-    } else twoLevelAssign(raw, nv, cells, kmeansIters)
+      ) { (c, i) => hookTimed(hook, s"kmeans_round_$i")(kmeansRound(nv, c)) }
+      VectorIndex.collectCentroidsInline(cents.select(col("cent_id"), col("cv"))) match {
+        case Some((ids, mat, dim)) =>
+          val assigned = raw.select(
+            col("id"),
+            col("v").as("vec"),
+            VectorIndex
+              .inlineCellExpr(ids, mat, dim, graft.functions.VectorExprs.normalizeNative(col("v")))
+              .as("cell"),
+          )
+          (assigned, cents)
+        case None =>
+          // ≤ directAssignMax cells but over the byte cap (huge dim):
+          // slim join argmax, raw vector re-joined by id
+          val assigned = assignToCellsJoin(nv, cents)
+            .select(col("id"), col("cell"))
+            .join(raw, Seq("id"))
+            .select(col("id"), col("v").as("vec"), col("cell"))
+          (assigned, cents)
+      }
+    } else twoLevelAssign(raw, nv, cells, kmeansIters, hook)
   }
 
   /** D4-style semantic diversification (Tirumala et al. 2023's
@@ -695,28 +867,70 @@ object Similarity {
     * assignment is the same coarse-key equi-join, so no round is ever
     * N·cells work).
     */
+  /** The fine-centroid tables in NearestFineExpr layout: per-coarse
+    * segments in `coarseIds` position order, ascending fine index
+    * within a segment (the tie order). Entries are (coarseId, fine,
+    * vector).
+    */
+  private def buildFineStruct(
+      coarseIds: Array[Long],
+      finePer: Int,
+      dim: Int,
+      entries: Array[(Long, Int, Array[Double])],
+  ): (Array[Long], Array[Double], Array[Int]) = {
+    val byCoarse = entries.groupBy(_._1)
+    val fineStart = new Array[Int](coarseIds.length + 1)
+    val fineCells = new Array[Long](entries.length)
+    val fineMat = new Array[Double](entries.length * dim)
+    var pos = 0
+    var ci = 0
+    while (ci < coarseIds.length) {
+      fineStart(ci) = pos
+      val cid = coarseIds(ci)
+      byCoarse.get(cid).foreach { seg =>
+        seg.sortBy(_._2).foreach { case (_, fine, cv) =>
+          fineCells(pos) = cid * finePer + fine
+          System.arraycopy(cv, 0, fineMat, pos * dim, dim)
+          pos += 1
+        }
+      }
+      ci += 1
+    }
+    fineStart(coarseIds.length) = pos
+    (fineCells, fineMat, fineStart)
+  }
+
+  /** Primitive uncapped collect of small (…, array<double> last)
+    * tables — InternalRow + toDoubleArray, never boxed Row decode.
+    */
+  private def collectRowsPrimitive(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.executedPlan.executeCollect()
+
   private def twoLevelAssign(
       raw: DataFrame,
       nv: DataFrame,
       cells: Int,
       kmeansIters: Int,
+      hook: (String, Double) => Unit = noHook,
   ): (DataFrame, DataFrame) = {
+    val spark = nv.sparkSession
     val coarse = math.max(16, math.ceil(math.sqrt(cells.toDouble)).toInt)
     val finePer = math.max(1, math.ceil(cells.toDouble / coarse).toInt)
     val ccents = (0 until kmeansIters).foldLeft(
       nv.orderBy(col("id")).limit(coarse).select(col("id").as("cent_id"), col("nv").as("cv"))
-    ) { (c, _) => kmeansRound(nv, c) }
-    // the coarse table is tiny (≤256 rows) and the fine table is
-    // bounded by the 65536-cell cap (≤268 MB at d=512) — BOTH fit as
-    // codegen reference objects, so the whole two-level assignment is
-    // ONE map-side pass ([[graft.functions.NearestFineExpr]]). The
-    // join-form pipeline this replaces (corpus-sized members
-    // checkpoint → fine equi-join → slim SortAggregate argmax →
-    // payload re-join by id) moved the corpus through two shuffles
-    // and an 8 GB round-trip at 2M d=512 — for an assignment whose
-    // parameters fit in memory outright (§6z).
-    val ccLocal = ccents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val coarseExpr = VectorIndex.inlineCellExpr(ccLocal.toSeq, col("nv"))
+    ) { (c, i) => hookTimed(hook, s"coarse_round_$i")(kmeansRound(nv, c)) }
+    // the coarse table is √cells rows (≤ ~46341 at any legal nCells) —
+    // collected PRIMITIVELY (InternalRow + toDoubleArray; the boxed
+    // Row.getSeq decode held ~5× the bytes as driver objects)
+    val ccRows = hookTimed(hook, "coarse_collect")(
+      collectRowsPrimitive(ccents.select(col("cent_id"), col("cv"))))
+    val dim = ccRows(0).getArray(1).numElements()
+    val coarseIds = ccRows.map(_.getLong(0))
+    val coarseMat = new Array[Double](coarseIds.length * dim)
+    ccRows.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(r.getArray(1).toDoubleArray(), 0, coarseMat, i * dim, dim)
+    }
+    val coarseExpr = VectorIndex.inlineCellExpr(coarseIds, coarseMat, dim, col("nv"))
     // fine seeds: per coarse cell, its `finePer` smallest member ids
     // (deterministic, non-empty for every non-empty coarse cell).
     // The seed-rank window runs over SLIM (id, coarse) labels —
@@ -731,78 +945,92 @@ object Similarity {
     val seeds = nv
       .join(broadcast(seedSlim), Seq("id"))
       .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
-    // fine k-means rounds (if any) keep the join machinery; members
-    // recompute the slim coarse label inline — map-side, no barrier
-    def members = nv.select(col("id"), col("nv"), coarseExpr.as("coarse"))
-    val fcents = graft.sources.Checkpoint.tableGated(
-      (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) },
-      "semdedup-fcents",
-    )
-    // assemble the per-coarse fine segments in ccLocal position order,
-    // ascending fine index within a segment (the tie order). The fine
-    // table fits a reference object up to the 65536-cell cap (≤268 MB
-    // at d=512); past it (explicit huge nCells) the join-form argmax
-    // remains, slim per the §6z byte rule, re-joining the RAW vector.
-    val assigned =
-      if (cells <= VectorIndex.maxInlineCells) {
-        val fLocal = fcents
-          .select(col("coarse"), col("fine"), col("cv"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
-        val byCoarse = fLocal.groupBy(_._1)
-        val dim = ccLocal.head._2.length
-        val coarseIds = ccLocal.map(_._1)
-        val coarseMat = ccLocal.flatMap(_._2)
-        val fineStart = new Array[Int](coarseIds.length + 1)
-        val fineCellsB = Array.newBuilder[Long]
-        val fineMatB = Array.newBuilder[Double]
-        var pos = 0
-        coarseIds.zipWithIndex.foreach { case (cid, ci) =>
-          fineStart(ci) = pos
-          byCoarse
-            .getOrElse(cid, Array.empty[(Long, Int, Seq[Double])])
-            .sortBy(_._2)
-            .foreach { case (_, fine, cv) =>
-              fineCellsB += cid * finePer + fine
-              fineMatB ++= cv
-              pos += 1
-            }
-        }
-        fineStart(coarseIds.length) = pos
-        raw.select(
-          col("id"),
-          col("v").as("vec"),
-          graft.functions.VectorExprs
-            .nearestFineNative(
-              graft.functions.VectorExprs.normalizeNative(col("v")),
-              coarseIds, coarseMat, fineCellsB.result(), fineMatB.result(), fineStart, dim)
-            .as("cell"),
-        )
-      } else {
-        val winner = members
-          .join(fcents, Seq("coarse"))
-          .select(
-            col("id"),
-            col("fine"),
-            (col("coarse").cast("long") * finePer + col("fine")).as("fcell"),
-            dotNorm(col("nv"), col("cv")).as("cs"),
+    // The fine table fits the reference-object budget up to the
+    // 65536-cell / 256 MiB gate ([[VectorIndex.maxInlineBytes]] —
+    // BYTES, not count: at dim > 512 the join path takes over below
+    // the cell ceiling). Inside the gate, EVERY fine k-means round is
+    // one map-side NearestFineExpr pass + one [[VectorAgg.sumByKey]]
+    // primitive sum pass — r17: the join-form rounds this replaces
+    // (fine equi-join → slim argmax SortAggregate → payload re-join →
+    // posexplode means, TWO corpus shuffles plus ~2×10⁹ exploded rows
+    // per round at 2M×d512) exist only past the gate now.
+    if (cells <= VectorIndex.maxInlineCells
+      && cells.toLong * dim * 8 <= VectorIndex.maxInlineBytes) {
+      var entries: Array[(Long, Int, Array[Double])] =
+        hookTimed(hook, "fine_seeds_collect")(
+          collectRowsPrimitive(seeds)
+            .map(r => (r.getLong(0), r.getInt(1), r.getArray(2).toDoubleArray())))
+      var fineTab = buildFineStruct(coarseIds, finePer, dim, entries)
+      (0 until kmeansIters).foreach { i =>
+        hookTimed(hook, s"fine_round_$i") {
+          val cellCol = graft.functions.VectorExprs
+            .nearestFineNative(col("nv"), coarseIds, coarseMat, fineTab._1, fineTab._2, fineTab._3, dim)
+          val sums = VectorAgg.sumByKey(nv.select(cellCol.as("cell"), col("nv")))
+          // keys not in the current fine table are the expression's
+          // empty-segment coarse-id fallback — the join form's inner
+          // join dropped those members from the round's means; replicate
+          val valid = fineTab._1.toSet
+          val meansDf = normalizeMeans(
+            VectorAgg.sumsToDF(spark, sums, valid.contains)
+              .select(col("k").as("cell"), VectorAgg.meanCol(col("s"), col("c")).as("mv"))
           )
-          .groupBy(col("id"))
-          .agg(max_by(col("fcell"), struct(col("cs"), -col("fine"))).as("cell"))
-        raw.join(winner, Seq("id")).select(col("id"), col("v").as("vec"), col("cell"))
+          entries = collectRowsPrimitive(meansDf).map { r =>
+            val cellId = r.getLong(0)
+            (Math.floorDiv(cellId, finePer.toLong), Math.floorMod(cellId, finePer.toLong).toInt,
+              r.getArray(1).toDoubleArray())
+          }
+          fineTab = buildFineStruct(coarseIds, finePer, dim, entries)
+        }
       }
-    val cents = fcents.select(
-      (col("coarse").cast("long") * finePer + col("fine")).as("cent_id"),
-      col("cv"),
-    )
-    (assigned, cents)
+      val assigned = raw.select(
+        col("id"),
+        col("v").as("vec"),
+        graft.functions.VectorExprs
+          .nearestFineNative(
+            graft.functions.VectorExprs.normalizeNative(col("v")),
+            coarseIds, coarseMat, fineTab._1, fineTab._2, fineTab._3, dim)
+          .as("cell"),
+      )
+      import spark.implicits._
+      val cents = entries.toSeq
+        .map { case (cid, fine, cv) => (cid * finePer + fine, cv) }
+        .toDF("cent_id", "cv")
+      (assigned, cents)
+    } else {
+      // past the inline gate: join-form fine rounds + slim argmax
+      // final assignment (the §6z byte rule: no SortAggregate ever
+      // sorts an nv payload), raw vector re-joined by id
+      def members = nv.select(col("id"), col("nv"), coarseExpr.as("coarse"))
+      val fcents = graft.sources.Checkpoint.tableGated(
+        (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) },
+        "semdedup-fcents",
+      )
+      val winner = members
+        .join(fcents, Seq("coarse"))
+        .select(
+          col("id"),
+          col("fine"),
+          (col("coarse").cast("long") * finePer + col("fine")).as("fcell"),
+          dotNorm(col("nv"), col("cv")).as("cs"),
+        )
+        .groupBy(col("id"))
+        .agg(max_by(col("fcell"), struct(col("cs"), -col("fine"))).as("cell"))
+      val assigned = raw.join(winner, Seq("id")).select(col("id"), col("v").as("vec"), col("cell"))
+      val cents = fcents.select(
+        (col("coarse").cast("long") * finePer + col("fine")).as("cent_id"),
+        col("cv"),
+      )
+      (assigned, cents)
+    }
   }
 
   /** One spherical k-means round scoped WITHIN coarse cells: assign
     * each member to its nearest fine centroid among its own coarse
     * cell's centroids (equi-join on the coarse key — never N·cells),
     * average members per (coarse, fine), re-normalize onto the
-    * sphere. Mirrors [[kmeansRound]] with a compound cell key.
+    * sphere. Mirrors [[kmeansRound]]'s join form with a compound cell
+    * key — reached only past the inline gate (the in-gate rounds run
+    * map-side in [[twoLevelAssign]]).
     */
   private def fineKmeansRound(members: DataFrame, cents: DataFrame): DataFrame = {
     // slim argmax + re-join by id (same §6z byte rule as the final

@@ -74,12 +74,58 @@ object VectorIndex {
     */
   private[graft] val maxInlineCells = 65536
 
+  /** Reference-object BYTE cap for the inline paths: 256 MiB =
+    * 65536 cells × d=512 × 8 B, the worst case the r16 design
+    * documented. The gate is cells × dim × 8 ≤ this, not cell count
+    * alone — at dim > 512 the inline path hands off to the slim join
+    * fallback BELOW the 65536-cell ceiling (r16 advice: the old
+    * count-only gate could build a multi-GB driver object and task
+    * binary at high dim).
+    */
+  private[graft] val maxInlineBytes: Long = 65536L * 512 * 8
+
+  /** Collects a centroid table into PRIMITIVE arrays (ids, row-major
+    * matrix, dim) via the plan's InternalRows —
+    * `ArrayData.toDoubleArray`, never `Row.getSeq[Double]` (the boxed
+    * decode held ~5× the primitive bytes in driver heap as objects;
+    * r16 advice). `None` past [[maxInlineCells]] rows or
+    * [[maxInlineBytes]] matrix bytes — callers fall to their slim
+    * join form. `df` must be (key BIGINT, vec ARRAY<DOUBLE>).
+    */
+  private[graft] def collectCentroidsInline(
+      df: DataFrame
+  ): Option[(Array[Long], Array[Double], Int)] = {
+    val rows = df.limit(maxInlineCells + 1).queryExecution.executedPlan.executeCollect()
+    if (rows.length > maxInlineCells || rows.isEmpty) return None
+    val dim = rows(0).getArray(1).numElements()
+    if (rows.length.toLong * dim * 8 > maxInlineBytes) return None
+    val ids = new Array[Long](rows.length)
+    val mat = new Array[Double](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).getLong(0)
+      val a = rows(i).getArray(1).toDoubleArray()
+      require(a.length == dim, s"ragged centroid table: ${a.length} vs $dim")
+      System.arraycopy(a, 0, mat, i * dim, dim)
+      i += 1
+    }
+    Some((ids, mat, dim))
+  }
+
   /** cell = argmax over `cents` of (cosine, smallest cent_id) — the
     * native [[graft.functions.NearestCellExpr]], comparator-identical
     * to the join form's `max_by(cent_id, struct(cs, -cent_id))`
     * ordering evaluated on identical doubles, so the two forms are
     * bit-equal (pinned).
     */
+  private[graft] def inlineCellExpr(
+      ids: Array[Long],
+      mat: Array[Double],
+      dim: Int,
+      nv: org.apache.spark.sql.Column,
+  ): org.apache.spark.sql.Column =
+    graft.functions.VectorExprs.nearestCellNative(nv, ids, mat, dim)
+
   private[graft] def inlineCellExpr(
       cents: Seq[(Long, Seq[Double])],
       nv: org.apache.spark.sql.Column,
@@ -446,17 +492,25 @@ object VectorIndex {
         .agg(max_by(col("cent_id"), struct(col("cs"), -col("cent_id"))).as("child"))
       members.join(winner, Seq("cell", "id"))
     }
+    // child ids are globally unique (fresh past maxCent, or the
+    // reused parent id), so they alone key the per-round means — the
+    // primitive sum kernel (r17, same move as Similarity.kmeansRound:
+    // the posexplode/avg form hash-aggregated members × dim rows per
+    // round); parent cell is re-attached from the driver-side plan.
+    // children ≤ store cells + split surplus, bounded like the store
+    // cap itself. The mean/normalize Column tail is op-for-op the
+    // explode form's.
+    val childCell: Map[Long, Long] = childOf.map(_.swap).toMap
     val finalCents = (0 until kmeansIters).foldLeft(seed) { (c, _) =>
-      assign(c)
-        .select(col("cell"), col("child"), posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("child"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"), col("child"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      val sums = VectorAgg.sumByKey(assign(c).select(col("child"), col("nv")))
+      val sumsDf = sums.iterator.toSeq
+        .map { case (k, v) => (childCell(k), k, v.s, v.c) }
+        .toDF("cell", "cent_id", "s", "c")
+      sumsDf
         .select(
           col("cell"),
-          col("child").as("cent_id"),
-          transform(col("ps"), p => p.getField("m")).as("cv"),
+          col("cent_id"),
+          VectorAgg.meanCol(col("s"), col("c")).as("cv"),
         )
         .withColumn("nrm", sqrt(dotNorm(col("cv"), col("cv"))))
         .select(

@@ -61,15 +61,18 @@ object StreamingVectorIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
   ): DataFrame = {
-    val cents = spark.read
-      .parquet(s"$dir/centroids")
-      .orderBy(col("cent_id"))
-      .collect()
-      .map { r => (r.getLong(0), r.getSeq[Double](1)) }
-    require(
-      cents.length <= maxInlineCells,
-      s"${cents.length} cells exceed the $maxInlineCells inline cap — use ingest()/appendIndex",
+    val cents = VectorIndex.collectCentroidsInline(
+      spark.read
+        .parquet(s"$dir/centroids")
+        .orderBy(col("cent_id"))
+        .select(col("cent_id"), col("cv"))
     )
+    require(
+      cents.nonEmpty,
+      s"store centroids exceed the $maxInlineCells-cell / " +
+        s"${VectorIndex.maxInlineBytes}-byte inline cap — use ingest()/appendIndex",
+    )
+    val (ids, mat, dim) = cents.get
     // the same inline argmax the batch assignment uses below its own
     // inline cap — identical cells by construction
     VectorIndex
@@ -77,7 +80,7 @@ object StreamingVectorIndex {
       .select(
         col("id"),
         col("nv"),
-        VectorIndex.inlineCellExpr(cents.toSeq, col("nv")).as("cell"),
+        VectorIndex.inlineCellExpr(ids, mat, dim, col("nv")).as("cell"),
       )
   }
 

@@ -16,6 +16,9 @@ class ExplainSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
   test("q6 pushes both filters to the parquet scan") {
     val p = plan("q6_filter")
     assert(p.contains("PushedFilters: ["))
@@ -563,16 +566,42 @@ class ExplainSpec extends SparkSpec {
     val p = graft.operators.Similarity
       .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
       .queryExecution.executedPlan.toString
-    // r16 shape: map-side NearestCellExpr assignment feeds ONE
-    // groupBy(cell) collect_list into SemDedupCellExpr — no pair
-    // self-join (the corpus appears in exactly one FileScan), no
-    // assignment checkpoint (single consumer since the join died),
-    // no cartesian, exactly one exchange (the cell grouping)
-    assert(p.contains("semdedupcell") || p.contains("SemDedupCell"), p)
+    // r17 shape: map-side NearestCellExpr assignment feeds the
+    // CellScoreExec custom operator, whose declared requirements
+    // Catalyst satisfies with exactly ONE hash exchange on cell and
+    // one spill-safe sort on the 8-byte key — no pair self-join (the
+    // corpus appears in exactly one FileScan), no assignment
+    // checkpoint, no cartesian, and the whole pipeline visible (no
+    // RDD boundary)
+    assert(p.contains("CellScore"), p)
     assert("FileScan parquet".r.findAllIn(p).length == 1, "corpus must be scanned once: " + p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), "no pair self-join may remain: " + p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("ObjectHashAggregate"),
+      "no collect_list aggregation (its >128-cell fallback re-sorts vector payloads): " + p)
+  }
+
+  test("semantic dedup agg twin: the r16 collect_list/SemDedupCellExpr form stays available") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Similarity
+      .semanticDedup(emb, threshold = 0.3, nCells = 16, kmeansIters = 0)
+    // same members plan, aggregation scoring: the spill-safe fallback
+    // shape; results bit-equal to the streamed default (shared kernel)
+    val assigned = got.select(col("vec_id").as("id"), col("cell"))
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+    val members = assigned.select(
+      col("cell"), col("id"), lit(true).as("neu"), col("embedding").as("nv"))
+    val agg = graft.operators.Similarity
+      .cellDedupScoresAgg(members, threshold = 0.3, normalize = true)
+    val pAgg = agg.queryExecution.executedPlan.toString
+    assert(pAgg.contains("semdedupcell") || pAgg.contains("SemDedupCell"), pAgg)
+    assert(
+      rows(got.orderBy("vec_id")) ==
+        rows(agg.select("vec_id", "cell", "is_dup", "dup_of", "max_sim").orderBy("vec_id")),
+      "streamed and aggregation scoring must be bit-identical",
+    )
   }
 
   test("vector index: probe and dedup scans dynamically prune the cell partitions") {
@@ -604,9 +633,9 @@ class ExplainSpec extends SparkSpec {
     // here, so the full store was silently scanned pre-r16)
     assert(pDedup.contains("INSET") || pDedup.contains(" IN ("),
       "dedup store scan must carry a touched-cell partition filter: " + pDedup)
-    // and the pair stage is the collect_list + SemDedupCellExpr pass,
+    // and the pair stage is the streamed CellScoreExec pass (r17),
     // never a payload-carrying self-join of the vector table
-    assert(pDedup.contains("semdedupcell") || pDedup.contains("SemDedupCell"),
+    assert(pDedup.contains("CellScore"),
       "dedup must score cells in memory: " + pDedup)
   }
 

@@ -885,6 +885,93 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall under the cap parameters")
   }
 
+  test("SemDedupCellExpr: null vectors / null elements are non-scoring keepers (join-form semantics)") {
+    // the join form's dotNorm over a null vector or null element is
+    // null — never >= threshold — so such members are excluded from
+    // every candidate set and, if neu, emitted as keepers. The
+    // pre-r17 kernel NPE'd on a null vector and decoded a null
+    // element as 0.0 (r16 advice).
+    val df = spark.sql(
+      """SELECT array(
+        |  named_struct('id', CAST(1 AS BIGINT), 'neu', true, 'nv', array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+        |  named_struct('id', CAST(2 AS BIGINT), 'neu', true, 'nv', CAST(NULL AS ARRAY<DOUBLE>)),
+        |  named_struct('id', CAST(3 AS BIGINT), 'neu', true, 'nv', array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE))),
+        |  named_struct('id', CAST(4 AS BIGINT), 'neu', true, 'nv', array(CAST(2.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
+        |) AS ms""".stripMargin)
+    val out = df
+      .select(explode(graft.functions.VectorExprs.semDedupCellNative(col("ms"), 0.9, normalize = true)).as("r"))
+      .select("r.*")
+      .orderBy("id")
+      .collect()
+    assert(out.length == 4)
+    assert(out(0).isNullAt(1), "member 1 is the keep-first keeper")
+    assert(out(1).isNullAt(1), "null-vector member must be a keeper, not an NPE")
+    assert(out(2).isNullAt(1), "null-element member must be a keeper, not scored as 0.0")
+    assert(out(3).getLong(1) == 1L, "member 4 dups against 1 — members 2/3 are not candidates")
+    assert(out(3).getDouble(2) == 1.0)
+  }
+
+  test("SemDedupCellExpr: a legitimate negative member id is a valid dup_of (no sentinel clash)") {
+    val df = spark.sql(
+      """SELECT array(
+        |  named_struct('id', CAST(-5 AS BIGINT), 'neu', true, 'nv', array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+        |  named_struct('id', CAST(-4 AS BIGINT), 'neu', true, 'nv', array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+        |  named_struct('id', CAST(7 AS BIGINT), 'neu', true, 'nv', array(CAST(3.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
+        |) AS ms""".stripMargin)
+    val out = df
+      .select(explode(graft.functions.VectorExprs.semDedupCellNative(col("ms"), 0.9, normalize = true)).as("r"))
+      .select("r.*")
+      .orderBy("id")
+      .collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(-5L).isNullAt(1), "smallest id keeps")
+    assert(byId(-4L).getLong(1) == -5L, "negative dup_of must survive (pre-r17: <0 meant 'no hit')")
+    assert(byId(7L).getLong(1) == -5L && byId(7L).getDouble(2) == 1.0)
+  }
+
+  test("VectorAgg.sumByKey matches the posexplode/avg mean form exactly (incl. nulls and ragged rows)") {
+    import graft.operators.VectorAgg
+    // FP-exact values (quarters) so any fold-order difference would
+    // still surface; a null element, a null vector, a short vector,
+    // and a null key exercise the explode form's exact semantics
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(10 AS BIGINT), array(CAST(1.25 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(2.0 AS DOUBLE))),
+        |  (CAST(10 AS BIGINT), array(CAST(0.75 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE))),
+        |  (CAST(10 AS BIGINT), array(CAST(3.0 AS DOUBLE))),
+        |  (CAST(11 AS BIGINT), array(CAST(4.0 AS DOUBLE), CAST(0.25 AS DOUBLE))),
+        |  (CAST(11 AS BIGINT), CAST(NULL AS ARRAY<DOUBLE>)),
+        |  (CAST(NULL AS BIGINT), array(CAST(9.0 AS DOUBLE)))
+        |AS t(k, v)""".stripMargin).repartition(3)
+    val sums = VectorAgg.sumByKey(df.select(col("k"), col("v")))
+    val got = VectorAgg
+      .sumsToDF(spark, sums)
+      .select(col("k"), VectorAgg.meanCol(col("s"), col("c")).as("mv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[java.lang.Double](1).toList))
+      .sortBy(_._1)
+      .toList
+    // the explode form this kernel replaced (null keys grouped under
+    // null never had vector rows — posexplode(null) emits nothing for
+    // the null-vector row; here the null KEY row is dropped to match
+    // the callers, whose keys are argmax outputs of non-null vectors)
+    val ref = df
+      .where(col("k").isNotNull)
+      .select(col("k"), posexplode_outer(col("v")).as(Seq("pos", "x")))
+      .where(col("pos").isNotNull)
+      .groupBy(col("k"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("k"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m")).as("mv")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[java.lang.Double](1).toList))
+      .sortBy(_._1)
+      .toList
+    assert(got == ref, s"got $got vs explode-form $ref")
+  }
+
   test("null array elements null the LSH buckets and normalized vector (HOF-form semantics)") {
     import spark.implicits._
     val df = Seq(
