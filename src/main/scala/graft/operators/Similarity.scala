@@ -780,7 +780,8 @@ object Similarity {
       val cents = (0 until kmeansIters).foldLeft(
         nv.orderBy(col("id")).limit(cells).select(col("id").as("cent_id"), col("nv").as("cv"))
       ) { (c, i) => hookTimed(hook, s"kmeans_round_$i")(kmeansRound(nv, c)) }
-      VectorIndex.collectCentroidsInline(cents.select(col("cent_id"), col("cv"))) match {
+      hookTimed(hook, "cents_collect")(
+        VectorIndex.collectCentroidsInline(cents.select(col("cent_id"), col("cv")))) match {
         case Some((ids, mat, dim)) =>
           val assigned = raw.select(
             col("id"),
@@ -931,20 +932,6 @@ object Similarity {
       System.arraycopy(r.getArray(1).toDoubleArray(), 0, coarseMat, i * dim, dim)
     }
     val coarseExpr = VectorIndex.inlineCellExpr(coarseIds, coarseMat, dim, col("nv"))
-    // fine seeds: per coarse cell, its `finePer` smallest member ids
-    // (deterministic, non-empty for every non-empty coarse cell).
-    // The seed-rank window runs over SLIM (id, coarse) labels —
-    // ~16 B/row instead of the 4 KB payload — and seed vectors are
-    // fetched by broadcasting the cells-bounded slim winners against
-    // the corpus (map-side, no corpus shuffle).
-    val labels = nv.select(col("id"), coarseExpr.as("coarse"))
-    val wCell = Window.partitionBy(col("coarse")).orderBy(col("id"))
-    val seedSlim = labels
-      .withColumn("r", row_number().over(wCell))
-      .where(col("r") <= finePer)
-    val seeds = nv
-      .join(broadcast(seedSlim), Seq("id"))
-      .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
     // The fine table fits the reference-object budget up to the
     // 65536-cell / 256 MiB gate ([[VectorIndex.maxInlineBytes]] —
     // BYTES, not count: at dim > 512 the join path takes over below
@@ -956,10 +943,19 @@ object Similarity {
     // per round at 2M×d512) exist only past the gate now.
     if (cells <= VectorIndex.maxInlineCells
       && cells.toLong * dim * 8 <= VectorIndex.maxInlineBytes) {
+      // fine seeds: per coarse cell, its `finePer` smallest member
+      // ids (deterministic, non-empty for every non-empty coarse
+      // cell) — ONE primitive pass ([[VectorAgg.minKByKey]], r17:
+      // the window + broadcast-re-join form this replaces ran TWO
+      // corpus scans and was the largest stage of the sf100
+      // semantic-dedup decomposition, 47 s of 154). Partial memory
+      // ≤ cells × dim × 8 B per task — the same budget the gate
+      // already grants the fine reference object.
       var entries: Array[(Long, Int, Array[Double])] =
         hookTimed(hook, "fine_seeds_collect")(
-          collectRowsPrimitive(seeds)
-            .map(r => (r.getLong(0), r.getInt(1), r.getArray(2).toDoubleArray())))
+          VectorAgg.minKByKey(
+            nv.select(coarseExpr.as("coarse"), col("id"), col("nv")),
+            finePer))
       var fineTab = buildFineStruct(coarseIds, finePer, dim, entries)
       (0 until kmeansIters).foreach { i =>
         hookTimed(hook, s"fine_round_$i") {
@@ -999,7 +995,17 @@ object Similarity {
     } else {
       // past the inline gate: join-form fine rounds + slim argmax
       // final assignment (the §6z byte rule: no SortAggregate ever
-      // sorts an nv payload), raw vector re-joined by id
+      // sorts an nv payload), raw vector re-joined by id. Fine seeds
+      // here come from the slim-label window + broadcast re-join —
+      // the driver could not hold cells × dim sums anyway
+      val labels = nv.select(col("id"), coarseExpr.as("coarse"))
+      val wCell = Window.partitionBy(col("coarse")).orderBy(col("id"))
+      val seedSlim = labels
+        .withColumn("r", row_number().over(wCell))
+        .where(col("r") <= finePer)
+      val seeds = nv
+        .join(broadcast(seedSlim), Seq("id"))
+        .select(col("coarse"), (col("r") - 1).cast("int").as("fine"), col("nv").as("cv"))
       def members = nv.select(col("id"), col("nv"), coarseExpr.as("coarse"))
       val fcents = graft.sources.Checkpoint.tableGated(
         (0 until kmeansIters).foldLeft(seeds) { (c, _) => fineKmeansRound(members, c) },

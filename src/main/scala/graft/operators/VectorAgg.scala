@@ -112,4 +112,73 @@ object VectorAgg {
     */
   def meanCol(s: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     zip_with(s, c, (si, ci) => when(ci === 0L, lit(null)).otherwise(si / ci))
+
+  /** Per-key `k` SMALLEST-id members with their vectors, one
+    * primitive pass — the fine-seed rule (`row_number() over
+    * (partition by coarse order by id) <= finePer`) without the
+    * window's slim-label shuffle OR the broadcast re-join's second
+    * corpus scan (together the largest stage of the r17 semantic-
+    * dedup decomposition at 2M×d512). Exact: smallest ids are a
+    * deterministic set; a vector is decoded only when it can enter
+    * its key's bounded TreeMap (expected k·ln(n/k) inserts per key).
+    * Rows with a null key or null vector are skipped (the window
+    * form crashed on them at the seed collect).
+    *
+    * Returns (key, rank 0-based in ascending id, vector). Caller
+    * gates memory: every partial holds ≤ keys × k × dim × 8 B.
+    */
+  def minKByKey(df: DataFrame, k: Int): Array[(Long, Int, Array[Double])] = {
+    val schema = df.schema
+    require(schema.length == 3, s"minKByKey wants (key, id, vec), got ${schema.map(_.name)}")
+    val isFloat = schema(2).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
+      case t => throw new IllegalArgumentException(s"minKByKey vec column type $t")
+    }
+    val rdd = df.queryExecution.toRdd
+    type T = java.util.TreeMap[Long, Array[Double]]
+    type M = scala.collection.mutable.LongMap[T]
+    val seqOp: (M, org.apache.spark.sql.catalyst.InternalRow) => M = { (m, row) =>
+      if (!row.isNullAt(0) && !row.isNullAt(2)) {
+        val key = row.getLong(0)
+        val id = row.getLong(1)
+        val t = m.getOrElseUpdate(key, new T)
+        if (t.size < k || id < t.lastKey()) {
+          val arr = row.getArray(2)
+          val d = arr.numElements()
+          val a = new Array[Double](d)
+          var i = 0
+          while (i < d) {
+            a(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+            i += 1
+          }
+          t.put(id, a)
+          if (t.size > k) t.pollLastEntry()
+        }
+      }
+      m
+    }
+    val combOp: (M, M) => M = { (x, y) =>
+      y.foreach { case (key, t) =>
+        x.get(key) match {
+          case None => x.update(key, t)
+          case Some(tx) =>
+            val it = t.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (tx.size < k || e.getKey < tx.lastKey()) {
+                tx.put(e.getKey, e.getValue)
+                if (tx.size > k) tx.pollLastEntry()
+              }
+            }
+        }
+      }
+      x
+    }
+    val m = rdd.treeAggregate(new M)(seqOp, combOp)
+    m.iterator.flatMap { case (key, t) =>
+      val it = t.entrySet().iterator()
+      Iterator.tabulate(t.size()) { r => (key, r, it.next().getValue) }
+    }.toArray
+  }
 }
