@@ -616,6 +616,7 @@ object Similarity {
         assigned.select(col("cell"), col("id"), lit(true).as("neu"), col("vec").as("nv")),
         "semstage-assign",
         maxBytes = 0L, // always parquet: the barrier IS the stage split
+        codec = graft.sources.Checkpoint.vectorCodec(assigned),
       )
     }
     timed(if (scoreStreamed) "score_streamed" else "score_agg") {

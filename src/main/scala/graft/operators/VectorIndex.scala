@@ -267,8 +267,12 @@ object VectorIndex {
 
   private def writeVectorsTo(assigned: DataFrame, path: String, mode: String, nCells: Long): Unit = {
     val out = if (nCells <= 64) assigned else assigned.repartition(col("cell"))
+    // store codec: normalized embeddings are high-entropy — snappy
+    // ratio ~1.0 at ~2x the write wall time (r17 both-orders A/B,
+    // Checkpoint.vectorCodec's Scaladoc has the numbers)
     out.write
       .mode(mode)
+      .option("compression", graft.sources.Checkpoint.vectorCodec(assigned).getOrElse("none"))
       .partitionBy("cell")
       .parquet(path)
   }
@@ -384,6 +388,7 @@ object VectorIndex {
     val newAssigned = graft.sources.Checkpoint.tableGated(
       assignCells(normalized(newEmb, idCol, vecCol), cents),
       "vidx-dedup-assign",
+      codec = graft.sources.Checkpoint.vectorCodec(newEmb),
     )
     // The store scan is STATICALLY pruned to the cells the batch
     // touches: the touched-cell list is bounded by the 65536-cell
@@ -465,6 +470,7 @@ object VectorIndex {
     val members = graft.sources.Checkpoint.tableGated(
       vecs.where(col("cell").isin(toSplit.map(_._1): _*)),
       "vidx-maint-members",
+      codec = graft.sources.Checkpoint.vectorCodec(vecs),
     )
     // seeds: the k smallest member ids of each cell, mapped onto the
     // planned child ids in id order (deterministic)
@@ -523,6 +529,7 @@ object VectorIndex {
     val reassigned = graft.sources.Checkpoint.tableGated(
       assign(centsCkpt).select(col("id"), col("nv"), col("child").as("cell")),
       "vidx-maint-reassigned",
+      codec = graft.sources.Checkpoint.vectorCodec(centsCkpt),
     )
     val parentSet = toSplit.map(_._1).toSet
     val stale = rewriteSplitPartitions(spark, dir, reassigned, parentSet)
@@ -584,6 +591,7 @@ object VectorIndex {
         .repartition(col("cell"))
         .write
         .mode("overwrite")
+        .option("compression", graft.sources.Checkpoint.vectorCodec(reassigned).getOrElse("none"))
         .partitionBy("cell")
         .parquet(s"$dir/vectors")
     } finally prevMode match {
@@ -627,6 +635,7 @@ object VectorIndex {
     val newNv = graft.sources.Checkpoint.tableGated(
       assignCells(normalized(newEmb, idCol, vecCol), cents),
       "vidx-topk-assign",
+      codec = graft.sources.Checkpoint.vectorCodec(newEmb),
     )
     val all = storedVectors(spark, dir).unionByName(newNv)
     val qProbe = newNv

@@ -62,13 +62,25 @@ object Checkpoint {
     * exit — set it to a shared filesystem path on a cluster, where
     * lifecycle is the caller's) and returns a scan of it.
     */
-  def table(df: DataFrame, name: String): DataFrame = {
+  /** Codec for checkpoints/stores whose payload is embedding vectors:
+    * unit-Gaussian floats are high-entropy, so snappy achieves ~1.0×
+    * ratio while costing the write ~2× wall time (r17 A/B, both
+    * orders, 1.5M×d512: partitioned store write 85 s snappy vs 30 s
+    * and 38 s vs 20 s uncompressed — OPTIMIZATION_r17.md). Text
+    * payloads (shingle tables) compress 2-4× and KEEP the default
+    * codec. Overridable for deployments whose vectors do compress.
+    */
+  def vectorCodec(df: DataFrame): Option[String] =
+    Some(df.sparkSession.conf.getOption("spark.graft.vectorCodec").getOrElse("none"))
+
+  def table(df: DataFrame, name: String, codec: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val conf = spark.conf.getOption("spark.graft.checkpointDir")
     val base = conf.getOrElse(System.getProperty("java.io.tmpdir"))
     val path = s"$base/graft-ckpt-$name-${java.util.UUID.randomUUID()}"
     if (conf.isEmpty) { cleanupHook; created.add(path) }
-    df.write.mode("overwrite").parquet(path)
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).parquet(path)
     spark.read.parquet(path)
   }
 
@@ -91,13 +103,18 @@ object Checkpoint {
     * bounds in-memory barriers to low tens of GiB cluster-wide.
     * `spark.graft.barrierGateBytes` overrides (0 forces parquet).
     */
-  def tableGated(df: DataFrame, name: String, maxBytes: Long = -1L): DataFrame = {
+  def tableGated(
+      df: DataFrame,
+      name: String,
+      maxBytes: Long = -1L,
+      codec: Option[String] = None,
+  ): DataFrame = {
     val gate =
       if (maxBytes >= 0L) maxBytes
       else df.sparkSession.conf
         .getOption("spark.graft.barrierGateBytes").map(_.toLong).getOrElse(2L << 30)
     val bytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    if (bytes <= gate) df.localCheckpoint() else table(df, name)
+    if (bytes <= gate) df.localCheckpoint() else table(df, name, codec)
   }
 }
