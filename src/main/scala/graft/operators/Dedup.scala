@@ -497,6 +497,35 @@ object Dedup {
       pairs: DataFrame,
   )
 
+  /** Scale-adaptive partition count for the exchanges that carry the
+    * SHINGLE table (hsl arrays, ~8 B per input character): plan-stats
+    * bytes / 128 MiB, clamped to 8192. The suite pins
+    * `spark.sql.shuffle.partitions` = cores for cross-decade
+    * comparability, which at fd sf100 sorts a ~25 GB shingle exchange
+    * into 32 partitions — the per-partition sort spill IS the
+    * measured >10× third-decade step (§6r; its 256-partition A/B cut
+    * dedup_minhash 396.5 → 213.6/287.7 s same box/binary). A real
+    * cluster gets the scaling from executor count × AQE advisory
+    * sizing; a single box must derive it from input bytes. `None`
+    * when the session default already suffices — small corpora keep
+    * byte-identical plans (and the stats of a localCheckpoint'd
+    * barrier under-report, which lands on the safe None side).
+    */
+  private[operators] def scaledShinglePartitions(base: DataFrame): Option[Int] = {
+    val spark = base.sparkSession
+    val default =
+      scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+    // spark.graft.shingleExchangeBytes: target bytes per verify-join
+    // partition (0 disables the scaling — the A/B switch)
+    val target = spark.conf
+      .getOption("spark.graft.shingleExchangeBytes").map(_.toLong).getOrElse(128L << 20)
+    if (target <= 0L) return None
+    val bytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes / target).min(8192).toInt
+    if (n > default) Some(n) else None
+  }
+
   private[graft] def lshStages(
       shingled: DataFrame,
       nHashes: Int,
@@ -511,8 +540,15 @@ object Dedup {
     // than the corpus, so they live in a columnar parquet table each
     // consumer scans (pruned to its columns), not an executor cache —
     // see graft.sources.Checkpoint.
+    // md5-derived shingle hashes are uniform 60-bit ints — like the
+    // embedding stores, snappy buys ~nothing ("long-array parquet
+    // compresses poorly", hashIfSmall note) and costs encode CPU on
+    // the largest table this operator writes (r17 A/B in
+    // OPTIMIZATION_r17.md)
+    val hashCodec = graft.sources.Checkpoint.vectorCodec(shingled)
     val base =
-      graft.sources.Checkpoint.tableGated(shingled, "lsh-shingles", shingleBarrierLeafBytes)
+      graft.sources.Checkpoint.tableGated(
+        shingled, "lsh-shingles", shingleBarrierLeafBytes, codec = hashCodec)
     // id → representative (minimum id sharing this exact hsl array).
     // The collapse groups and joins on __hk, a 64-bit fingerprint of
     // the whole set DERIVED FROM THE CHECKPOINT (a codegen'd xxhash64
@@ -536,6 +572,14 @@ object Dedup {
         .select(col("id"), col("rid"), col("__ne").as("nonempty")),
       "lsh-members",
     )
+    // the verify-join exchanges below carry hsl — size them from the
+    // checkpoint's real file stats (scaledShinglePartitions note).
+    // NOT applied to the reps semi join: its slim side (rep ids) can
+    // broadcast, in which case base streams with NO exchange and a
+    // repartition would ADD a corpus-sized round trip.
+    val shingleParts = scaledShinglePartitions(base)
+    def scaled(df: DataFrame, key: String): DataFrame =
+      shingleParts.map(n => df.repartition(n, col(key))).getOrElse(df)
     val reps = base.join(
       members.where(col("id") === col("rid")).select(col("id")),
       Seq("id"),
@@ -555,6 +599,7 @@ object Dedup {
           .as("sig"),
       ),
       "lsh-signatures",
+      codec = hashCodec,
     )
     val withBands = sigd
       .select(col("id"), explode(bandHashes(col("sig"), nHashes, bands)).as("band"))
@@ -586,8 +631,8 @@ object Dedup {
     // shingle arrays — hashing the (small) rep table avoids sorting
     // array-fat rows twice.
     val repPairs = cand
-      .join(hashIfSmall(base.select(col("id").as("id_a"), col("hsl").as("sh_a"))), "id_a")
-      .join(hashIfSmall(base.select(col("id").as("id_b"), col("hsl").as("sh_b"))), "id_b")
+      .join(hashIfSmall(scaled(base.select(col("id").as("id_a"), col("hsl").as("sh_a")), "id_a")), "id_a")
+      .join(hashIfSmall(scaled(base.select(col("id").as("id_b"), col("hsl").as("sh_b")), "id_b")), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

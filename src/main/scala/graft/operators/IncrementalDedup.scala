@@ -111,8 +111,14 @@ object IncrementalDedup {
     // well-split large corpus spread is a no-op.
     val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val docsIn = if (corpusBytes <= (64L << 20)) docs else graft.sources.Par.spread(docs)
+    // hsl payloads are uniform md5-derived hashes: write the shingle
+    // checkpoint and store table uncompressed (Dedup.lshStages note;
+    // r17 A/B in OPTIMIZATION_r17.md)
+    val hashCodec = graft.sources.Checkpoint.vectorCodec(docs)
     val sh = graft.sources.Checkpoint
-      .tableGated(shingled(docsIn, idCol, textCol), "incr-build-sh", Dedup.shingleBarrierLeafBytes)
+      .tableGated(
+        shingled(docsIn, idCol, textCol), "incr-build-sh", Dedup.shingleBarrierLeafBytes,
+        codec = hashCodec)
     val keyed = graft.sources.Checkpoint.tableGated(keyedOf(sh), "incr-build-keyed")
     val members = keyed
       .join(keyed.groupBy(col("hk")).agg(min(col("id")).as("rid")), Seq("hk"))
@@ -127,7 +133,11 @@ object IncrementalDedup {
     import scala.concurrent.duration.Duration
     val spark = docs.sparkSession
     val writes = Seq(
-      Future { sh.write.mode("overwrite").parquet(s"$dir/shingles") },
+      Future {
+        sh.write.mode("overwrite")
+          .option("compression", hashCodec.getOrElse("none"))
+          .parquet(s"$dir/shingles")
+      },
       Future { keyed.write.mode("overwrite").parquet(s"$dir/keyed") },
       Future { members.write.mode("overwrite").parquet(s"$dir/members") },
       Future {
@@ -276,9 +286,15 @@ object IncrementalDedup {
 
     // 4. exact-Jaccard verify (same double tree as the one-shot)
     val hslAll = stShingles.unionByName(newSh)
+    // the two exchanges below carry the FULL store's hsl arrays —
+    // size them from the store files' real stats, same rationale and
+    // gate as the one-shot (Dedup.scaledShinglePartitions)
+    val hslParts = Dedup.scaledShinglePartitions(hslAll)
+    def scaledH(df: DataFrame, key: String): DataFrame =
+      hslParts.map(n => df.repartition(n, col(key))).getOrElse(df)
     val repPairs = cand
-      .join(Dedup.hashIfSmall(hslAll.select(col("id").as("id_a"), col("hsl").as("sh_a"))), "id_a")
-      .join(Dedup.hashIfSmall(hslAll.select(col("id").as("id_b"), col("hsl").as("sh_b"))), "id_b")
+      .join(Dedup.hashIfSmall(scaledH(hslAll.select(col("id").as("id_a"), col("hsl").as("sh_a")), "id_a")), "id_a")
+      .join(Dedup.hashIfSmall(scaledH(hslAll.select(col("id").as("id_b"), col("hsl").as("sh_b")), "id_b")), "id_b")
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -410,7 +426,9 @@ object IncrementalDedup {
     val inc = increment(spark, dir, newDocs, idCol, textCol)
     import inc._
     stKeyed.unionByName(newKeyed).write.mode("overwrite").parquet(s"$outDir/keyed")
-    stShingles.unionByName(newSh).write.mode("overwrite").parquet(s"$outDir/shingles")
+    stShingles.unionByName(newSh).write.mode("overwrite")
+      .option("compression", graft.sources.Checkpoint.vectorCodec(stShingles).getOrElse("none"))
+      .parquet(s"$outDir/shingles")
     stMembers
       .join(touchedMembers.select(col("id")), Seq("id"), "left_anti")
       .unionByName(touchedMembers.drop("__new"))

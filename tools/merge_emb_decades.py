@@ -65,25 +65,30 @@ for q, decs in out["queries"].items():
 bench = json.load(open(dst))
 bench["embeddings"] = out
 bench["embeddings"]["protocol"] = (
-    "r16 (closes r15 verdict #1/#2/#4/#5): fixed-density embedding "
-    "corpora (ScaleGen familySize=10, d=512, 2000 families at cosine "
-    "0.96-0.99, fresh Gaussians beyond; /tmp/graft_emb_sf1=20k, "
-    "emb_sf10=200k, emb_sf100=2M vectors). Solo-3x fresh JVMs, 24g, "
-    "local[32], committed value = median over non-failed runs; failed "
-    "runs are recorded per-run with n_failed (the r15 merge asserted "
-    "0-failed and silently dropped the red semantic_dedup sf100 runs). "
-    "queries = driver queries via Bench (embed_dedup: autoLshParams; "
-    "semantic_dedup: N/256 cells + in-memory cell scoring; "
-    "diversity_sample/ann_pq_topk/ann_ivf_topk: driver shapes, nCells "
-    "pinned for oracle replay). incremental_production = "
-    "graft.EmbedProbe: buildIndex(nCells=0 -> sqrtN cells, r16 "
-    "honest row-width estimate) on 3/4 of the corpus + incremental "
-    "semantic-dedup / top-k of the remaining 1/4, with the buildIndex "
-    "per-stage wall-time decomposition (r15 verdict #4); mode "
-    "diversity = one-shot D4 diversitySample at its production N/256 "
-    "shape. account = EmbedAccount per-stage counts. Binary: post-r16 "
-    "(SemDedupCellExpr in-memory cell scoring, NearestCellExpr "
-    "reference-object assignment, slim argmax aggregations, decode-"
-    "once loops).")
+    "r17 refresh (closes r16 verdict #1/#2/#6): same fixed-density "
+    "corpora as r16 (ScaleGen familySize=10, d=512, 2000 families at "
+    "cosine 0.96-0.99, fresh Gaussians beyond; /tmp/graft_emb_sf1=20k, "
+    "emb_sf10=200k, emb_sf100=2M vectors), regenerated bit-identically "
+    "on this box. Solo-3x fresh JVMs (a FULL 3-run series for every "
+    "cell including the production probes - the r16 artifact ran 2 and "
+    "labeled it solo-3x, r16 verdict ask #2), 24g heap, local[32], "
+    "committed value = median over non-failed runs; failed runs are "
+    "recorded per-run with n_failed. queries = driver queries via "
+    "Bench (embed_dedup: autoLshParams; semantic_dedup: N/256 cells + "
+    "CellScoreExec streamed cell scoring; diversity_sample/ann_pq_topk/"
+    "ann_ivf_topk: driver shapes, nCells pinned for oracle replay). "
+    "incremental_production = graft.EmbedProbe: dedup/topk = "
+    "buildIndex(nCells=0 -> sqrtN cells) on 3/4 of the corpus + "
+    "incremental semantic-dedup / top-k of the remaining 1/4 with the "
+    "buildIndex stage decomposition; diversity = one-shot D4 at N/256; "
+    "semstage / semstage_agg = the NEW r17 semanticDedupStaged "
+    "decomposition of the one-shot production shape (count/coarse/"
+    "fine-seeds/assign-materialize/score stages; probe-only parquet "
+    "barrier between assign and score), streamed CellScorePlan vs "
+    "collect_list aggregation scoring - the r16 verdict #6 A/B. "
+    "account = EmbedAccount per-stage counts. Binary: post-r17 "
+    "(VectorAgg primitive vector-sum k-means + minKByKey fine seeds, "
+    "CellScoreExec one-exchange/one-8-byte-sort scoring, uncompressed "
+    "vector stores/checkpoints - OPTIMIZATION_r17.md).")
 json.dump(bench, open(dst, "w"), indent=1)
 print(json.dumps(out["queries"], indent=1)[:1500])
