@@ -31,6 +31,13 @@ object EmbedProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF=k=v;k2=v2 — runtime confs for A/B probes (the
+    // Bench convention; e.g. spark.graft.fusedKmeans=false restores
+    // the r17 expression+sumByKey k-means pass)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     // untimed JIT/codegen warmup (same intent as Bench's preamble)
     spark.range(0, 4000000, 1, 32)
       .selectExpr("id % 97 AS k", "cast(id AS double) AS v")

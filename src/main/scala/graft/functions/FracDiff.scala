@@ -66,6 +66,16 @@ object FracDiff {
     * step). Both scan passes are allocation-free per row — primitive
     * rings, direct field compares, one output array per emitted row.
     */
+  /** Copy an internal value out of a reused InternalRow buffer (keys
+    * held across rows; tail rows buffered to partition end).
+    */
+  private def copyVal(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
+    case other => other
+  }
+
   def fracDiffChunked(
       df: org.apache.spark.sql.DataFrame,
       valueCol: String,
@@ -77,27 +87,41 @@ object FracDiff {
       outCol: String = "frac_diff",
   ): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.catalyst.expressions.GenericRow
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types._
+    val spark = df.sparkSession
     val ws = weights(d, threshold)
     val nW = ws.length
 
     val chunked = graft.sources.Checkpoint.tableGated(df.withColumn("__chunk", chunkCol), "fd-chunked")
     val groupCols = Seq(symbolCol, "__chunk")
+    // pass 1 only reads (keys, order, value) — project BEFORE the
+    // exchange (guide §2.3): the full-width form shuffled every fact
+    // column twice (here and again in pass 3)
+    val slimCols = (groupCols ++ orderCols :+ valueCol).distinct
     val sorted = chunked
+      .select(slimCols.map(col): _*)
       .repartition(groupCols.map(col): _*)
       .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
     val keyIdx0 = sorted.schema.fieldIndex(symbolCol)
     val keyIdx1 = sorted.schema.fieldIndex("__chunk")
     val valIdx = sorted.schema.fieldIndex(valueCol)
+    val keyDt0 = sorted.schema(keyIdx0).dataType
+    val keyDt1 = sorted.schema(keyIdx1).dataType
 
-    // pass 1: per-chunk tails (last <= nW-1 values, NaN for nulls)
+    // pass 1: per-chunk tails (last <= nW-1 values, NaN for nulls).
+    // InternalRow pass — the external-Row encoder boxed every column
+    // of every row (timestamps/strings/doubles), the measured GC term
+    // of the sf100 decade step (§6t; r17 verdict #8).
     val tailSchema = StructType(
       groupCols.map(n => sorted.schema(n)) :+
         StructField("__tail", ArrayType(DoubleType, containsNull = false), nullable = false)
     )
-    val tails = sorted.mapPartitions { it =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val tailsRdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       val cap = math.max(nW - 1, 1)
       val ring = new Array[Double](cap)
       var len = 0
@@ -109,13 +133,13 @@ object FracDiff {
         val t = new Array[Double](len)
         var i = 0
         while (i < len) { t(i) = ring(((pos - len + i) % cap + cap) % cap); i += 1 }
-        out += Row(k0, k1, scala.collection.immutable.ArraySeq.unsafeWrapArray(t))
+        out += new GenericInternalRow(Array[Any](k0, k1, new GenericArrayData(t)))
       }
       it.foreach { row =>
-        val a = row.get(keyIdx0)
-        val b = row.get(keyIdx1)
+        val a = if (row.isNullAt(keyIdx0)) null else row.get(keyIdx0, keyDt0)
+        val b = if (row.isNullAt(keyIdx1)) null else row.get(keyIdx1, keyDt1)
         if (!started || a != k0 || b != k1) {
-          flush(); started = true; k0 = a; k1 = b; len = 0; pos = 0
+          flush(); started = true; k0 = copyVal(a); k1 = copyVal(b); len = 0; pos = 0
         }
         if (nW > 1) {
           ring(pos) = if (row.isNullAt(valIdx)) Double.NaN else row.getDouble(valIdx)
@@ -125,7 +149,8 @@ object FracDiff {
       }
       flush()
       out.iterator
-    }(Encoders.row(tailSchema))
+    }
+    val tails = ColumnBridge.ofInternalRows(spark, tailsRdd, tailSchema)
 
     // pass 2: per-symbol fold of tails -> carry-ins (chunk-ordered)
     val carries = tails
@@ -169,13 +194,22 @@ object FracDiff {
     val aVal = aSchema.fieldIndex(valueCol)
     val aCarry = aSchema.fieldIndex("__carry")
     val aSent = aSchema.fieldIndex("__sent")
+    val aKeyDt0 = aSchema(aK0).dataType
+    val aKeyDt1 = aSchema(aK1).dataType
     val keepIdx = chunked.schema.fieldNames.filter(_ != "__chunk").map(aSchema.fieldIndex)
+    val keepDts = keepIdx.map(aSchema.fields(_).dataType)
     val nKeep = keepIdx.length
     val outSchema = StructType(
       keepIdx.map(aSchema.fields(_)).toSeq :+ StructField(outCol, DoubleType, nullable = true)
     )
 
-    arranged.mapPartitions { it =>
+    // InternalRow scan (same GC rationale as pass 1): values are
+    // fetched internally and serialized through one UnsafeProjection
+    // per partition — no boxed Row, no per-column object churn
+    val outRdd = arranged.queryExecution.toRdd.mapPartitions { it =>
+      val proj = UnsafeProjection.create(outSchema)
+      val outVals = new Array[Any](nKeep + 1)
+      val outRow = new GenericInternalRow(outVals)
       var started = false
       var k0: Any = null
       var k1: Any = null
@@ -183,10 +217,10 @@ object FracDiff {
       var hist = 0L // values preceding the current row (uncapped count, capped seed)
       var pos = 0
       it.flatMap { row =>
-        val a = row.get(aK0)
-        val b = row.get(aK1)
+        val a = if (row.isNullAt(aK0)) null else row.get(aK0, aKeyDt0)
+        val b = if (row.isNullAt(aK1)) null else row.get(aK1, aKeyDt1)
         if (!started || a != k0 || b != k1) {
-          started = true; k0 = a; k1 = b
+          started = true; k0 = copyVal(a); k1 = copyVal(b)
           java.util.Arrays.fill(ring, Double.NaN)
           pos = 0
           hist = 0L
@@ -196,7 +230,7 @@ object FracDiff {
           // of the current row — the last carry value is lag 1 of the
           // chunk's first data row
           if (!row.isNullAt(aCarry)) {
-            val carry = row.getSeq[Double](aCarry)
+            val carry = row.getArray(aCarry).toDoubleArray()
             val n = carry.length
             var back = 0
             while (back < n) {
@@ -224,14 +258,20 @@ object FracDiff {
             }
           pos = (pos + 1) % nW
           hist += 1
-          val arr = new Array[Any](nKeep + 1)
           var i = 0
-          while (i < nKeep) { arr(i) = row.get(keepIdx(i)); i += 1 }
-          arr(nKeep) = out
-          Some(new GenericRow(arr): Row)
+          while (i < nKeep) {
+            outVals(i) = if (row.isNullAt(keepIdx(i))) null else row.get(keepIdx(i), keepDts(i))
+            i += 1
+          }
+          outVals(nKeep) = out
+          // proj copies the values into its UnsafeRow buffer before
+          // the next input row is read; downstream operators copy if
+          // they buffer (the CellScoreExec contract)
+          Some(proj(outRow): InternalRow)
         }
       }
-    }(Encoders.row(outSchema))
+    }
+    ColumnBridge.ofInternalRows(spark, outRdd, outSchema)
   }
 
   /** The same dot product as ANSI SQL for the DuckDB oracle, with the

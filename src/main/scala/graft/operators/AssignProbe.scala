@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * + the partitioned store write. The deltas attribute the stage to
   * compute vs shuffle vs parquet encode/file commit.
   *
-  * Usage: runMain graft.AssignProbe <sfDir> [nCells=0 (√N)]
+  * Usage: runMain graft.operators.AssignProbe <sfDir> [nCells=0 (√N)]
+  * (declared in graft.operators for private[operators] access).
   */
 object AssignProbe {
   def main(args: Array[String]): Unit = {

@@ -540,12 +540,13 @@ object Dedup {
     // than the corpus, so they live in a columnar parquet table each
     // consumer scans (pruned to its columns), not an executor cache —
     // see graft.sources.Checkpoint.
-    // md5-derived shingle hashes are uniform 60-bit ints — like the
-    // embedding stores, snappy buys ~nothing ("long-array parquet
-    // compresses poorly", hashIfSmall note) and costs encode CPU on
-    // the largest table this operator writes (r17 A/B in
-    // OPTIMIZATION_r17.md)
-    val hashCodec = graft.sources.Checkpoint.vectorCodec(shingled)
+    // hsl values are ShingleHashExpr.hash32 — 32-bit values stored in
+    // int64 (upper 4 bytes always zero), NOT the "uniform 60-bit
+    // ints" the r17 note claimed — so general-purpose codecs do
+    // compress them and the default is the session codec again
+    // (r18 isolated codec-only A/B; spark.graft.shingleCodec
+    // overrides — see Checkpoint.shingleCodec)
+    val hashCodec = graft.sources.Checkpoint.shingleCodec(shingled.sparkSession)
     val base =
       graft.sources.Checkpoint.tableGated(
         shingled, "lsh-shingles", shingleBarrierLeafBytes, codec = hashCodec)

@@ -111,10 +111,10 @@ object IncrementalDedup {
     // well-split large corpus spread is a no-op.
     val corpusBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val docsIn = if (corpusBytes <= (64L << 20)) docs else graft.sources.Par.spread(docs)
-    // hsl payloads are uniform md5-derived hashes: write the shingle
-    // checkpoint and store table uncompressed (Dedup.lshStages note;
-    // r17 A/B in OPTIMIZATION_r17.md)
-    val hashCodec = graft.sources.Checkpoint.vectorCodec(docs)
+    // hsl payloads are hash32 values (32-bit in int64 — they DO
+    // compress; Dedup.lshStages note, r18 isolated A/B): session
+    // codec by default, spark.graft.shingleCodec overrides
+    val hashCodec = graft.sources.Checkpoint.shingleCodec(docs.sparkSession)
     val sh = graft.sources.Checkpoint
       .tableGated(
         shingled(docsIn, idCol, textCol), "incr-build-sh", Dedup.shingleBarrierLeafBytes,
@@ -427,7 +427,8 @@ object IncrementalDedup {
     import inc._
     stKeyed.unionByName(newKeyed).write.mode("overwrite").parquet(s"$outDir/keyed")
     stShingles.unionByName(newSh).write.mode("overwrite")
-      .option("compression", graft.sources.Checkpoint.vectorCodec(stShingles).getOrElse("none"))
+      .option("compression", graft.sources.Checkpoint.shingleCodec(stShingles.sparkSession).getOrElse(
+        stShingles.sparkSession.conf.get("spark.sql.parquet.compression.codec", "snappy")))
       .parquet(s"$outDir/shingles")
     stMembers
       .join(touchedMembers.select(col("id")), Seq("id"), "left_anti")

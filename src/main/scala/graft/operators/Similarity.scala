@@ -342,10 +342,90 @@ object Similarity {
   private[operators] def assignToCells(nv: DataFrame, cents: DataFrame): DataFrame = {
     VectorIndex.collectCentroidsInline(cents.select(col("cent_id"), col("cv"))) match {
       case Some((ids, mat, dim)) =>
-        nv.select(col("id"), col("nv"), VectorIndex.inlineCellExpr(ids, mat, dim, col("nv")).as("cell"))
+        // r18: past tiledAssignMinCells the per-row expression pays
+        // one latency-bound FMA chain per dot AND re-streams the
+        // whole centroid matrix from cache per row (the ~43 s
+        // assignment-dots term of the fd sf100 buildIndex,
+        // AssignProbe §2) — the 8-row tiled pass fixes both with
+        // bit-identical argmax (shared TiledArgmax comparator,
+        // pinned). Small cell counts (every oracled query shape)
+        // keep the expression form and its plan byte-identical.
+        val slim = nv.select(col("id"), col("nv"))
+        val tiledOk = ids.length >= tiledAssignMinCells &&
+          slim.schema(0).dataType == org.apache.spark.sql.types.LongType &&
+          slim.schema(1).dataType == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false) &&
+          nv.sparkSession.conf.getOption("spark.graft.tiledAssign").forall(_.toBoolean)
+        if (tiledOk) assignToCellsTiled(slim, ids, mat, dim)
+        else
+          nv.select(col("id"), col("nv"), VectorIndex.inlineCellExpr(ids, mat, dim, col("nv")).as("cell"))
       case None =>
         assignToCellsJoin(nv, cents)
     }
+  }
+
+  /** Below this cell count the tiled assignment is not worth an RDD
+    * barrier in the plan: the centroid matrix fits comfortably in L2
+    * and the per-row expression is within noise of the tiled pass
+    * (and every ORACLED query pins nCells ≤ 16, so their plans stay
+    * byte-identical). 256 cells × d512 = 1 MiB of matrix per row —
+    * where the cache re-streaming term starts to bite.
+    */
+  private[operators] val tiledAssignMinCells = 256
+
+  /** The tiled form of the inline assignment: decode 8 rows, walk the
+    * centroid matrix once per tile ([[VectorAgg.TiledArgmax]] — 8
+    * independent FMA chains per centroid row instead of one
+    * latency-bound chain per dot), emit (id, nv, cell). Output rows,
+    * cells, and the re-encoded nv doubles are bit-identical to the
+    * expression form; null-nv rows flush the tile first so row order
+    * is preserved exactly.
+    */
+  private def assignToCellsTiled(
+      slim: DataFrame,
+      ids: Array[Long],
+      mat: Array[Double],
+      dim: Int,
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val spark = slim.sparkSession
+    val outSchema = StructType(Seq(
+      slim.schema(0),
+      StructField("nv", ArrayType(DoubleType, containsNull = false), nullable = true),
+      StructField("cell", LongType, nullable = true),
+    ))
+    val rdd = slim.queryExecution.toRdd.mapPartitions { it =>
+      val proj = UnsafeProjection.create(outSchema)
+      val tiler = new VectorAgg.TiledArgmax(ids, mat, dim)
+      val queue = scala.collection.mutable.Queue.empty[InternalRow]
+      def enqueueDrained(): Unit = tiler.drain { (cell, vec, tag) =>
+        queue.enqueue(new GenericInternalRow(Array[Any](tag, new GenericArrayData(vec), cell)))
+      }
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = {
+          while (queue.isEmpty && it.hasNext) {
+            val row = it.next()
+            val idVal: AnyRef = if (row.isNullAt(0)) null else java.lang.Long.valueOf(row.getLong(0))
+            if (row.isNullAt(1)) {
+              // null vector: null cell (the expression's null-in →
+              // null-out), emitted in place — flush so order holds
+              tiler.flush(); enqueueDrained()
+              queue.enqueue(new GenericInternalRow(Array[Any](idVal, null, null)))
+            } else {
+              val v = row.getArray(1).toDoubleArray()
+              if (tiler.push(v, idVal)) enqueueDrained()
+            }
+          }
+          if (queue.isEmpty) { tiler.flush(); enqueueDrained() }
+          queue.nonEmpty
+        }
+        override def next(): InternalRow = proj(queue.dequeue())
+      }
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofInternalRows(spark, rdd, outSchema)
   }
 
   private def assignToCellsJoin(nv: DataFrame, cents: DataFrame): DataFrame = {
@@ -387,11 +467,33 @@ object Similarity {
   private[operators] def kmeansRound(nv: DataFrame, cents: DataFrame): DataFrame = {
     VectorIndex.collectCentroidsInline(cents.select(col("cent_id"), col("cv"))) match {
       case Some((ids, mat, dim)) =>
-        val assigned = nv.select(
-          VectorIndex.inlineCellExpr(ids, mat, dim, col("nv")).as("cell"),
-          col("nv"),
-        )
-        val sums = VectorAgg.sumByKey(assigned)
+        // r18: row-tiled fused argmax+sum when the element type rules
+        // out null elements (NormalizeExpr output — every caller):
+        // 8 independent FMA chains per centroid row instead of the
+        // expression form's one latency-bound chain per dot, and the
+        // centroid matrix streams from cache once per 8 rows instead
+        // of once per row. Same dots, same comparator, same row-order
+        // sums — bit-equal (pinned); any other element shape keeps
+        // the expression + sumByKey pass.
+        val vecOnly = nv.select(col("nv"))
+        val fusable = vecOnly.schema(0).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType,
+                false) => true
+          case _ => false
+        }
+        // spark.graft.fusedKmeans=false restores the expression +
+        // sumByKey pass — measurement aid for interleaved A/Bs on one
+        // binary (both paths are pinned bit-equal); default on
+        val gateOn = nv.sparkSession.conf
+          .getOption("spark.graft.fusedKmeans").forall(_.toBoolean)
+        val sums =
+          if (fusable && gateOn) VectorAgg.assignSumByMatrix(vecOnly, ids, mat, dim)
+          else
+            VectorAgg.sumByKey(nv.select(
+              VectorIndex.inlineCellExpr(ids, mat, dim, col("nv")).as("cell"),
+              col("nv"),
+            ))
         normalizeMeans(
           VectorAgg.sumsToDF(nv.sparkSession, sums)
             .select(col("k").as("cell"), VectorAgg.meanCol(col("s"), col("c")).as("mv"))
@@ -616,7 +718,7 @@ object Similarity {
         assigned.select(col("cell"), col("id"), lit(true).as("neu"), col("vec").as("nv")),
         "semstage-assign",
         maxBytes = 0L, // always parquet: the barrier IS the stage split
-        codec = graft.sources.Checkpoint.vectorCodec(assigned),
+        codec = graft.sources.Checkpoint.vectorCodec(assigned.sparkSession),
       )
     }
     timed(if (scoreStreamed) "score_streamed" else "score_agg") {

@@ -113,6 +113,218 @@ object VectorAgg {
   def meanCol(s: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     zip_with(s, c, (si, ci) => when(ci === 0L, lit(null)).otherwise(si / ci))
 
+  /** Fused nearest-centroid assignment + per-cell vector sums: one
+    * pass over `nv`'s InternalRows that assigns each vector to its
+    * argmax centroid ([[graft.functions.NearestCellExpr]]'s exact
+    * comparator — highest dot with Spark double semantics, smallest
+    * cent_id tiebreak, dots left-to-right f64) and accumulates it
+    * into that cell's [[VecSum]] buffers in row order — the same
+    * result map as `sumByKey(nv.select(nearestCellNative(...), nv))`.
+    *
+    * Why fused AND tiled (r17 verdict #1: the two ~43 s k-means
+    * rounds at 2M × d512 × 1412 cells): the per-row expression runs
+    * ONE serial f64 FMA chain per dot — latency-bound at ~1 FMA per
+    * ~4 cycles — and streams the whole cells × dim × 8 B centroid
+    * matrix from cache again for EVERY row. Decoding an 8-row tile
+    * and walking the matrix once per tile runs 8 independent
+    * accumulator chains per centroid row (ILP-bound at the FMA
+    * throughput limit instead of the latency limit) and divides the
+    * matrix traffic by 8. Each scalar dot still accumulates over i
+    * ascending — per-(row, centroid) doubles are bit-identical to the
+    * expression form, so the argmax and the per-cell sums are too
+    * (pinned in ScalaTest).
+    *
+    * Exactness gate: callers must pass an nv column whose array
+    * element type is float/double with `containsNull = false` (the
+    * [[graft.functions.NormalizeExpr]] output — every k-means caller)
+    * and SKIP this kernel otherwise: the tile decode has no per-
+    * element null slot, while the expression+sumByKey path has
+    * defined null-element semantics that this kernel does not
+    * replicate. Null ROWS contribute nothing (the expression form's
+    * null cell is skipped by sumByKey). Rows shorter than `dim` dot
+    * over their own length (the expression's min(len, dim)) on the
+    * scalar tail path.
+    *
+    * Memory: the same keys × dim × 16 B partial-buffer budget as
+    * [[sumByKey]], gated by the same inline-cells caller gates.
+    */
+  def assignSumByMatrix(
+      nv: DataFrame,
+      centIds: Array[Long],
+      mat: Array[Double],
+      dim: Int,
+  ): scala.collection.mutable.LongMap[VecSum] = {
+    val schema = nv.schema
+    require(schema.length == 1, s"assignSumByMatrix wants (vec), got ${schema.map(_.name)}")
+    val isFloat = schema(0).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false) => true
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false) => false
+      case t => throw new IllegalArgumentException(
+        s"assignSumByMatrix vec column must be array<float|double> with containsNull=false, got $t")
+    }
+    val nCells = centIds.length
+    val rdd = nv.queryExecution.toRdd
+    type M = scala.collection.mutable.LongMap[VecSum]
+    val partials = rdd.mapPartitions { it =>
+      val m = new M
+      val tiler = new TiledArgmax(centIds, mat, dim)
+
+      def addToCell(cell: Long, v: Array[Double]): Unit = {
+        val d = v.length
+        val e = m.getOrElseUpdate(cell, new VecSum(new Array[Double](d), new Array[Long](d)))
+        e.grow(d)
+        var i = 0
+        while (i < d) { e.s(i) += v(i); e.c(i) += 1; i += 1 }
+      }
+
+      while (it.hasNext) {
+        val row = it.next()
+        if (!row.isNullAt(0)) {
+          val arr = row.getArray(0)
+          val d = arr.numElements()
+          val v =
+            if (isFloat) {
+              val a = new Array[Double](d)
+              var i = 0
+              while (i < d) { a(i) = arr.getFloat(i).toDouble; i += 1 }
+              a
+            } else arr.toDoubleArray()
+          if (tiler.push(v)) tiler.drain((cell, vec, _) => addToCell(cell, vec))
+        }
+      }
+      tiler.flush()
+      tiler.drain((cell, vec, _) => addToCell(cell, vec))
+      Iterator.single(m)
+    }
+    val combOp: (M, M) => M = { (a, b) =>
+      b.foreach { case (k, v) =>
+        a.get(k) match {
+          case None => a.update(k, v)
+          case Some(e) =>
+            e.grow(v.s.length)
+            var i = 0
+            while (i < v.s.length) { e.s(i) += v.s(i); e.c(i) += v.c(i); i += 1 }
+        }
+      }
+      a
+    }
+    if (partials.getNumPartitions == 0) new M else partials.treeReduce(combOp)
+  }
+
+  /** 8-row-tiled nearest-centroid argmax — the shared kernel of
+    * [[assignSumByMatrix]] and the tiled assignment pass
+    * ([[Similarity.assignToCells]] at large cell counts). Buffer 8
+    * decoded rows, then walk the centroid matrix ONCE for the tile
+    * with 8 independent accumulator chains per centroid row: the
+    * per-row expression form pays one latency-bound FMA chain per dot
+    * (~1 FMA/4 cycles) AND streams cells × dim × 8 B from cache per
+    * ROW — both walls measured at ~43 s per 2M × d512 × 1225-cell
+    * pass. Each scalar dot still accumulates over i ascending, and
+    * the comparator is [[graft.functions.NearestCellExpr]]'s
+    * verbatim — per-(row, centroid) doubles, argmax ids, and
+    * tie-breaks are bit-identical to the expression (pinned).
+    *
+    * Rows shorter than `dim` (dots over min(len, dim)) take the
+    * scalar path; rows longer than `dim` dot over the first dim
+    * elements on either path, exactly as the expression does.
+    */
+  private[operators] final class TiledArgmax(
+      centIds: Array[Long],
+      mat: Array[Double],
+      dim: Int,
+  ) {
+    private val T = 8
+    private val nCells = centIds.length
+    private val tile = new Array[Array[Double]](T)
+    private val tags = new Array[AnyRef](T)
+    private var nT = 0
+    private val bestS = new Array[Double](T)
+    private val bestId = new Array[Long](T)
+
+    // NearestCellExpr's comparator, one row against one candidate
+    private def better(s: Double, id: Long, first: Boolean, bS: Double, bId: Long): Boolean = {
+      val cmp = if (s == bS) 0 else java.lang.Double.compare(s, bS)
+      first || cmp > 0 || (cmp == 0 && id < bId)
+    }
+
+    // scalar argmax for one row (the expression form verbatim)
+    private def argmaxScalar(v: Array[Double]): Long = {
+      val n = math.min(v.length, dim)
+      var bS = 0.0
+      var bId = 0L
+      var c = 0
+      while (c < nCells) {
+        val base = c * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v(i) * mat(base + i); i += 1 }
+        if (better(s, centIds(c), c == 0, bS, bId)) { bS = s; bId = centIds(c) }
+        c += 1
+      }
+      bId
+    }
+
+    private def compute(): Unit = {
+      var fullDim = true
+      var r = 0
+      while (r < nT) { if (tile(r).length < dim) fullDim = false; r += 1 }
+      if (nT == T && fullDim) {
+        val t0 = tile(0); val t1 = tile(1); val t2 = tile(2); val t3 = tile(3)
+        val t4 = tile(4); val t5 = tile(5); val t6 = tile(6); val t7 = tile(7)
+        var c = 0
+        while (c < nCells) {
+          val base = c * dim
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+          var s4 = 0.0; var s5 = 0.0; var s6 = 0.0; var s7 = 0.0
+          var i = 0
+          while (i < dim) {
+            val mv = mat(base + i)
+            s0 += t0(i) * mv; s1 += t1(i) * mv; s2 += t2(i) * mv; s3 += t3(i) * mv
+            s4 += t4(i) * mv; s5 += t5(i) * mv; s6 += t6(i) * mv; s7 += t7(i) * mv
+            i += 1
+          }
+          val id = centIds(c)
+          val first = c == 0
+          if (better(s0, id, first, bestS(0), bestId(0))) { bestS(0) = s0; bestId(0) = id }
+          if (better(s1, id, first, bestS(1), bestId(1))) { bestS(1) = s1; bestId(1) = id }
+          if (better(s2, id, first, bestS(2), bestId(2))) { bestS(2) = s2; bestId(2) = id }
+          if (better(s3, id, first, bestS(3), bestId(3))) { bestS(3) = s3; bestId(3) = id }
+          if (better(s4, id, first, bestS(4), bestId(4))) { bestS(4) = s4; bestId(4) = id }
+          if (better(s5, id, first, bestS(5), bestId(5))) { bestS(5) = s5; bestId(5) = id }
+          if (better(s6, id, first, bestS(6), bestId(6))) { bestS(6) = s6; bestId(6) = id }
+          if (better(s7, id, first, bestS(7), bestId(7))) { bestS(7) = s7; bestId(7) = id }
+          c += 1
+        }
+      } else {
+        var r = 0
+        while (r < nT) { bestId(r) = argmaxScalar(tile(r)); r += 1 }
+      }
+    }
+
+    /** Buffer a decoded row (with an optional caller payload carried
+      * alongside it); when the tile fills, compute its argmaxes and
+      * return true — the caller must [[drain]] before the next push.
+      */
+    def push(v: Array[Double], tag: AnyRef = null): Boolean = {
+      tile(nT) = v
+      tags(nT) = tag
+      nT += 1
+      if (nT == T) { compute(); true } else false
+    }
+
+    /** Compute argmaxes for a partial tile at end of input. */
+    def flush(): Unit = if (nT > 0 && nT < T) compute()
+
+    /** Visit (cell, vector, tag) for the computed tile in row order,
+      * then reset.
+      */
+    def drain(f: (Long, Array[Double], AnyRef) => Unit): Unit = {
+      var r = 0
+      while (r < nT) { f(bestId(r), tile(r), tags(r)); r += 1 }
+      nT = 0
+    }
+  }
+
   /** Per-key `k` SMALLEST-id members with their vectors, one
     * primitive pass — the fine-seed rule (`row_number() over
     * (partition by coarse order by id) <= finePer`) without the
@@ -141,6 +353,11 @@ object VectorAgg {
     val seqOp: (M, org.apache.spark.sql.catalyst.InternalRow) => M = { (m, row) =>
       if (!row.isNullAt(0) && !row.isNullAt(2)) {
         val key = row.getLong(0)
+        // ids are non-null by construction for every caller (argmax
+        // labels over non-null vectors); a null id would decode as 0
+        // here where the window form ranks nulls — guard it loudly
+        // rather than silently diverging (r17 advice)
+        require(!row.isNullAt(1), "minKByKey: null id")
         val id = row.getLong(1)
         val t = m.getOrElseUpdate(key, new T)
         if (t.size < k || id < t.lastKey()) {

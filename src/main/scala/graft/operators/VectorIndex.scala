@@ -272,7 +272,7 @@ object VectorIndex {
     // Checkpoint.vectorCodec's Scaladoc has the numbers)
     out.write
       .mode(mode)
-      .option("compression", graft.sources.Checkpoint.vectorCodec(assigned).getOrElse("none"))
+      .option("compression", graft.sources.Checkpoint.vectorCodec(assigned.sparkSession).getOrElse("none"))
       .partitionBy("cell")
       .parquet(path)
   }
@@ -388,7 +388,7 @@ object VectorIndex {
     val newAssigned = graft.sources.Checkpoint.tableGated(
       assignCells(normalized(newEmb, idCol, vecCol), cents),
       "vidx-dedup-assign",
-      codec = graft.sources.Checkpoint.vectorCodec(newEmb),
+      codec = graft.sources.Checkpoint.vectorCodec(newEmb.sparkSession),
     )
     // The store scan is STATICALLY pruned to the cells the batch
     // touches: the touched-cell list is bounded by the 65536-cell
@@ -470,7 +470,7 @@ object VectorIndex {
     val members = graft.sources.Checkpoint.tableGated(
       vecs.where(col("cell").isin(toSplit.map(_._1): _*)),
       "vidx-maint-members",
-      codec = graft.sources.Checkpoint.vectorCodec(vecs),
+      codec = graft.sources.Checkpoint.vectorCodec(vecs.sparkSession),
     )
     // seeds: the k smallest member ids of each cell, mapped onto the
     // planned child ids in id order (deterministic)
@@ -529,7 +529,7 @@ object VectorIndex {
     val reassigned = graft.sources.Checkpoint.tableGated(
       assign(centsCkpt).select(col("id"), col("nv"), col("child").as("cell")),
       "vidx-maint-reassigned",
-      codec = graft.sources.Checkpoint.vectorCodec(centsCkpt),
+      codec = graft.sources.Checkpoint.vectorCodec(centsCkpt.sparkSession),
     )
     val parentSet = toSplit.map(_._1).toSet
     val stale = rewriteSplitPartitions(spark, dir, reassigned, parentSet)
@@ -591,7 +591,7 @@ object VectorIndex {
         .repartition(col("cell"))
         .write
         .mode("overwrite")
-        .option("compression", graft.sources.Checkpoint.vectorCodec(reassigned).getOrElse("none"))
+        .option("compression", graft.sources.Checkpoint.vectorCodec(reassigned.sparkSession).getOrElse("none"))
         .partitionBy("cell")
         .parquet(s"$dir/vectors")
     } finally prevMode match {
@@ -635,7 +635,7 @@ object VectorIndex {
     val newNv = graft.sources.Checkpoint.tableGated(
       assignCells(normalized(newEmb, idCol, vecCol), cents),
       "vidx-topk-assign",
-      codec = graft.sources.Checkpoint.vectorCodec(newEmb),
+      codec = graft.sources.Checkpoint.vectorCodec(newEmb.sparkSession),
     )
     val all = storedVectors(spark, dir).unionByName(newNv)
     val qProbe = newNv

@@ -10,12 +10,13 @@ import org.apache.spark.sql.DataFrame
   * wide intermediate (hashed-shingle sets are ~8 bytes per input
   * character — larger than the corpus) occupies executor memory/disk
   * for the job's lifetime and is re-shuffled per consumer. A parquet
-  * checkpoint is columnar and compressed, each consumer scans only
-  * the columns it needs (the band join reads `sig`, the verify join
-  * reads `hsl`), and on a cluster it lands on the shared FS instead
-  * of executor-local store. The write is also the materialization
-  * barrier the interpreted-HOF CSE hazard needs (see Dedup) — no
-  * eager count() required.
+  * checkpoint is columnar (compressed with the session codec unless
+  * the payload is high-entropy — see [[Checkpoint.vectorCodec]]),
+  * each consumer scans only the columns it needs (the band join
+  * reads `sig`, the verify join reads `hsl`), and on a cluster it
+  * lands on the shared FS instead of executor-local store. The write
+  * is also the materialization barrier the interpreted-HOF CSE
+  * hazard needs (see Dedup) — no eager count() required.
   */
 /** Minimum-parallelism guard for CPU-heavy map stages. */
 object Par {
@@ -57,22 +58,35 @@ object Checkpoint {
     }
   }
 
+  /** Codec for checkpoints/stores whose payload is embedding vectors:
+    * unit-Gaussian floats are high-entropy, so snappy achieves ~1.0×
+    * ratio while costing the write ~2× wall time (r17 A/B, both
+    * orders, 1.5M×d512: partitioned store write 85 s snappy vs 30 s
+    * and 38 s vs 20 s uncompressed — OPTIMIZATION_r17.md).
+    * `spark.graft.vectorCodec` overrides for deployments whose
+    * vectors do compress. Hashed-shingle tables are governed by
+    * [[shingleCodec]] instead — their values are NOT high-entropy
+    * longs (see there).
+    */
+  def vectorCodec(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    Some(spark.conf.getOption("spark.graft.vectorCodec").getOrElse("none"))
+
+  /** Codec for hashed-shingle checkpoint/store tables. r17 wrote them
+    * uncompressed on the rationale "uniform 60-bit ints", but the hsl
+    * values are ShingleHashExpr.hash32 — 32-bit values stored in
+    * int64, upper 4 bytes always zero — which general-purpose codecs
+    * do compress (r18 isolated A/B: see OPTIMIZATION_r18.md). Default
+    * is therefore the SESSION parquet codec (None = no override);
+    * `spark.graft.shingleCodec` overrides.
+    */
+  def shingleCodec(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.shingleCodec")
+
   /** Writes `df` to a fresh parquet table under
     * `spark.graft.checkpointDir` (default: local tmp, deleted on JVM
     * exit — set it to a shared filesystem path on a cluster, where
     * lifecycle is the caller's) and returns a scan of it.
     */
-  /** Codec for checkpoints/stores whose payload is embedding vectors:
-    * unit-Gaussian floats are high-entropy, so snappy achieves ~1.0×
-    * ratio while costing the write ~2× wall time (r17 A/B, both
-    * orders, 1.5M×d512: partitioned store write 85 s snappy vs 30 s
-    * and 38 s vs 20 s uncompressed — OPTIMIZATION_r17.md). Text
-    * payloads (shingle tables) compress 2-4× and KEEP the default
-    * codec. Overridable for deployments whose vectors do compress.
-    */
-  def vectorCodec(df: DataFrame): Option[String] =
-    Some(df.sparkSession.conf.getOption("spark.graft.vectorCodec").getOrElse("none"))
-
   def table(df: DataFrame, name: String, codec: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val conf = spark.conf.getOption("spark.graft.checkpointDir")

@@ -22,4 +22,18 @@ object ColumnBridge {
   ): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset
       .ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an RDD of InternalRows —
+    * SparkSession.internalCreateDataFrame is private[sql]. For
+    * mapPartitions passes that must not pay the external-Row encoder
+    * (boxing every column of every row; the measured frac_diff GC
+    * bound at 100M rows).
+    */
+  def ofInternalRows(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+  ): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

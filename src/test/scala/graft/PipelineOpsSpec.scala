@@ -972,6 +972,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == ref, s"got $got vs explode-form $ref")
   }
 
+  test("VectorAgg.assignSumByMatrix matches the NearestCellExpr + sumByKey pass exactly") {
+    import spark.implicits._
+    import graft.operators.VectorAgg
+    // dyadic-rational values (quarters): every dot and every sum is
+    // FP-exact, so the pin holds bit-for-bit regardless of the
+    // partition-merge order either pass happens to use. 37 rows over
+    // 3 partitions exercise the 8-row blocked tile, the remainder
+    // tile, the short-row scalar tail, and null-row skipping.
+    val rnd = new scala.util.Random(7)
+    def q(): Double = (rnd.nextInt(17) - 8) / 4.0
+    val dim = 5
+    val rows: Seq[(Long, Option[Seq[Double]])] = (0 until 37).map { i =>
+      val len = if (i % 11 == 3) 3 else dim
+      if (i % 13 == 7) (i.toLong, None)
+      else (i.toLong, Some(Seq.fill(len)(q())))
+    }
+    val nv = rows.toDF("id", "nv").select(col("nv")).repartition(3)
+    assert(
+      nv.schema(0).dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false),
+      "test setup: fused-kernel gate needs containsNull=false")
+    val centIds = Array(5L, 2L, 9L, 4L)
+    val mat = Array.fill(centIds.length * dim)(q())
+    val got = VectorAgg.assignSumByMatrix(nv, centIds, mat, dim)
+    val ref = VectorAgg.sumByKey(
+      nv.select(
+        graft.functions.VectorExprs.nearestCellNative(col("nv"), centIds, mat, dim).as("cell"),
+        col("nv")))
+    assert(got.keySet == ref.keySet, s"cells ${got.keySet} vs ${ref.keySet}")
+    got.foreach { case (k, v) =>
+      val r = ref(k)
+      assert(v.s.toSeq == r.s.toSeq, s"cell $k sums differ")
+      assert(v.c.toSeq == r.c.toSeq, s"cell $k counts differ")
+    }
+  }
+
+  test("tiled cell assignment matches the expression form exactly (ivfTopK past the 256-cell gate)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 600).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").repartition(3)
+    def run(tiled: Boolean): Seq[String] = {
+      spark.conf.set("spark.graft.tiledAssign", tiled.toString)
+      try Similarity
+        .ivfTopK(emb, nQueries = 8, k = 5, nCells = 300, nProbe = 4, kmeansIters = 0)
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      finally spark.conf.unset("spark.graft.tiledAssign")
+    }
+    assert(run(tiled = true) == run(tiled = false), "tiled vs expression assignment diverged")
+  }
+
   test("null array elements null the LSH buckets and normalized vector (HOF-form semantics)") {
     import spark.implicits._
     val df = Seq(
