@@ -1008,6 +1008,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("SemDedupKernel tiled candidate loop matches a scalar reference on a large ragged cell") {
+    import graft.functions.SemDedupKernel
+    val rnd = new scala.util.Random(13)
+    val n = 37 // > 4-wide tiles, with remainders
+    val ids = Array.tabulate(n)(i => (n - i).toLong * 3) // unsorted ids
+    val neu = Array.tabulate(n)(i => i % 3 != 1)
+    val vecs = Array.tabulate(n) { i =>
+      if (i % 11 == 5) null // non-scoring member
+      else Array.fill(if (i % 7 == 2) 5 else 8)(rnd.nextGaussian())
+    }
+    val thr = 0.1
+    val got = SemDedupKernel.verdicts(ids, neu, vecs, n, thr)
+    // scalar reference: ascending-id order, all lower-id non-null
+    // candidates, left-to-right dots — the pre-r18 loop verbatim
+    val order = (0 until n).sortBy(ids(_))
+    val exp = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Double)]
+    for (bi <- order.indices; b = order(bi); if neu(b)) {
+      var f = false; var dOf = 0L; var mSim = 0.0
+      val vb = vecs(b)
+      for (ai <- 0 until bi; a = order(ai); if vb != null && vecs(a) != null) {
+        val va = vecs(a)
+        val d = math.min(va.length, vb.length)
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += va(k) * vb(k); k += 1 }
+        if (s >= thr || s.isNaN) {
+          if (!f) { f = true; dOf = ids(a); mSim = s }
+          else if (s > mSim || s.isNaN) mSim = s
+        }
+      }
+      exp += ((ids(b), f, dOf, mSim))
+    }
+    assert(got.nOut == exp.length)
+    for (j <- exp.indices) {
+      assert(got.ids(j) == exp(j)._1 && got.found(j) == exp(j)._2, s"row $j")
+      if (exp(j)._2)
+        assert(got.dupOf(j) == exp(j)._3 && got.maxSim(j) == exp(j)._4, s"row $j verdict")
+    }
+  }
+
   test("tiled cell assignment matches the expression form exactly (ivfTopK past the 256-cell gate)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
