@@ -98,13 +98,49 @@ object FracDiff {
 
     val chunked = graft.sources.Checkpoint.tableGated(df.withColumn("__chunk", chunkCol), "fd-chunked")
     val groupCols = Seq(symbolCol, "__chunk")
+
+    // Scale-adaptive partition count for the two corpus exchanges
+    // (guide §2.2 — the dedup family's §6r lesson applied here): the
+    // suite pins shuffle.partitions = cores, which at 1B ticks sorts
+    // tens of GB of rows into 32 per-partition spilling sorts — the
+    // r18 A/B measured the boxed-Row fix alone moving sf100 only
+    // 130 → 125 s because the spill, not the decode, was the
+    // remaining wall. Sized from ROWS × schema default width, not
+    // plan-stats bytes: the events parquet is snappy-compressed
+    // ~10-20× so file-size stats under-estimate sort bytes that
+    // badly. The row count comes from one zero-column metadata-cheap
+    // count on the checkpointed table, gated behind a 256 MiB
+    // file-bytes threshold so small corpora (every oracle/suite
+    // shape) skip the count and keep byte-identical plans. `None`
+    // when the session default suffices; spark.graft.fdExchangeBytes
+    // tunes the target (0 disables — the A/B switch).
+    val fdParts: Option[Int] = {
+      val spark0 = chunked.sparkSession
+      val default = scala.util.Try(spark0.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(spark0.sparkContext.defaultParallelism)
+      val target = spark0.conf
+        .getOption("spark.graft.fdExchangeBytes").map(_.toLong).getOrElse(128L << 20)
+      val leafBytes = chunked.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      if (target <= 0L || leafBytes <= (256L << 20)) None
+      else {
+        val rows = chunked.count()
+        val width = math.max(16, chunked.schema.defaultSize)
+        val n = (BigInt(rows) * width / target).min(8192).toInt
+        if (n > default) Some(n) else None
+      }
+    }
+    def repart(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      fdParts match {
+        case Some(n) => d.repartition(n, groupCols.map(col): _*)
+        case None => d.repartition(groupCols.map(col): _*)
+      }
+
     // pass 1 only reads (keys, order, value) — project BEFORE the
     // exchange (guide §2.3): the full-width form shuffled every fact
     // column twice (here and again in pass 3)
     val slimCols = (groupCols ++ orderCols :+ valueCol).distinct
-    val sorted = chunked
-      .select(slimCols.map(col): _*)
-      .repartition(groupCols.map(col): _*)
+    val sorted = repart(chunked.select(slimCols.map(col): _*))
       .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
     val keyIdx0 = sorted.schema.fieldIndex(symbolCol)
     val keyIdx1 = sorted.schema.fieldIndex("__chunk")
@@ -183,9 +219,7 @@ object FracDiff {
         if (n == symbolCol || n == "__chunk") col(n)
         else lit(null).cast(chunked.schema(n).dataType).as(n)
       }.toSeq :+ col("__carry") :+ lit(0).as("__sent"): _*)
-    val arranged = dataSide
-      .unionByName(sentSide)
-      .repartition(groupCols.map(col): _*)
+    val arranged = repart(dataSide.unionByName(sentSide))
       .sortWithinPartitions(
         (groupCols.map(col) :+ col("__sent")) ++ orderCols.map(col): _*)
     val aSchema = arranged.schema

@@ -38,7 +38,9 @@ for i in 1 2 3; do
   run_one "$HERE" cur /tmp/graft_sf10 tick_qc
   run_one "$R13" r13 /tmp/graft_sf10 tick_qc
 done
-for q in multimodal_decode feature_ic; do
+# tick_qc_daily added r18: the largest apparent r17 suite mover
+# (0.95 -> 1.52 s at 32 cores, faster at 8 — pin whether it is drift)
+for q in multimodal_decode feature_ic tick_qc_daily; do
   for i in 1 2 3; do
     run_one "$HERE" cur /root/testdata/sf0.1 "$q"
     run_one "$R13" r13 /root/testdata/sf0.1 "$q"
